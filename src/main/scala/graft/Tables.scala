@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders + corpora derived deterministically from the
+  * driver test tables. Every derivation here has an exact SQL mirror in
+  * [[SparkEntry.oracleSql]] (CTEs named like the methods), so the DuckDB
+  * oracle sees byte-identical inputs.
+  *
+  * Scale note: loaders are plain parquet scans — column pruning and
+  * predicate pushdown happen in the consuming query; derivations are
+  * narrow (no shuffle).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read ns as long and truncate to micros — exactly
+    * what DuckDB does on read (its TIMESTAMP is µs), so the oracle sees
+    * identical values.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Document corpus with injected duplicates for the dedup operators
+    * (the pristine corpus has no exact duplicates).
+    * - doc_id+1000000: exact copies of every 10th doc.
+    * - doc_id+2000000: near copies (suffix appended) of every 7th doc.
+    * SQL mirror: CTE `docs_aug`.
+    */
+  def docsAug(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    base
+      .unionAll(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionAll(
+        base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" near duplicate suffix marker")).as("text")))
+  }
+
+  /** SQL mirror of [[docsAug]] for oracle queries. */
+  val docsAugSql: String =
+    """docs_aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' near duplicate suffix marker'
+      |  FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
+  /** Embedding corpus with injected duplicate vectors (every 20th). */
+  def embAug(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    base.unionAll(
+      base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  val embAugSql: String =
+    """emb_aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+      |)""".stripMargin
+
+  /** Link graph for the crawl operator (reference: Notion page graph,
+    * Notion_openai_vector_etl.py:480-596), derived from events:
+    * src = user_id, dst = floor(value) mod 150. Deterministic in both
+    * engines (exact double → bigint floor).
+    */
+  def edges(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select((col("user_id") % 150).as("src"),
+        (floor(col("value")).cast("long") % 150).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  val edgesSql: String =
+    """edges AS (
+      |  SELECT DISTINCT user_id % 150 AS src,
+      |         CAST(floor(value) AS BIGINT) % 150 AS dst
+      |  FROM events
+      |  WHERE user_id % 150 <> CAST(floor(value) AS BIGINT) % 150
+      |)""".stripMargin
+
+  /** Simulated manifest (reference manifest.json: files keyed by block
+    * id with last_edited_time + content hash, etl.py:189-215): docs with
+    * doc_id % 10 != 0 were "already processed".
+    */
+  def manifest(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("id"), md5(col("text")).as("content_hash"),
+        (lit(100L) + col("doc_id") % 50).as("last_edited"))
+
+  val manifestSql: String =
+    """manifest AS (
+      |  SELECT doc_id AS id, md5(text) AS content_hash,
+      |         100 + doc_id % 50 AS last_edited
+      |  FROM documents WHERE doc_id % 10 <> 0
+      |)""".stripMargin
+
+  /** Current crawl snapshot: every 7th doc has edited content, every
+    * 13th a touched timestamp only.
+    */
+  def currentSnapshot(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("edit"))))
+        .otherwise(md5(col("text"))).as("content_hash"),
+      when(col("doc_id") % 13 === 0, lit(999L))
+        .otherwise(lit(100L) + col("doc_id") % 50).as("last_edited"))
+
+  val currentSql: String =
+    """current AS (
+      |  SELECT doc_id AS id,
+      |         CASE WHEN doc_id % 7 = 0 THEN md5(text || 'edit')
+      |              ELSE md5(text) END AS content_hash,
+      |         CASE WHEN doc_id % 13 = 0 THEN 999
+      |              ELSE 100 + doc_id % 50 END AS last_edited
+      |  FROM documents
+      |)""".stripMargin
+}
