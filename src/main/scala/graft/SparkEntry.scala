@@ -8,12 +8,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship on sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on sf0.001: the reference's full incremental ETL shape
+    * (crawl snapshot → manifest delta → chunk → chunk ids).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1Agg(spark, "/root/testdata/sf0.001")
+    Etl.incrementalChunks(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. reference ETL surface
+    "q_crawl_bfs" -> (Crawl.crawlBfs _),
+    "q_discover" -> (Etl.discover _),
+    "q_manifest_delta" -> (Etl.manifestDelta _),
+    "q_content_hash" -> (Etl.contentHash _),
+    "q_chunk" -> (Etl.chunk _),
+    "q_chunk_ids" -> (Etl.chunkIds _),
+    "q_upsert_state" -> (Etl.upsertState _),
+    "q_safe_name" -> (Etl.safeName _),
+    "q_media_meta" -> (Etl.mediaMeta _),
     // B. analytics core
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_topn" -> (Analytics.q3TopN _),
@@ -27,6 +39,15 @@ object SparkEntry {
     * column aliases — the driver compare sorts columns by name).
     */
   def oracleSql: Map[String, String] = Map(
+    "q_crawl_bfs" -> Crawl.crawlBfsSql,
+    "q_discover" -> Etl.discoverSql,
+    "q_manifest_delta" -> Etl.manifestDeltaSql,
+    "q_content_hash" -> Etl.contentHashSql,
+    "q_chunk" -> Etl.chunkSql,
+    "q_chunk_ids" -> Etl.chunkIdsSql,
+    "q_upsert_state" -> Etl.upsertStateSql,
+    "q_safe_name" -> Etl.safeNameSql,
+    "q_media_meta" -> Etl.mediaMetaSql,
     "q1_agg" -> Analytics.q1AggSql,
     "q3_topn" -> Analytics.q3TopNSql,
     "q5_region" -> Analytics.q5RegionSql,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph crawl — the reference's recursive page traversal
+  * (NotionCrawler.crawl_page/crawl_blocks/crawl_database,
+  * Notion_openai_vector_etl.py:480-596) re-expressed as frontier BFS:
+  * the visited set and frontier are DataFrames, each hop is a join.
+  *
+  * Scale: each hop shuffles only the frontier (broadcast when small);
+  * visited accumulates via union + distinct on the node key. Frontier
+  * and visited are persisted per hop and the plan is cut via
+  * checkpoint-like materialization to stop lineage growth — at depth
+  * 20 on 100 TB of edges the alternative (one giant recursive plan)
+  * would not compile, let alone run.
+  */
+object Crawl {
+
+  /** Min-depth BFS from `roots` over `edges(src, dst)`.
+    *
+    * Each hop's frontier is `localCheckpoint`ed: materializes the hop
+    * (so the iterative plan doesn't grow without bound — on a real
+    * cluster use reliable `checkpoint` instead) and mints fresh
+    * attribute ids (so hop N+1's join with `edges` isn't an ambiguous
+    * self-join).
+    */
+  def bfs(edges: DataFrame, roots: DataFrame, maxDepth: Int): DataFrame = {
+    edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = roots.select(col("node"), lit(0L).as("depth")).localCheckpoint()
+    var frontier = visited
+    var depth = 0L
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(edges("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(depth).as("depth"))
+        .localCheckpoint()
+      if (!next.isEmpty) {
+        visited = visited.unionAll(next).localCheckpoint()
+      }
+      frontier = next
+    }
+    edges.unpersist()
+    visited
+  }
+
+  /** q_crawl_bfs — reachable set with first-visit depth from node 0. */
+  def crawlBfs(s: SparkSession, d: String): DataFrame =
+    bfs(Tables.edges(s, d),
+      s.range(1).select(lit(0L).as("node")), maxDepth = 20)
+      .orderBy(col("node"))
+
+  val crawlBfsSql: String =
+    s"""WITH RECURSIVE ${Tables.edgesSql},
+       |walk(node, depth) AS (
+       |  SELECT 0::BIGINT, 0::BIGINT
+       |  UNION
+       |  SELECT e.dst, w.depth + 1
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.depth < 20
+       |)
+       |SELECT node, min(depth) AS depth FROM walk
+       |GROUP BY node ORDER BY node""".stripMargin
+}
