@@ -33,6 +33,14 @@ object SparkEntry {
     "q_window_topk" -> (Analytics.windowTopK _),
     "q_events_hourly" -> (Analytics.eventsHourly _),
     "q_sessionize" -> (Analytics.sessionize _),
+    // C. LLM-training-data operators
+    "q_dedup_exact" -> (Dedup.exact _),
+    "q_dedup_minhash" -> (Dedup.minhash _),
+    "q_dedup_simhash" -> (Dedup.simhash _),
+    "q_dedup_ngram" -> (Dedup.ngramJaccard _),
+    "q_dedup_embed" -> (Ann.embedDedup _),
+    "q_ann_brute" -> (Ann.bruteForce _),
+    "q_ann_ivf" -> (Ann.ivf _),
   )
 
   /** DuckDB-runnable oracle SQL per queries key (same tables, same
@@ -54,5 +62,12 @@ object SparkEntry {
     "q_window_topk" -> Analytics.windowTopKSql,
     "q_events_hourly" -> Analytics.eventsHourlySql,
     "q_sessionize" -> Analytics.sessionizeSql,
+    "q_dedup_exact" -> Dedup.exactSql,
+    "q_dedup_minhash" -> Dedup.minhashSql,
+    "q_dedup_simhash" -> Dedup.simhashSql,
+    "q_dedup_ngram" -> Dedup.ngramJaccardSql,
+    "q_dedup_embed" -> Ann.embedDedupSql,
+    "q_ann_brute" -> Ann.bruteForceSql,
+    "q_ann_ivf" -> Ann.ivfSql,
   )
 }

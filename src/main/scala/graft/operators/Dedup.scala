@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextSim
+import graft.functions.TextSim._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication — exact and near-dup — over `docs_aug` (the
+  * corpus with deterministically injected duplicates, [[Tables.docsAug]]).
+  *
+  * Scale shape (the whole point): signatures are a per-row map over the
+  * scan; the only shuffles are on band/bucket keys; verification joins
+  * touch LSH candidates only, never all pairs. Skewed buckets (a viral
+  * duplicate cluster) would be salted with `pmod(hash(doc_id), s)`
+  * before the self-join.
+  */
+object Dedup {
+
+  /** q_dedup_exact — content-hash dedup, keep lowest doc_id per group,
+    * report the groups that actually had duplicates.
+    */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.docsAug(s, d)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col("doc_id"))).as("all_ids"))
+      .filter(col("n_copies") > 1)
+      .select(col("content_hash"), col("keep_id"), col("n_copies"),
+        concat_ws(",", transform(col("all_ids"), x => x.cast("string"))).as("all_ids"))
+      .orderBy(col("keep_id"))
+
+  val exactSql: String =
+    s"""WITH ${Tables.docsAugSql}
+       |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       |       count(*) AS n_copies,
+       |       string_agg(doc_id, ',' ORDER BY doc_id) AS all_ids
+       |FROM docs_aug
+       |GROUP BY content_hash
+       |HAVING count(*) > 1
+       |ORDER BY keep_id""".stripMargin
+
+  /** Shared SQL prelude: tokenized + shingled corpus. */
+  private val shingledSql: String =
+    s"""${Tables.docsAugSql},
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM docs_aug
+       |), shingled AS (
+       |  SELECT doc_id, ${shingles3Sql("t")} AS sh
+       |  FROM toks WHERE len(t) >= 3
+       |)""".stripMargin
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.docsAug(s, d)
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingles3(col("t")).as("sh"))
+
+  /** q_dedup_minhash — MinHash+LSH near-dup pairs.
+    * shingle → 64-hash signature (map) → 16 bands × 4 rows → bucket
+    * self-join (the one shuffle) → exact-Jaccard verify ≥ 0.8 on
+    * candidates only.
+    */
+  def minhash(s: SparkSession, d: String): DataFrame = {
+    val sig = shingled(s, d)
+      .select(col("doc_id"), col("sh"), minhashSig(col("sh")).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+        struct(b.as("band"), slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)).as("bsig"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sa = shingled(s, d).select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val sb = shingled(s, d).select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val minhashSql: String =
+    s"""WITH $shingledSql,
+       |sig AS (
+       |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig
+       |  FROM shingled
+       |), bands AS (
+       |  SELECT doc_id, b, sig[b*$RowsPerBand + 1 : b*$RowsPerBand + $RowsPerBand] AS bsig
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+       |)
+       |SELECT c.a_id, c.b_id,
+       |       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+       |             len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+       |FROM cand c
+       |JOIN shingled x ON x.doc_id = c.a_id
+       |JOIN shingled y ON y.doc_id = c.b_id
+       |WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+       |            len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q_dedup_simhash — 48-bit SimHash near-dup pairs, Hamming ≤ 3.
+    * 4 × 12-bit band blocking is exact for Hamming ≤ 3 (pigeonhole:
+    * 3 differing bits can dirty at most 3 of 4 bands).
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.docsAug(s, d)
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), simhash48(col("t")).as("sh"))
+    val bandCols = (0 until SimhashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), 12 * b).bitwiseAND(lit(4095L)).as("bval"))
+    }
+    val bands = sh.select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val simhashSql: String =
+    s"""WITH ${Tables.docsAugSql},
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM docs_aug
+       |), sims AS (
+       |  SELECT doc_id, ${simhash48Sql("t")} AS sh
+       |  FROM toks WHERE len(t) >= 1
+       |), bands AS (
+       |  SELECT doc_id, sh, b, (sh >> (12*b)) & 4095 AS bval
+       |  FROM sims CROSS JOIN (SELECT unnest(range(0, $SimhashBands)) AS b)
+       |)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q_dedup_ngram — exact n-gram Jaccard with inverted-index blocking:
+    * candidates = pairs sharing any *rare* shingle (doc-frequency ≤ 5).
+    * The posting-list self-join replaces the reference-era all-pairs
+    * scan; df-capping bounds bucket size (a stopword-like shingle never
+    * explodes the join).
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val postings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val rare = postings.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 5 && col("df") >= 2)
+    val rarePostings = postings.join(broadcast(rare), "shingle")
+      .select(col("shingle"), col("doc_id"))
+    val cand = rarePostings.as("a")
+      .join(rarePostings.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shingledSql,
+       |postings AS (
+       |  SELECT doc_id, unnest(sh) AS shingle FROM shingled
+       |), rare AS (
+       |  SELECT shingle FROM postings GROUP BY shingle
+       |  HAVING count(*) <= 5 AND count(*) >= 2
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM (SELECT p.* FROM postings p JOIN rare r ON r.shingle = p.shingle) a
+       |  JOIN (SELECT p.* FROM postings p JOIN rare r ON r.shingle = p.shingle) b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |)
+       |SELECT c.a_id, c.b_id,
+       |       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+       |             len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+       |FROM cand c
+       |JOIN shingled x ON x.doc_id = c.a_id
+       |JOIN shingled y ON y.doc_id = c.b_id
+       |WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+       |            len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+}
