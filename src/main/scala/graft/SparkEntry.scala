@@ -41,6 +41,10 @@ object SparkEntry {
     "q_dedup_embed" -> (Ann.embedDedup _),
     "q_ann_brute" -> (Ann.bruteForce _),
     "q_ann_ivf" -> (Ann.ivf _),
+    "q_lang_id" -> (TextAnalysis.langId _),
+    "q_quality" -> (TextAnalysis.quality _),
+    "q_tokens" -> (TextAnalysis.tokens _),
+    "q_fingerprint" -> (TextAnalysis.fingerprint _),
   )
 
   /** DuckDB-runnable oracle SQL per queries key (same tables, same
@@ -69,5 +73,9 @@ object SparkEntry {
     "q_dedup_embed" -> Ann.embedDedupSql,
     "q_ann_brute" -> Ann.bruteForceSql,
     "q_ann_ivf" -> Ann.ivfSql,
+    "q_lang_id" -> TextAnalysis.langIdSql,
+    "q_quality" -> TextAnalysis.qualitySql,
+    "q_tokens" -> TextAnalysis.tokensSql,
+    "q_fingerprint" -> TextAnalysis.fingerprintSql,
   )
 }

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextSim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` corpus: language ID, quality
+  * scoring, token counting, winnowing fingerprints.
+  *
+  * All four are pure per-row maps (higher-order-function expressions,
+  * no UDF, no shuffle) — at 100 TB they scale linearly with the scan
+  * and pipeline into whatever shuffle follows. Every arithmetic step is
+  * mirrored exactly in the DuckDB oracle (explicit casts + round-6).
+  *
+  * Reference: the GPT extraction stage is the reference's only "text
+  * understanding" step (Notion_openai_vector_etl.py:254-301); these
+  * operators are the corpus-curation layer a training-data pipeline
+  * adds on top.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the language-ID scorer. */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("a", "the", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "est", "que"),
+    "es" -> Seq("el", "los", "las", "y", "una", "es", "por"),
+  )
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+      .cast("long")
+
+  private def hitsSql(t: String, words: Seq[String]): String =
+    s"len(list_filter($t, x -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], x)))"
+
+  /** q_lang_id — stopword-profile language ID: per-language hit counts,
+    * argmax with fixed precedence, hit-ratio confidence.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+    val scored = toks.select(
+      Seq(col("doc_id"), size(col("t")).cast("long").as("tok_count")) ++
+        Profiles.map { case (l, ws) => hits(col("t"), ws).as(s"${l}_hits") }: _*)
+    scored.select(col("doc_id"), col("tok_count"),
+      col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits"),
+      when(greatest(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits")) === 0, "unknown")
+        .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+          col("en_hits") >= col("es_hits"), "en")
+        .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
+        .when(col("fr_hits") >= col("es_hits"), "fr")
+        .otherwise("es").as("pred_lang"),
+      round(col("en_hits").cast("double") / col("tok_count"), 6).as("en_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val h = Profiles.map { case (l, ws) => s"${hitsSql("t", ws)} AS ${l}_hits" }
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, len(t)::BIGINT AS tok_count, ${h.mkString(",\n         ")}
+       |  FROM toks WHERE len(t) >= 1
+       |)
+       |SELECT doc_id, tok_count, en_hits, de_hits, fr_hits, es_hits,
+       |       CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
+       |            WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |            WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |            WHEN fr_hits >= es_hits THEN 'fr'
+       |            ELSE 'es' END AS pred_lang,
+       |       round(en_hits::DOUBLE / tok_count, 6) AS en_ratio
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_quality — heuristic quality score: token count, mean word
+    * length, punctuation ratio, stopword ratio, bounded composite.
+    */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val en = Profiles.head._2
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("t")).cast("long").as("tok_count"),
+        aggregate(col("t"), lit(0L), (a, w) => a + length(w)).as("wlen_sum"),
+        hits(col("t"), en).as("stop_hits"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long").as("punct"))
+    base.select(col("doc_id"), col("n_chars"), col("tok_count"),
+      round(col("wlen_sum").cast("double") / col("tok_count"), 6).as("mean_wlen"),
+      round(col("punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+      round(col("stop_hits").cast("double") / col("tok_count"), 6).as("stop_ratio"),
+      round(
+        lit(0.3) * least(col("tok_count").cast("double") / 50.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("punct").cast("double") / col("n_chars")) +
+          lit(0.2) * (col("stop_hits").cast("double") / col("tok_count")) +
+          lit(0.2) * least(col("wlen_sum").cast("double") / col("tok_count") / 8.0, lit(1.0)),
+        6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySql: String = {
+    val stop = hitsSql("t", Profiles.head._2)
+    s"""WITH base AS (
+       |  SELECT doc_id, len(text)::BIGINT AS n_chars,
+       |         len(t)::BIGINT AS tok_count,
+       |         list_sum(list_transform(t, w -> len(w)))::BIGINT AS wlen_sum,
+       |         $stop::BIGINT AS stop_hits,
+       |         (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS punct
+       |  FROM (SELECT doc_id, text,
+       |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |        FROM documents)
+       |  WHERE len(t) >= 1
+       |)
+       |SELECT doc_id, n_chars, tok_count,
+       |       round(wlen_sum::DOUBLE / tok_count, 6) AS mean_wlen,
+       |       round(punct::DOUBLE / n_chars, 6) AS punct_ratio,
+       |       round(stop_hits::DOUBLE / tok_count, 6) AS stop_ratio,
+       |       round(0.3 * least(tok_count::DOUBLE / 50.0, 1.0)
+       |           + 0.3 * (1.0 - punct::DOUBLE / n_chars)
+       |           + 0.2 * (stop_hits::DOUBLE / tok_count)
+       |           + 0.2 * least(wlen_sum::DOUBLE / tok_count / 8.0, 1.0), 6) AS quality
+       |FROM base
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_tokens — token counting three ways: whitespace tokens, regex
+    * word/number/symbol tokens, and a BPE-ish subword estimate
+    * (ceil(len/4) pieces per word — long words split into 4-char units).
+    */
+  def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), TextSim.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+          .as("re_tokens"),
+        aggregate(col("t"), lit(0L), (a, w) =>
+          a + ceil(length(w).cast("double") / 4.0).cast("long")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokensSql: String =
+    s"""SELECT doc_id,
+       |       len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ws_tokens,
+       |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS re_tokens,
+       |       list_sum(list_transform(
+       |         list_filter(string_split(text, ' '), x -> x <> ''),
+       |         w -> ceil(len(w)::DOUBLE / 4.0)::BIGINT))::BIGINT AS bpe_tokens
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  val K = 8 // fingerprint char k-gram size
+  val W = 4 // winnowing window (in k-grams)
+
+  /** q_fingerprint — winnowing document fingerprint (Schleimer et al.,
+    * SIGMOD'03 "local algorithms for document fingerprinting"): char
+    * 8-gram hashes, min per 4-gram window, distinct mins per doc.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val kgramHash: Column => Column = g =>
+      conv(substring(md5(g), 1, 7), 16, 10).cast("long")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= K + W - 1)
+    docs
+      .withColumn("h", transform(
+        sequence(lit(1), length(col("text")) - (K - 1)),
+        i => kgramHash(col("text").substr(i, lit(K)))))
+      .withColumn("fps", array_distinct(transform(
+        sequence(lit(1), size(col("h")) - (W - 1)),
+        i => array_min(slice(col("h"), i, lit(W))))))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         [('0x' || substr(md5(substr(text, i, $K)), 1, 7))::BIGINT
+       |          for i in range(1, len(text) - ${K - 1} + 1)] AS h
+       |  FROM documents WHERE len(text) >= ${K + W - 1}
+       |), fp AS (
+       |  SELECT doc_id,
+       |         list_distinct([list_min(h[i : i + ${W - 1}])
+       |                        for i in range(1, len(h) - ${W - 1} + 1)]) AS fps
+       |  FROM h
+       |)
+       |SELECT doc_id, len(fps)::BIGINT AS n_fingerprints,
+       |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+       |FROM fp
+       |ORDER BY doc_id""".stripMargin
+}
