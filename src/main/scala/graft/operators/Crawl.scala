@@ -54,6 +54,18 @@ object Crawl {
       s.range(1).select(lit(0L).as("node")), maxDepth = 20)
       .orderBy(col("node"))
 
+  /** Page-limited crawl — the reference's MAX_PAGES guard
+    * (Notion_openai_vector_etl.py:600-655 config + crawl loop): BFS,
+    * then a deterministic trim to the `maxPages` first-visited nodes
+    * (by depth, then node id — the distributed analogue of the
+    * reference's insertion-order cutoff).
+    */
+  def crawlLimited(edges: DataFrame, roots: DataFrame, maxDepth: Int,
+    maxPages: Int): DataFrame =
+    bfs(edges, roots, maxDepth)
+      .orderBy(col("depth"), col("node"))
+      .limit(maxPages)
+
   val crawlBfsSql: String =
     s"""WITH RECURSIVE ${Tables.edgesSql},
        |walk(node, depth) AS (

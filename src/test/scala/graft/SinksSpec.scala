@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Crawl, Etl, IncrementalRunner}
+import graft.sources.{MediaExtract, VectorStoreWriter}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinksSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("vector store upsert replaces only delta partitions") {
+    val dir = Files.createTempDirectory("vstore").toString + "/store"
+    val init = Seq((1L, "v1", "a"), (2L, "v1", "b"), (3L, "v1", "c"))
+      .toDF("src_id", "vec", "payload")
+    VectorStoreWriter.init(init, dir)
+    val delta = Seq((2L, "v2", "b2"), (4L, "v1", "d")).toDF("src_id", "vec", "payload")
+    VectorStoreWriter.upsert(delta, dir)
+    val got = VectorStoreWriter.read(spark, dir)
+      .select("src_id", "vec").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "v1"), (2L, "v2"), (3L, "v1"), (4L, "v1")))
+  }
+
+  test("incremental runner: init + run + idempotent rerun") {
+    val dir = Files.createTempDirectory("vstore").toString + "/store"
+    IncrementalRunner.initStore(spark, sf, dir)
+    val initState = VectorStoreWriter.read(spark, dir)
+      .select("chunk_id").as[String].collect().toSet
+
+    val after1 = IncrementalRunner.run(spark, sf, dir)
+      .select("chunk_id", "src_id").as[(String, Long)].collect().toSet
+    val after2 = IncrementalRunner.run(spark, sf, dir)
+      .select("chunk_id", "src_id").as[(String, Long)].collect().toSet
+    assert(after1 == after2, "rerun must be idempotent")
+
+    // unchanged sources keep their original chunk ids
+    val deltaIds = Etl.manifestDelta(spark, sf).filter(col("needs_vector"))
+      .select("id").as[Long].collect().toSet
+    val untouched = after1.filter { case (_, src) => !deltaIds.contains(src) }
+    assert(untouched.map(_._1).subsetOf(initState))
+    // changed/new sources present with rewritten vectors
+    assert(after1.exists { case (_, src) => deltaIds.contains(src) })
+  }
+
+  test("media extract batches partitions and stubs deterministically") {
+    val ds = MediaExtract.fromDocuments(spark, sf).repartition(2)
+    val out = MediaExtract.extract(ds).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    assert(out.forall(_.batch_size <= MediaExtract.BatchSize))
+    assert(out.forall(r => r.text.startsWith(s"[extracted ${r.kind} ${r.n_bytes}B ")))
+    // deterministic: same input -> same extraction
+    val again = MediaExtract.extract(ds).collect()
+    assert(out.map(r => r.doc_id -> r.text).toMap ==
+      again.map(r => r.doc_id -> r.text).toMap)
+  }
+
+  test("page-limited crawl trims by (depth, node)") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 4L), (3L, 5L))
+      .toDF("src", "dst")
+    val roots = Seq(0L).toDF("node")
+    val got = Crawl.crawlLimited(edges, roots, 10, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+}
