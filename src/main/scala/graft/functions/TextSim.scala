@@ -54,28 +54,39 @@ object TextSim {
   def hashPairSql(s: String): String =
     s"{'h1': ('0x' || substr(md5($s), 1, 7))::BIGINT, 'h2': ('0x' || substr(md5($s), 8, 7))::BIGINT}"
 
-  /** 64-element MinHash signature of a shingle array. */
-  def minhashSig(shingleArr: Column): Column = {
-    val pairs = transform(shingleArr, s => hashPair(s))
+  /** One (h1, h2) struct per array element — md5 evaluated ONCE per
+    * element. Always materialize this as its own projection before
+    * feeding [[minhashSigFromPairs]]/[[simhash48FromPairs]]: inlining
+    * it into their per-k lambdas would re-md5 every element k times
+    * (64×/48× — measured 40× slower at sf0.1).
+    */
+  def hashPairs(arr: Column): Column = transform(arr, s => hashPair(s))
+
+  /** 64-element MinHash signature from a precomputed pair array. */
+  def minhashSigFromPairs(pairs: Column): Column =
     transform(sequence(lit(0), lit(MinhashK - 1)), k =>
       array_min(transform(pairs, p => (p("h1") + k * p("h2")) % P)))
-  }
+
+  /** 64-element MinHash signature of a shingle array. */
+  def minhashSig(shingleArr: Column): Column =
+    minhashSigFromPairs(hashPairs(shingleArr))
 
   def minhashSigSql(shingleList: String): String =
     s"""[ list_min(list_transform(list_transform($shingleList, s -> ${hashPairSql("s")}),
        |      p -> (p.h1 + k * p.h2) % $P)) for k in range(0, $MinhashK) ]""".stripMargin
 
-  /** 48-bit SimHash over a token array (multiset — repeated tokens
-    * weigh more, like classic simhash term frequency).
+  /** 48-bit SimHash from a precomputed pair array (multiset — repeated
+    * tokens weigh more, like classic simhash term frequency).
     */
-  def simhash48(toks: Column): Column = {
-    val pairs = transform(toks, t => hashPair(t))
+  def simhash48FromPairs(pairs: Column): Column =
     aggregate(sequence(lit(0), lit(SimhashBits - 1)), lit(0L), (acc, k) => {
       val bitSum = aggregate(pairs, lit(0L), (a, p) =>
         a + (((p("h1") + k * p("h2")) % P).bitwiseAND(lit(1L)) * 2 - 1))
       acc + when(bitSum > 0, pow(lit(2.0), k).cast("long")).otherwise(lit(0L))
     })
-  }
+
+  /** 48-bit SimHash over a token array. */
+  def simhash48(toks: Column): Column = simhash48FromPairs(hashPairs(toks))
 
   def simhash48Sql(tokList: String): String =
     s"""list_sum([ CASE WHEN list_sum(list_transform(

