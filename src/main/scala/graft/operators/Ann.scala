@@ -30,15 +30,16 @@ object Ann {
   // holding LSH recall ~73% for true cos≥0.95 near-dups — and exact
   // duplicates agree on every bit, so blocking never loses them
 
-  /** Double-precision dot product of two float-array columns.
-    * zip_with+aggregate beats a 128-term unrolled GetArrayItem sum
-    * (measured 3× at sf0.1): the lambda walks each array once with two
-    * bound iterators, while the unrolled form pays per-element null/
-    * bounds checks and blows up the generated stage.
+  /** Double-precision dot product of two float-array columns — the
+    * native codegen'd [[graft.functions.VecDot]] expression.
+    * Bit-identical fold order to the equivalent
+    * `aggregate(zip_with(...))` lambda (and to the DuckDB oracle's
+    * list_sum), but keeps the stage in whole-stage codegen; a 128-term
+    * unrolled GetArrayItem sum was also tried and measured 3× slower
+    * than the lambda, while VecDot's primitive loop is the fastest of
+    * the three.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, v) => s + v)
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
