@@ -8,10 +8,6 @@ class VecDotSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
-  private def hofDot = (a: String, b: String) =>
-    aggregate(zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, v) => s + v)
-
   test("VecDot is bit-identical to the zip_with+aggregate lambda on real vectors") {
     val e = Tables.embeddings(spark, sf).limit(200)
     val both = e.crossJoin(e.select(col("embedding").as("e2")).limit(5))
@@ -36,6 +32,14 @@ class VecDotSpec extends AnyFunSuite {
     assert(got(0).getDouble(0) == 11.0)
     assert(got(1).isNullAt(0))
     assert(got(2).getDouble(0) == 0.0)
+  }
+
+  test("vec_dot is SQL-callable via GraftExtensions") {
+    val got = spark.sql(
+      """SELECT vec_dot(cast(array(1.0, 2.0, 3.0) as array<float>),
+        |               cast(array(4.0, 5.0, 6.0) as array<float>)) AS d""".stripMargin)
+      .as[Double].head()
+    assert(got == 32.0)
   }
 
   test("VecDot keeps the stage in whole-stage codegen") {
