@@ -11,6 +11,10 @@ object SparkTestSession {
       .master("local[4]")
       .appName("graft-test")
       .withExtensions(new GraftExtensions)
+      // fresh warehouse per run: saveAsTable tests must not trip over
+      // a stale location left by a killed JVM
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
