@@ -177,6 +177,42 @@ object Ann {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** IVF with a TRAINED coarse quantizer ([[KMeansVec]] Lloyd rounds)
+    * instead of [[ivf]]'s modulo-sampled centroids — the production
+    * 100 TB path: train on a sample, broadcast k centroids, one
+    * assignment pass, probe nprobe lists per query. Not SQL-oracled
+    * (iterative k-means has no tractable DuckDB mirror); verified by
+    * recall-vs-brute-force in `AnnSpec`.
+    */
+  def ivfTrained(s: SparkSession, d: String, k: Int = 16,
+    iters: Int = 3): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cents = KMeansVec.fit(Tables.embeddings(s, d), k, iters)
+    val assigned = KMeansVec.assign(e, cents)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        cosine(col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("c_rank", row_number().over(wp))
+      .filter(col("c_rank") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = probes.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic ±1 hyperplane matrix, LCG-derived once at plan-build
     * time. Both engines consume the same precomputed signs (Spark as
     * flat codegen-able ±element sums, DuckDB as a literal matrix) —

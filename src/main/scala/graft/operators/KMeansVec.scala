@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over an `embedding: array<float>`
+  * column — trains the coarse quantizer for [[Ann.ivfTrained]]
+  * (replacing the fixed modulo-sampled centroids of [[Ann.ivf]]).
+  *
+  * Iteration shape at scale: assignment is a broadcast of k centroids
+  * against one pass over the vectors (no shuffle of the big side);
+  * the re-centering groupBy shuffles (cent_id, dim) pairs — k·dim
+  * groups, partial-aggregated map-side. Each round's centroids are
+  * `localCheckpoint`ed: k rows, cuts the iterative lineage exactly
+  * like [[Crawl.bfs]] does for its frontier.
+  *
+  * Determinism: init = the k lowest vec_ids; ties in assignment break
+  * on lowest cent_id; means are exact double sums in dim order.
+  */
+object KMeansVec {
+
+  /** Cosine-based assignment of each vector to its nearest centroid. */
+  def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        Ann.cosine(col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") === 1)
+      .select(col("cent_id"), col("vec_id"), col("embedding"), col("nrm"))
+  }
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", Ann.norm(col("embedding")))
+
+  /** `iters` Lloyd rounds from a deterministic init; returns
+    * (cent_id, c_emb, c_nrm).
+    */
+  def fit(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = withNorm(vectors.select(col("vec_id"), col("embedding")))
+      .persist()
+    val wInit = Window.orderBy(col("vec_id"))
+    var cents = e.orderBy(col("vec_id")).limit(k)
+      .select(row_number().over(wInit).cast("long").as("cent_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val centered = assign(e, cents)
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s("m").cast("float")).as("c_emb"))
+      cents = withNorm(centered.withColumnRenamed("c_emb", "embedding"))
+        .select(col("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    cents
+  }
+}
