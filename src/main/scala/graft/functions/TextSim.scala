@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object TextSim {
 
+  /** Deterministic 6-dp rounding: `floor(x·1e6 + 0.5)/1e6` evaluated
+    * in IEEE double — bit-identical across engines BY CONSTRUCTION,
+    * unlike `round(x, 6)` whose half-way handling differs between
+    * Spark (BigDecimal HALF_UP on the decimal form) and DuckDB
+    * (double-arithmetic rounding): ratios of small integers land on
+    * exact binary halves (e.g. 231.7/320 = 0.7240625) and the two
+    * `round`s disagree on the 6th digit.
+    */
+  def r6(c: Column): Column = floor(c * 1e6 + lit(0.5)) / 1e6
+
+  def r6Sql(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+
   /** Modulus for the double-hashing family (prime, < 2^29). */
   val P: Long = 536870909L
   val MinhashK = 64

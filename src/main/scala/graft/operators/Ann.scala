@@ -43,15 +43,18 @@ object Ann {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** round-6 cosine — the only form ever compared or ranked on. */
+  /** round-6 cosine — the only form ever compared or ranked on.
+    * Deterministic floor-based rounding ([[TextSim.r6]]) so both
+    * engines agree even on exact half-way values.
+    */
   def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
-    round(dot(a, b) / (na * nb), 6)
+    graft.functions.TextSim.r6(dot(a, b) / (na * nb))
 
   def dotSql(a: String, b: String): String =
     s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, ${Dim + 1})])"
 
   def cosineSql(a: String, na: String, b: String, nb: String): String =
-    s"round(${dotSql(a, b)} / ($na * $nb), 6)"
+    graft.functions.TextSim.r6Sql(s"${dotSql(a, b)} / ($na * $nb)")
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", norm(col("embedding")))

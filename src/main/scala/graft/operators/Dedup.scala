@@ -91,8 +91,8 @@ object Dedup {
     val sb = sig.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
     cand.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        TextSim.r6(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -111,13 +111,11 @@ object Dedup {
        |    ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
        |)
        |SELECT c.a_id, c.b_id,
-       |       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
-       |             len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+       |       ${TextSim.r6Sql("len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))")} AS jaccard
        |FROM cand c
        |JOIN shingled x ON x.doc_id = c.a_id
        |JOIN shingled y ON y.doc_id = c.b_id
-       |WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
-       |            len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.8
+       |WHERE ${TextSim.r6Sql("len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))")} >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
   /** q_dedup_simhash — 48-bit SimHash near-dup pairs, Hamming ≤ 3.
@@ -194,8 +192,8 @@ object Dedup {
     val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
     cand.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        TextSim.r6(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -214,12 +212,10 @@ object Dedup {
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |)
        |SELECT c.a_id, c.b_id,
-       |       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
-       |             len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+       |       ${TextSim.r6Sql("len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))")} AS jaccard
        |FROM cand c
        |JOIN shingled x ON x.doc_id = c.a_id
        |JOIN shingled y ON y.doc_id = c.b_id
-       |WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
-       |            len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.5
+       |WHERE ${TextSim.r6Sql("len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))")} >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
 }

@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalRunner {
 
+  /** Run configuration — the reference's env knobs
+    * (Notion_openai_vector_etl.py:600-655: MAX_PAGES, MAX_FILES,
+    * PAGE_ID_FILTER, DRY_RUN) as a typed config. Limits are
+    * deterministic (lowest ids win) and applied as pushed-down
+    * filters/limits, not driver-side loops; dry-run builds the full
+    * plan and skips only the sink action.
+    */
+  case class Config(
+    maxSources: Option[Int] = None,
+    sourceFilter: Option[org.apache.spark.sql.Column] = None,
+    dryRun: Boolean = false)
+
   /** Chunk-level vector rows for the store, derived from a set of
     * (id, content_hash) sources.
     */
@@ -45,11 +57,25 @@ object IncrementalRunner {
     * Returns the post-run store. Idempotent — rerunning with the same
     * snapshot rewrites the same partitions identically.
     */
-  def run(s: SparkSession, d: String, path: String): DataFrame = {
-    val delta = Etl.manifestDelta(s, d)
+  def run(s: SparkSession, d: String, path: String): DataFrame =
+    run(s, d, path, Config())
+
+  /** Configured run. `dryRun` returns the rows that WOULD be upserted
+    * (full plan, no sink action — the reference's dry-run prints what
+    * it would upload); limits/filters prune the delta before any
+    * chunking happens, so a capped run does capped work.
+    */
+  def run(s: SparkSession, d: String, path: String, cfg: Config): DataFrame = {
+    var delta = Etl.manifestDelta(s, d)
       .filter(col("needs_vector"))
       .select(col("id"), col("content_hash"))
-    VectorStoreWriter.upsert(vectorRows(s, d, delta), path)
-    VectorStoreWriter.read(s, path)
+    cfg.sourceFilter.foreach(p => delta = delta.filter(p))
+    cfg.maxSources.foreach(n => delta = delta.orderBy(col("id")).limit(n))
+    val rows = vectorRows(s, d, delta)
+    if (cfg.dryRun) rows
+    else {
+      VectorStoreWriter.upsert(rows, path)
+      VectorStoreWriter.read(s, path)
+    }
   }
 }

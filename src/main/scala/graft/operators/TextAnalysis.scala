@@ -53,7 +53,7 @@ object TextAnalysis {
         .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
         .when(col("fr_hits") >= col("es_hits"), "fr")
         .otherwise("es").as("pred_lang"),
-      round(col("en_hits").cast("double") / col("tok_count"), 6).as("en_ratio"))
+      TextSim.r6(col("en_hits").cast("double") / col("tok_count")).as("en_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -72,7 +72,7 @@ object TextAnalysis {
        |            WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
        |            WHEN fr_hits >= es_hits THEN 'fr'
        |            ELSE 'es' END AS pred_lang,
-       |       round(en_hits::DOUBLE / tok_count, 6) AS en_ratio
+       |       ${TextSim.r6Sql("en_hits::DOUBLE / tok_count")} AS en_ratio
        |FROM scored
        |ORDER BY doc_id""".stripMargin
   }
@@ -93,15 +93,15 @@ object TextAnalysis {
         (length(col("text")) -
           length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long").as("punct"))
     base.select(col("doc_id"), col("n_chars"), col("tok_count"),
-      round(col("wlen_sum").cast("double") / col("tok_count"), 6).as("mean_wlen"),
-      round(col("punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
-      round(col("stop_hits").cast("double") / col("tok_count"), 6).as("stop_ratio"),
-      round(
+      TextSim.r6(col("wlen_sum").cast("double") / col("tok_count")).as("mean_wlen"),
+      TextSim.r6(col("punct").cast("double") / col("n_chars")).as("punct_ratio"),
+      TextSim.r6(col("stop_hits").cast("double") / col("tok_count")).as("stop_ratio"),
+      TextSim.r6(
         lit(0.3) * least(col("tok_count").cast("double") / 50.0, lit(1.0)) +
           lit(0.3) * (lit(1.0) - col("punct").cast("double") / col("n_chars")) +
           lit(0.2) * (col("stop_hits").cast("double") / col("tok_count")) +
-          lit(0.2) * least(col("wlen_sum").cast("double") / col("tok_count") / 8.0, lit(1.0)),
-        6).as("quality"))
+          lit(0.2) * least(col("wlen_sum").cast("double") / col("tok_count") / 8.0, lit(1.0))
+      ).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -119,13 +119,14 @@ object TextAnalysis {
        |  WHERE len(t) >= 1
        |)
        |SELECT doc_id, n_chars, tok_count,
-       |       round(wlen_sum::DOUBLE / tok_count, 6) AS mean_wlen,
-       |       round(punct::DOUBLE / n_chars, 6) AS punct_ratio,
-       |       round(stop_hits::DOUBLE / tok_count, 6) AS stop_ratio,
-       |       round(0.3 * least(tok_count::DOUBLE / 50.0, 1.0)
-       |           + 0.3 * (1.0 - punct::DOUBLE / n_chars)
-       |           + 0.2 * (stop_hits::DOUBLE / tok_count)
-       |           + 0.2 * least(wlen_sum::DOUBLE / tok_count / 8.0, 1.0), 6) AS quality
+       |       ${TextSim.r6Sql("wlen_sum::DOUBLE / tok_count")} AS mean_wlen,
+       |       ${TextSim.r6Sql("punct::DOUBLE / n_chars")} AS punct_ratio,
+       |       ${TextSim.r6Sql("stop_hits::DOUBLE / tok_count")} AS stop_ratio,
+       |       ${TextSim.r6Sql(
+          """0.3 * least(tok_count::DOUBLE / 50.0, 1.0)
+            |           + 0.3 * (1.0 - punct::DOUBLE / n_chars)
+            |           + 0.2 * (stop_hits::DOUBLE / tok_count)
+            |           + 0.2 * least(wlen_sum::DOUBLE / tok_count / 8.0, 1.0)""".stripMargin)} AS quality
        |FROM base
        |ORDER BY doc_id""".stripMargin
   }

@@ -44,6 +44,25 @@ class SinksSpec extends AnyFunSuite {
     assert(after1.exists { case (_, src) => deltaIds.contains(src) })
   }
 
+  test("configured run: dry-run plans without writing, limits cap the delta") {
+    val dir = Files.createTempDirectory("vstore").toString + "/store"
+    IncrementalRunner.initStore(spark, sf, dir)
+    val before = VectorStoreWriter.read(spark, dir).count()
+
+    val planned = IncrementalRunner.run(spark, sf, dir,
+      IncrementalRunner.Config(dryRun = true))
+    assert(planned.count() > 0)
+    assert(VectorStoreWriter.read(spark, dir).count() == before,
+      "dry run must not touch the store")
+
+    val capped = IncrementalRunner.run(spark, sf, dir,
+      IncrementalRunner.Config(maxSources = Some(3),
+        sourceFilter = Some(col("id") % 2 === 0), dryRun = true))
+    val srcs = capped.select("src_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(srcs.length <= 3 && srcs.forall(_ % 2 == 0))
+  }
+
   test("media extract batches partitions and stubs deterministically") {
     val ds = MediaExtract.fromDocuments(spark, sf).repartition(2)
     val out = MediaExtract.extract(ds).collect()
