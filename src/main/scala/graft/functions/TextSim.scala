@@ -31,6 +31,14 @@ object TextSim {
 
   def r6Sql(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
 
+  /** 4-dp variant for money-like aggregates (sum_charge etc. are
+    * 6-dp-exact in decimal, so their 4-dp rounding hits half-way
+    * boundaries where Spark's and DuckDB's `round` disagree).
+    */
+  def r4(c: Column): Column = floor(c * 1e4 + lit(0.5)) / 1e4
+
+  def r4Sql(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
   /** Modulus for the double-hashing family (prime, < 2^29). */
   val P: Long = 536870909L
   val MinhashK = 64

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.TextSim
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,25 +24,25 @@ object Analytics {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        TextSim.r4(sum(col("l_quantity"))).as("sum_qty"),
+        TextSim.r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+        TextSim.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        TextSim.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        TextSim.r6(avg(col("l_quantity"))).as("avg_qty"),
+        TextSim.r6(avg(col("l_extendedprice"))).as("avg_price"),
+        TextSim.r6(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 4) AS sum_qty,
-      |       round(sum(l_extendedprice), 4) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-      |       round(avg(l_quantity), 6) AS avg_qty,
-      |       round(avg(l_extendedprice), 6) AS avg_price,
-      |       round(avg(l_discount), 6) AS avg_disc,
+      |       floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |       floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
+      |       floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
+      |       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
+      |       floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+      |       floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+      |       floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -59,7 +60,7 @@ object Analytics {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .agg(TextSim.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
@@ -69,7 +70,7 @@ object Analytics {
 
   val q3TopNSql: String =
     """SELECT l_orderkey,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |       floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS revenue,
       |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
       |       o_orderpriority
       |FROM customer, orders, lineitem
@@ -102,13 +103,13 @@ object Analytics {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .agg(TextSim.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5RegionSql: String =
     """SELECT n_name,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |       floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -130,14 +131,14 @@ object Analytics {
       .withColumn("rank_in_brand", row_number().over(w))
       .filter(col("rank_in_brand") <= 3)
       .select(col("p_brand"), col("rank_in_brand"), col("p_partkey"),
-        col("p_name"), round(col("p_retailprice"), 4).as("p_retailprice"))
+        col("p_name"), TextSim.r4(col("p_retailprice")).as("p_retailprice"))
       .orderBy(col("p_brand"), col("rank_in_brand"))
   }
 
   val windowTopKSql: String =
     """SELECT p_brand, rank_in_brand, p_partkey, p_name, p_retailprice
       |FROM (
-      |  SELECT p_brand, p_partkey, p_name, round(p_retailprice, 4) AS p_retailprice,
+      |  SELECT p_brand, p_partkey, p_name, floor((p_retailprice) * 10000.0 + 0.5) / 10000.0 AS p_retailprice,
       |         row_number() OVER (PARTITION BY p_brand
       |                            ORDER BY p_retailprice DESC, p_partkey) AS rank_in_brand
       |  FROM part)
@@ -153,7 +154,7 @@ object Analytics {
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"),
+        TextSim.r4(sum(col("value"))).as("sum_value"),
         count_distinct(col("user_id")).as("n_users"))
       .orderBy(col("hour"), col("event_type"))
 
@@ -161,7 +162,7 @@ object Analytics {
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
       |       event_type,
       |       count(*) AS n_events,
-      |       round(sum(value), 4) AS sum_value,
+      |       floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
       |       count(DISTINCT user_id) AS n_users
       |FROM events
       |GROUP BY 1, 2
@@ -183,7 +184,7 @@ object Analytics {
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"),
+        TextSim.r4(sum(col("value"))).as("sum_value"),
         min(col("event_id")).as("first_event"),
         max(col("event_id")).as("last_event"))
       .orderBy(col("user_id"), col("session_seq"))
@@ -204,7 +205,7 @@ object Analytics {
       |  FROM marked
       |)
       |SELECT user_id, session_seq, count(*) AS n_events,
-      |       round(sum(value), 4) AS sum_value,
+      |       floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
       |       min(event_id) AS first_event, max(event_id) AS last_event
       |FROM sessions
       |GROUP BY user_id, session_seq
