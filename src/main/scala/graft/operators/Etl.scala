@@ -44,6 +44,42 @@ object Etl {
     folded
   }
 
+  /** Typed rows for the linear chunker. */
+  case class DocText(doc_id: Long, text: String)
+  case class ChunkRow(doc_id: Long, chunk_index: Long, chunk_text: String)
+
+  /** Linear-time chunker for long documents — same greedy semantics as
+    * [[chunkTokens]] (equivalence-tested), as a typed `mapPartitions`.
+    *
+    * Why both exist: the HOF fold is pure-expression (oracle-mirrorable,
+    * no serialization), but closing a chunk copies the accumulated
+    * chunks array — O(chunks²) per document. Fine at chat-page size;
+    * wrong for megabyte documents at 100 TB. This version streams each
+    * document once with a StringBuilder: O(len), constant memory beyond
+    * the current chunk.
+    */
+  def chunkLinear(ds: org.apache.spark.sql.Dataset[DocText],
+    maxLen: Int): org.apache.spark.sql.Dataset[ChunkRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ChunkRow]
+    ds.mapPartitions(_.flatMap { d =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[ChunkRow]
+      val sb = new StringBuilder
+      var len = 0
+      var idx = 0L
+      d.text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+        if (len + w.length > maxLen && len > 0) {
+          out += ChunkRow(d.doc_id, idx, sb.toString)
+          idx += 1; sb.clear(); len = 0
+        }
+        if (len > 0) sb.append(' ')
+        sb.append(w)
+        len += w.length
+      }
+      if (len > 0) out += ChunkRow(d.doc_id, idx, sb.toString)
+      out
+    })
+  }
+
   /** Shared recursive-CTE mirror of [[chunkTokens]] for the DuckDB
     * oracle: assigns each word a chunk_idx with identical greedy
     * semantics, then reassembles chunks with string_agg.

@@ -60,6 +60,22 @@ class EtlSpec extends AnyFunSuite {
     assert(got(2) == Seq.empty)
   }
 
+  test("linear chunker matches the expression chunker on the corpus") {
+    import spark.implicits._
+    val viaExpr = Etl.chunk(spark, sf)
+      .select("doc_id", "chunk_index", "chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+    val viaLinear = Etl.chunkLinear(
+      Tables.documents(spark, sf).select("doc_id", "text").as[Etl.DocText],
+      Etl.ChunkLen)
+      .collect().map(c => (c.doc_id, c.chunk_index, c.chunk_text)).toSet
+    assert(viaExpr == viaLinear)
+    // oversized-word edge: a word longer than maxLen sits alone
+    val edge = Etl.chunkLinear(Seq(Etl.DocText(1L, "tiny superlongword x")).toDS(), 4)
+      .collect().sortBy(_.chunk_index).map(_.chunk_text).toSeq
+    assert(edge == Seq("tiny", "superlongword", "x"))
+  }
+
   test("manifest delta classifies new/changed/unchanged") {
     val byStatus = Etl.manifestDelta(spark, sf)
       .groupBy("status").count().collect()
