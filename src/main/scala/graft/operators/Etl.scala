@@ -225,6 +225,46 @@ object Etl {
       |       CASE WHEN display_name = '' THEN 'file' ELSE display_name END AS safe_filename
       |FROM named ORDER BY doc_id""".stripMargin
 
+  /** q_normalize_id — id/URI normalization (reference
+    * normalize_notion_id, extract_id_from_notion_url, s3_split,
+    * etl.py:72-99, 110-115): dash a 32-hex id into UUID form, pull the
+    * trailing 32-hex id out of a share URL, split an s3:// URI into
+    * bucket and key. Pure string expressions, codegen'd, no shuffle.
+    */
+  def normalizeId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("raw_id"),
+        concat(lit("https://www.notion.so/Workspace-Page-"), md5(col("text"))).as("url"),
+        concat(lit("s3://bucket-"), col("doc_id") % 5, lit("/prefix/"),
+          col("doc_id"), lit("/data.jsonl")).as("s3_uri"))
+      .select(col("doc_id"),
+        concat_ws("-",
+          substring(col("raw_id"), 1, 8), substring(col("raw_id"), 9, 4),
+          substring(col("raw_id"), 13, 4), substring(col("raw_id"), 17, 4),
+          substring(col("raw_id"), 21, 12)).as("dashed_id"),
+        regexp_extract(col("url"), "([0-9a-f]{32})$", 1).as("url_id"),
+        substring_index(substring_index(col("s3_uri"), "s3://", -1), "/", 1).as("s3_bucket"),
+        regexp_extract(col("s3_uri"), "^s3://[^/]+/(.*)$", 1).as("s3_key"))
+      .orderBy(col("doc_id"))
+
+  val normalizeIdSql: String =
+    """WITH src AS (
+      |  SELECT doc_id, md5(text) AS raw_id,
+      |         'https://www.notion.so/Workspace-Page-' || md5(text) AS url,
+      |         's3://bucket-' || (doc_id % 5) || '/prefix/' || doc_id ||
+      |           '/data.jsonl' AS s3_uri
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       substr(raw_id, 1, 8) || '-' || substr(raw_id, 9, 4) || '-' ||
+      |         substr(raw_id, 13, 4) || '-' || substr(raw_id, 17, 4) || '-' ||
+      |         substr(raw_id, 21, 12) AS dashed_id,
+      |       regexp_extract(url, '([0-9a-f]{32})$', 1) AS url_id,
+      |       split_part(split_part(s3_uri, 's3://', 2), '/', 1) AS s3_bucket,
+      |       regexp_extract(s3_uri, '^s3://[^/]+/(.*)$', 1) AS s3_key
+      |FROM src
+      |ORDER BY doc_id""".stripMargin
+
   /** q_manifest_delta — incremental classification (reference
     * process_source cache check, etl.py:691-706): a source is
     * 'unchanged' only when the manifest has it with equal
