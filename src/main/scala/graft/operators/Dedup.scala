@@ -74,7 +74,8 @@ object Dedup {
     val paired = shingled(s, d)
       .withColumn("pairs", hashPairs(col("sh"))).persist()
     val sig = paired
-      .select(col("doc_id"), col("sh"), minhashSigFromPairs(col("pairs")).as("sig"))
+      .select(col("doc_id"), col("sh"),
+        graft.functions.SigExprs.minhashSig(col("pairs")).as("sig"))
       .persist()
     val bands = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
@@ -130,7 +131,8 @@ object Dedup {
       .filter(size(col("t")) >= 1)
       .withColumn("pairs", hashPairs(col("t"))).persist()
     val sh = paired
-      .select(col("doc_id"), simhash48FromPairs(col("pairs")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.SigExprs.simhash48(col("pairs")).as("sh"))
       .persist()
     val bandCols = (0 until SimhashBands).map { b =>
       struct(lit(b).as("band"),

@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.{SigExprs, TextSim}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SigExprsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def paired = Tables.documents(spark, sf)
+    .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+    .filter(size(col("t")) >= 3)
+    .select(col("doc_id"), TextSim.shingles3(col("t")).as("sh"))
+    .withColumn("pairs", TextSim.hashPairs(col("sh")))
+    .persist()
+
+  test("native minhash signature equals the HOF form on the corpus") {
+    val both = paired.select(
+      SigExprs.minhashSig(col("pairs")).as("native"),
+      TextSim.minhashSigFromPairs(col("pairs")).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("native simhash48 equals the HOF form on the corpus") {
+    val both = paired.select(
+      SigExprs.simhash48(col("pairs")).as("native"),
+      TextSim.simhash48FromPairs(col("pairs")).as("hof"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("native signatures survive whole-stage codegen") {
+    val plan = paired.select(SigExprs.simhash48(col("pairs")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen:\n$plan")
+  }
+}
