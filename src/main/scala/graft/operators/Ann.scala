@@ -235,15 +235,7 @@ object Ann {
   def embedDedup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embAug(s, d)
       .withColumn("nrm", norm(col("embedding")))
-    // per-plane projection as a flat ± sum: ArrayGet/Add/Negate are all
-    // whole-stage-codegen'd, unlike a higher-order aggregate lambda
-    val bits = array(Coefs.map { row =>
-      val proj = row.zipWithIndex.map { case (c, i) =>
-        val e = element_at(col("embedding"), i + 1).cast("double")
-        if (c > 0) e else -e
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L))
-    }.toIndexedSeq: _*)
+    val bits = graft.functions.HyperplaneBits(col("embedding"), Coefs)
     // Barrier: without it project-collapse inlines the 12-plane × 64-dim
     // projection into every band's element_at (12× recompute) and the
     // band self-join doubles it again.

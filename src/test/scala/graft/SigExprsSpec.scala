@@ -33,6 +33,24 @@ class SigExprsSpec extends AnyFunSuite {
     both.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("native hyperplane bits equal the unrolled sum form on real vectors") {
+    import graft.operators.Ann
+    val e = Tables.embeddings(spark, sf)
+    val unrolled = array(Ann.Coefs.map { row =>
+      val proj = row.zipWithIndex.map { case (c, i) =>
+        val x = element_at(col("embedding"), i + 1).cast("double")
+        if (c > 0) x else -x
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    }.toIndexedSeq: _*)
+    val both = e.select(
+      graft.functions.HyperplaneBits(col("embedding"), Ann.Coefs).as("native"),
+      unrolled.as("flat"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, f) => assert(n == f) }
+  }
+
   test("native signatures survive whole-stage codegen") {
     val plan = paired.select(SigExprs.simhash48(col("pairs")).as("s"))
       .queryExecution.executedPlan.toString
