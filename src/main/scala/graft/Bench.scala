@@ -11,6 +11,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session once (parquet footers, codegen infra, task
+    // scheduling) so first-run JVM costs aren't charged to whichever
+    // query happens to execute first
+    Seq("lineitem", "orders", "documents", "embeddings", "events", "part")
+      .foreach(t => try Tables.table(spark, sfDir, t).count()
+      catch { case _: Throwable => () })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

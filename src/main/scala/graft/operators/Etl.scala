@@ -47,6 +47,27 @@ object Etl {
   /** Typed rows for the linear chunker. */
   case class DocText(doc_id: Long, text: String)
   case class ChunkRow(doc_id: Long, chunk_index: Long, chunk_text: String)
+  case class DocWithHash(doc_id: Long, content_hash: String, text: String)
+  case class ChunkWithHash(doc_id: Long, content_hash: String,
+    chunk_index: Long, chunk_text: String)
+
+  /** Core greedy packing — one streaming pass, O(len). */
+  private def pack(text: String, maxLen: Int): Iterator[(Long, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val sb = new StringBuilder
+    var len = 0
+    var idx = 0L
+    text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+      if (len + w.length > maxLen && len > 0) {
+        out += ((idx, sb.toString)); idx += 1; sb.clear(); len = 0
+      }
+      if (len > 0) sb.append(' ')
+      sb.append(w)
+      len += w.length
+    }
+    if (len > 0) out += ((idx, sb.toString))
+    out.iterator
+  }
 
   /** Linear-time chunker for long documents — same greedy semantics as
     * [[chunkTokens]] (equivalence-tested), as a typed `mapPartitions`.
@@ -61,23 +82,20 @@ object Etl {
   def chunkLinear(ds: org.apache.spark.sql.Dataset[DocText],
     maxLen: Int): org.apache.spark.sql.Dataset[ChunkRow] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[ChunkRow]
-    ds.mapPartitions(_.flatMap { d =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[ChunkRow]
-      val sb = new StringBuilder
-      var len = 0
-      var idx = 0L
-      d.text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
-        if (len + w.length > maxLen && len > 0) {
-          out += ChunkRow(d.doc_id, idx, sb.toString)
-          idx += 1; sb.clear(); len = 0
-        }
-        if (len > 0) sb.append(' ')
-        sb.append(w)
-        len += w.length
-      }
-      if (len > 0) out += ChunkRow(d.doc_id, idx, sb.toString)
-      out
-    })
+    ds.mapPartitions(_.flatMap(d =>
+      pack(d.text, maxLen).map { case (i, c) => ChunkRow(d.doc_id, i, c) }))
+  }
+
+  /** [[chunkLinear]] carrying a per-source hash through the pass — at
+    * scale this is what avoids re-joining chunks back to their source
+    * row for identity derivation.
+    */
+  def chunkLinearHashed(ds: org.apache.spark.sql.Dataset[DocWithHash],
+    maxLen: Int): org.apache.spark.sql.Dataset[ChunkWithHash] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ChunkWithHash]
+    ds.mapPartitions(_.flatMap(d =>
+      pack(d.text, maxLen).map { case (i, c) =>
+        ChunkWithHash(d.doc_id, d.content_hash, i, c) }))
   }
 
   /** Shared recursive-CTE mirror of [[chunkTokens]] for the DuckDB
@@ -114,13 +132,14 @@ object Etl {
   /** q_chunk — exploded chunks with index (reference chunk loop,
     * etl.py:304-326).
     */
-  def chunk(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        posexplode(chunkTokens(col("text"), ChunkLen)).as(Seq("chunk_index", "chunk_text")))
-      .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
-        col("chunk_text"), length(col("chunk_text")).cast("long").as("chunk_len"))
+  def chunk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    chunkLinear(Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[DocText], ChunkLen)
+      .toDF()
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
       .orderBy(col("doc_id"), col("chunk_index"))
+  }
 
   val chunkSql: String =
     s"""WITH RECURSIVE ${chunkCteSql(ChunkLen)}
@@ -132,16 +151,19 @@ object Etl {
   /** q_chunk_ids — chunk identity: sha256(source_path|file_hash|idx)
     * (reference build_chunks_for_file, etl.py:311-313).
     */
-  def chunkIds(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), md5(col("text")).as("source_hash"),
-        posexplode(chunkTokens(col("text"), ChunkLen)).as(Seq("chunk_index", "chunk_text")))
+  def chunkIds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    chunkLinearHashed(Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"), col("text"))
+      .as[DocWithHash], ChunkLen)
+      .toDF()
       .select(
-        sha2(concat(lit("/docs/"), col("doc_id"), lit("|"), col("source_hash"),
+        sha2(concat(lit("/docs/"), col("doc_id"), lit("|"), col("content_hash"),
           lit("|"), col("chunk_index")), 256).as("chunk_id"),
-        col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
-        col("source_hash"))
+        col("doc_id"), col("chunk_index"),
+        col("content_hash").as("source_hash"))
       .orderBy(col("doc_id"), col("chunk_index"))
+  }
 
   val chunkIdsSql: String =
     s"""WITH RECURSIVE ${chunkCteSql(ChunkLen)}
@@ -347,17 +369,17 @@ object Etl {
     * 100 TB a daily run re-chunks only the delta.
     */
   def incrementalChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val delta = manifestDelta(s, d).filter(col("needs_vector"))
       .select(col("id"), col("content_hash"))
-    Tables.documents(s, d)
+    val toChunk = Tables.documents(s, d)
       .join(delta, col("doc_id") === col("id"))
-      .select(col("doc_id"), col("content_hash"),
-        posexplode(chunkTokens(col("text"), ChunkLen)).as(Seq("chunk_index", "chunk_text")))
+      .select(col("doc_id"), col("content_hash"), col("text")).as[DocWithHash]
+    chunkLinearHashed(toChunk, ChunkLen).toDF()
       .select(
         sha2(concat(lit("/docs/"), col("doc_id"), lit("|"), col("content_hash"),
           lit("|"), col("chunk_index")), 256).as("chunk_id"),
-        col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
-        col("chunk_text"))
+        col("doc_id"), col("chunk_index"), col("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_index"))
   }
 

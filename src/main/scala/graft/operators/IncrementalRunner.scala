@@ -32,18 +32,19 @@ object IncrementalRunner {
   /** Chunk-level vector rows for the store, derived from a set of
     * (id, content_hash) sources.
     */
-  private def vectorRows(s: SparkSession, d: String, srcs: DataFrame): DataFrame =
-    Tables.documents(s, d)
+  private def vectorRows(s: SparkSession, d: String, srcs: DataFrame): DataFrame = {
+    import s.implicits._
+    val toChunk = Tables.documents(s, d)
       .join(srcs, col("doc_id") === col("id"))
-      .select(col("doc_id"), col("content_hash"),
-        posexplode(Etl.chunkTokens(col("text"), Etl.ChunkLen))
-          .as(Seq("chunk_index", "chunk_text")))
+      .select(col("doc_id"), col("content_hash"), col("text"))
+      .as[Etl.DocWithHash]
+    Etl.chunkLinearHashed(toChunk, Etl.ChunkLen).toDF()
       .select(
         sha2(concat(lit("/docs/"), col("doc_id"), lit("|"), col("content_hash"),
           lit("|"), col("chunk_index")), 256).as("chunk_id"),
-        col("chunk_index").cast("long").as("chunk_index"),
-        col("chunk_text"), col("content_hash"),
+        col("chunk_index"), col("chunk_text"), col("content_hash"),
         col("doc_id").as("src_id"))
+  }
 
   /** Initialize the store from the manifest (the "already processed"
     * sources), as the reference's first full run would have left it.
