@@ -40,7 +40,10 @@ object Crawl {
         .select(col("node"), lit(depth).as("depth"))
         .localCheckpoint()
       if (!next.isEmpty) {
-        visited = visited.unionAll(next).localCheckpoint()
+        // plain union: both inputs are already materialized, so the
+        // visited lineage stays a shallow tree of checkpointed hops —
+        // no extra materialization job per hop needed
+        visited = visited.unionAll(next)
       }
       frontier = next
     }
