@@ -75,6 +75,23 @@ class SinksSpec extends AnyFunSuite {
       again.map(r => r.doc_id -> r.text).toMap)
   }
 
+  test("jsonl chunk store and json manifest round-trip") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    val chunks = Etl.chunk(spark, sf)
+      .join(Etl.chunkIds(spark, sf).select("chunk_id", "doc_id", "chunk_index"),
+        Seq("doc_id", "chunk_index"))
+      .select("chunk_id", "doc_id", "chunk_index", "chunk_text")
+    graft.sources.JsonStores.writeChunksJsonl(chunks, s"$dir/chunks", recordsPerFile = 50)
+    val back = graft.sources.JsonStores.readChunksJsonl(spark, s"$dir/chunks")
+    assert(back.count() == chunks.count())
+    assert(back.select("chunk_id").distinct().count() == chunks.count())
+
+    val manifest = Tables.manifest(spark, sf)
+    graft.sources.JsonStores.saveManifest(manifest, s"$dir/manifest")
+    val m2 = graft.sources.JsonStores.loadManifest(spark, s"$dir/manifest")
+    assert(m2.collect().toSet == manifest.collect().toSet)
+  }
+
   test("page-limited crawl trims by (depth, node)") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 4L), (3L, 5L))
       .toDF("src", "dst")
