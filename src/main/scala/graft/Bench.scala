@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR,
+  * prints ONE metric-JSON line as the FINAL stdout line. Failures are
+  * never swallowed into a healthy-looking number: a failing query is
+  * reported as -1 with its error in an "errors" map, and the process
+  * exits nonzero so the driver can't mistake a broken run for a bench.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,27 +15,47 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session once (parquet footers, codegen infra, task
     // scheduling) so first-run JVM costs aren't charged to whichever
-    // query happens to execute first
-    Seq("lineitem", "orders", "documents", "embeddings", "events", "part")
-      .foreach(t => try Tables.table(spark, sfDir, t).count()
-      catch { case _: Throwable => () })
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // query executes first. Uses the REAL loaders: events.parquet is
+    // TIMESTAMP(NANOS) and only reads through Tables.events — the raw
+    // reader throws and its aborted-job stack trace would pollute the
+    // output the driver parses.
+    Seq("lineitem", "orders", "documents", "embeddings", "part")
+      .foreach(t => Tables.table(spark, sfDir, t).count())
+    Tables.events(spark, sfDir).count()
+    var errors = List.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          errors ::= (name -> e.toString.take(200)); false
+        }
       // operators persist intermediates (signature tables); isolate
       // queries so one query's cache doesn't evict another's
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, ok) =>
+      jstr(k) + ":" + (if (ok) v else -1)
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true) => v }.sum
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -39,6 +39,18 @@ object TextSim {
 
   def r4Sql(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
+  /** Order-independent sum of a double column. IEEE double addition is
+    * not associative, so `sum(double)` depends on partition/merge order:
+    * with enough groups some sum lands on a rounding boundary and the
+    * r4/r6'd result flips between runs (q_sessionize flaked exactly
+    * this way). Casting each value to decimal(20,6) first (HALF_UP in
+    * both engines) makes the sum exact and order-free; the cast back to
+    * double is lossless for the magnitudes involved.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(20,6)")).cast("double")
+
+  def dsumSql(e: String): String = s"sum(($e)::DECIMAL(20,6))::DOUBLE"
+
   /** Modulus for the double-hashing family (prime, < 2^29). */
   val P: Long = 536870909L
   val MinhashK = 64

@@ -24,25 +24,28 @@ object Analytics {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        TextSim.r4(sum(col("l_quantity"))).as("sum_qty"),
-        TextSim.r4(sum(col("l_extendedprice"))).as("sum_base_price"),
-        TextSim.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-        TextSim.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
-        TextSim.r6(avg(col("l_quantity"))).as("avg_qty"),
-        TextSim.r6(avg(col("l_extendedprice"))).as("avg_price"),
-        TextSim.r6(avg(col("l_discount"))).as("avg_disc"),
+        // dsum everywhere: exact decimal accumulation, so the rounded
+        // result can't flip with partition/merge order (avg = dsum/count
+        // for the same reason — avg(double) is order-sensitive too)
+        TextSim.r4(TextSim.dsum(col("l_quantity"))).as("sum_qty"),
+        TextSim.r4(TextSim.dsum(col("l_extendedprice"))).as("sum_base_price"),
+        TextSim.r4(TextSim.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        TextSim.r4(TextSim.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        TextSim.r6(TextSim.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        TextSim.r6(TextSim.dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        TextSim.r6(TextSim.dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |       floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
-      |       floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
-      |       floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
-      |       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5) / 10000.0 AS sum_charge,
-      |       floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
-      |       floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
-      |       floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+    s"""SELECT l_returnflag, l_linestatus,
+      |       ${TextSim.r4Sql(TextSim.dsumSql("l_quantity"))} AS sum_qty,
+      |       ${TextSim.r4Sql(TextSim.dsumSql("l_extendedprice"))} AS sum_base_price,
+      |       ${TextSim.r4Sql(TextSim.dsumSql("l_extendedprice * (1 - l_discount)"))} AS sum_disc_price,
+      |       ${TextSim.r4Sql(TextSim.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)"))} AS sum_charge,
+      |       ${TextSim.r6Sql(TextSim.dsumSql("l_quantity") + " / count(*)")} AS avg_qty,
+      |       ${TextSim.r6Sql(TextSim.dsumSql("l_extendedprice") + " / count(*)")} AS avg_price,
+      |       ${TextSim.r6Sql(TextSim.dsumSql("l_discount") + " / count(*)")} AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -60,7 +63,7 @@ object Analytics {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(TextSim.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .agg(TextSim.r4(TextSim.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
@@ -69,8 +72,8 @@ object Analytics {
   }
 
   val q3TopNSql: String =
-    """SELECT l_orderkey,
-      |       floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS revenue,
+    s"""SELECT l_orderkey,
+      |       ${TextSim.r4Sql(TextSim.dsumSql("l_extendedprice * (1 - l_discount)"))} AS revenue,
       |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
       |       o_orderpriority
       |FROM customer, orders, lineitem
@@ -103,13 +106,13 @@ object Analytics {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(TextSim.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .agg(TextSim.r4(TextSim.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5RegionSql: String =
-    """SELECT n_name,
-      |       floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS revenue
+    s"""SELECT n_name,
+      |       ${TextSim.r4Sql(TextSim.dsumSql("l_extendedprice * (1 - l_discount)"))} AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -154,15 +157,15 @@ object Analytics {
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        TextSim.r4(sum(col("value"))).as("sum_value"),
+        TextSim.r4(TextSim.dsum(col("value"))).as("sum_value"),
         count_distinct(col("user_id")).as("n_users"))
       .orderBy(col("hour"), col("event_type"))
 
   val eventsHourlySql: String =
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
       |       event_type,
       |       count(*) AS n_events,
-      |       floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+      |       ${TextSim.r4Sql(TextSim.dsumSql("value"))} AS sum_value,
       |       count(DISTINCT user_id) AS n_users
       |FROM events
       |GROUP BY 1, 2
@@ -184,14 +187,14 @@ object Analytics {
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
-        TextSim.r4(sum(col("value"))).as("sum_value"),
+        TextSim.r4(TextSim.dsum(col("value"))).as("sum_value"),
         min(col("event_id")).as("first_event"),
         max(col("event_id")).as("last_event"))
       .orderBy(col("user_id"), col("session_seq"))
   }
 
   val sessionizeSql: String =
-    """WITH marked AS (
+    s"""WITH marked AS (
       |  SELECT user_id, event_id, value, ts,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
@@ -205,7 +208,7 @@ object Analytics {
       |  FROM marked
       |)
       |SELECT user_id, session_seq, count(*) AS n_events,
-      |       floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+      |       ${TextSim.r4Sql(TextSim.dsumSql("value"))} AS sum_value,
       |       min(event_id) AS first_event, max(event_id) AS last_event
       |FROM sessions
       |GROUP BY user_id, session_seq

@@ -31,7 +31,10 @@ object StreamingHourly {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"))
+        // same order-independent decimal sum + floor rounding as the
+        // batch mirror — micro-batch merge order must not move the sum
+        graft.functions.TextSim.r4(
+          graft.functions.TextSim.dsum(col("value"))).as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
