@@ -62,8 +62,30 @@ object Ann {
   private val normSql =
     s"sqrt(${dotSql("embedding", "embedding")})"
 
+  /** Rank scored (query_id, vec_id, cos_sim) rows to per-query top-k
+    * via [[graft.functions.TopKByScore]]: partial top-k per partition
+    * (map-side ObjectHashAggregate), so the one shuffle carries at most
+    * k hits per query per partition — never the full score matrix.
+    * Ordering matches the oracle's row_number: cos_sim desc, vec_id asc;
+    * duplicate candidates collapse on insert (= SELECT DISTINCT).
+    */
+  private def rankTopK(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopKByScore(k)
+    scored.select(col("query_id"), col("vec_id"), col("cos_sim"))
+      .as[graft.functions.ScoredHit]
+      .groupByKey(_.query_id)
+      .agg(agg.toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "h")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("h.vec_id").as("vec_id"), col("h.cos_sim").as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q_ann_brute — exact top-k cosine neighbours for each query vector
-    * (query set: vec_id % 100 = 0), self excluded.
+    * (query set: vec_id % 100 = 0), self excluded. Broadcast query set,
+    * one pass over the vectors, partial top-k before the rank shuffle.
     */
   def bruteForce(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
@@ -74,13 +96,7 @@ object Ann {
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as(
           "cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), col("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(s, scored, TopK)
   }
 
   val bruteForceSql: String =
@@ -103,43 +119,36 @@ object Ann {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Probe rows: each query exploded to its `n` nearest centroid lists
+    * — a per-row [[graft.functions.NearestCentroids]] pass, no shuffle.
+    */
+  private def probeLists(q: DataFrame, cents: DataFrame, n: Int): DataFrame =
+    q.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"),
+      explode(graft.functions.NearestCentroids.fromFrame(
+        col("embedding"), cents, n)).as("p"))
+      .select(col("query_id"), col("p.cent_id").as("cent_id"),
+        col("q_emb"), col("q_nrm"))
+
   /** q_ann_ivf — IVF-style ANN: deterministic coarse centroids
-    * (vec_id % 25 = 0), nearest-centroid assignment (broadcast join —
-    * this is the partitioning that makes 100 TB tractable), nprobe=2
-    * probing, exact top-k within the probed lists.
+    * (vec_id % 25 = 0), shuffle-free nearest-centroid assignment (the
+    * [[graft.functions.NearestCentroids]] per-row argmax — this is the
+    * partitioning that makes 100 TB tractable), nprobe=2 probing,
+    * partial top-k within the probed lists.
     */
   def ivf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
     val cents = e.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-
-    def nearest(df: DataFrame, keyCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(keyCol))
-        .orderBy(col("c_sim").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("c_sim", cosine(col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= n)
-    }
-
-    val assigned = nearest(e, "vec_id", 1)
-      .select(col("cent_id"), col("vec_id"), col("embedding"), col("nrm"))
+    val assigned = KMeansVec.assign(e, cents)
     val q = e.filter(col("vec_id") % 100 === 0)
-    val probes = nearest(q, "vec_id", NProbe)
-      .select(col("vec_id").as("query_id"), col("cent_id"),
-        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val scored = probes.join(assigned, "cent_id")
+    val scored = probeLists(q, cents, NProbe).join(assigned, "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as("cos_sim"))
-      .distinct() // a vector may appear via both probed lists
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), col("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    // a vector reached via both probed lists dedups inside the top-k
+    // buffer — no distinct() shuffle of the candidate set
+    rankTopK(s, scored, TopK)
   }
 
   val ivfSql: String =
@@ -193,27 +202,11 @@ object Ann {
     val cents = KMeansVec.fit(Tables.embeddings(s, d), k, iters)
     val assigned = KMeansVec.assign(e, cents)
     val q = e.filter(col("vec_id") % 100 === 0)
-    val wp = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("c_sim",
-        cosine(col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
-      .withColumn("c_rank", row_number().over(wp))
-      .filter(col("c_rank") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("cent_id"),
-        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val scored = probes.join(assigned, "cent_id")
+    val scored = probeLists(q, cents, NProbe).join(assigned, "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as("cos_sim"))
-      .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), col("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(s, scored, TopK)
   }
 
   /** Deterministic ±1 hyperplane matrix, LCG-derived once at plan-build
@@ -229,8 +222,8 @@ object Ann {
 
   /** q_dedup_embed — near-duplicate vectors (cosine ≥ 0.95) via
     * random-hyperplane LSH blocking on the dup-injected corpus:
-    * 12 sign bits → 4 bands × 3 bits → band-bucket self-join → exact
-    * cosine verify on candidates only.
+    * 48 sign bits → 4 bands × 12 bits (4096 buckets/band) →
+    * band-bucket self-join → exact cosine verify on candidates only.
     */
   def embedDedup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embAug(s, d)
@@ -253,10 +246,8 @@ object Ann {
     val bands = withBits
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.vec_id") < col("b.vec_id"))
+    val cand = Skew.saltedSelfJoin(bands, "vec_id", Seq("band", "bval"),
+      Dedup.LshSalt)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
     val ea = withBits.select(col("vec_id").as("a_id"),

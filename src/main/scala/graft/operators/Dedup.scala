@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (the whole point): signatures are a per-row map over the
   * scan; the only shuffles are on band/bucket keys; verification joins
-  * touch LSH candidates only, never all pairs. Skewed buckets (a viral
-  * duplicate cluster) would be salted with `pmod(hash(doc_id), s)`
-  * before the self-join.
+  * touch LSH candidates only, never all pairs. Band self-joins are
+  * salted ([[Skew.saltedSelfJoin]], `pmod(hash(doc_id), LshSalt)`) so a
+  * viral bucket splits across LshSalt reducers instead of one straggler.
   */
 object Dedup {
+
+  /** Salt ways for the LSH band self-joins. */
+  val LshSalt = 4
 
   /** q_dedup_exact — content-hash dedup, keep lowest doc_id per group,
     * report the groups that actually had duplicates.
@@ -82,10 +85,7 @@ object Dedup {
         struct(b.as("band"), slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)).as("bsig"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
+    val cand = Skew.saltedSelfJoin(bands, "doc_id", Seq("band", "bsig"), LshSalt)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val sa = sig.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
@@ -140,10 +140,7 @@ object Dedup {
     }
     val bands = sh.select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bval").as("bval"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
+    Skew.saltedSelfJoin(bands, "doc_id", Seq("band", "bval"), LshSalt)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       .distinct()
@@ -183,11 +180,15 @@ object Dedup {
     val rare = postings.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= 5 && col("df") >= 2)
-    val rarePostings = postings.join(broadcast(rare), "shingle")
+    // shuffle join, NOT broadcast: the df∈[2,5] shingle set grows with
+    // the corpus (O(distinct shingles)), so at 100 TB it can never fit
+    // in a broadcast — the shingle key hash-partitions evenly, and the
+    // postings table is already about to shuffle on it for the
+    // self-join anyway. shuffle_hash pins the strategy so AQE can't
+    // promote it back to a broadcast that only works at toy scale.
+    val rarePostings = postings.join(rare.hint("shuffle_hash"), "shingle")
       .select(col("shingle"), col("doc_id"))
-    val cand = rarePostings.as("a")
-      .join(rarePostings.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    val cand = Skew.saltedSelfJoin(rarePostings, "doc_id", Seq("shingle"), LshSalt)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))

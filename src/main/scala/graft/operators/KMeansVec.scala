@@ -20,17 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object KMeansVec {
 
-  /** Cosine-based assignment of each vector to its nearest centroid. */
-  def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("cent_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("c_sim",
-        Ann.cosine(col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
-      .withColumn("c_rank", row_number().over(w))
-      .filter(col("c_rank") === 1)
-      .select(col("cent_id"), col("vec_id"), col("embedding"), col("nrm"))
-  }
+  /** Cosine-based assignment of each vector to its nearest centroid —
+    * a per-row [[graft.functions.NearestCentroids]] argmax with the
+    * centroid matrix shipped as a task reference object: zero shuffle,
+    * zero sort (the crossJoin+Window form this replaces exchanged
+    * |V|×k rows per Lloyd round to compute a per-row reduction).
+    */
+  def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.withColumn("nc",
+      graft.functions.NearestCentroids.fromFrame(col("embedding"), cents, 1))
+      .select(element_at(col("nc"), 1).getField("cent_id").as("cent_id"),
+        col("vec_id"), col("embedding"), col("nrm"))
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", Ann.norm(col("embedding")))

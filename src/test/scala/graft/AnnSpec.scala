@@ -41,6 +41,62 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@${Ann.TopK} = $recall too low")
   }
 
+  test("centroid assignment is shuffle-free (no Exchange, no Window sort)") {
+    val vecs = Tables.embeddings(spark, sf)
+    val e = vecs.selectExpr("vec_id", "embedding")
+      .withColumn("nrm", Ann.norm(org.apache.spark.sql.functions.col("embedding")))
+    val cents = KMeansVec.fit(vecs, 8, 1)
+    val plan = KMeansVec.assign(e, cents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not sort/window:\n$plan")
+  }
+
+  test("NearestCentroids argmax matches the broadcast-join + window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf).selectExpr("vec_id", "embedding")
+      .withColumn("nrm", Ann.norm(col("embedding")))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val viaExpr = KMeansVec.assign(e, cents)
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    val viaJoin = e.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        Ann.cosine(col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") === 1)
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaJoin)
+  }
+
+  test("aggregator top-k ranking matches the row_number window ranking") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Ann.bruteForce(spark, sf)
+      .select("query_id", "rank", "vec_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val e = Tables.embeddings(spark, sf).selectExpr("vec_id", "embedding")
+      .withColumn("nrm", Ann.norm(col("embedding")))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val want = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Ann.cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Ann.TopK)
+      .select(col("query_id"), col("rank").cast("long"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
   test("media transforms: meta, resize, frames, features are deterministic") {
     val ds = MediaExtract.fromDocuments(spark, sf).limit(40)
     val meta = MediaTransforms.decodeMeta(ds).collect()

@@ -27,6 +27,47 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.count(_._1 == 1L) == 9000)
   }
 
+  test("salted LSH self-join splits a hot bucket and preserves pairs exactly") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // synthetic viral bucket: 200 docs share band value 7; tail of
+      // small buckets
+      val bands = spark.range(2000).select(
+        col("id").as("doc_id"), lit(0).as("band"),
+        when(col("id") < 200, lit(7L)).otherwise(col("id") % 500 + 100).as("bval"))
+      val unsalted = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .as[(Long, Long)].collect().toSet
+      val saltedDf = operators.Skew.saltedSelfJoin(
+        bands, "doc_id", Seq("band", "bval"), 8)
+        .select(col("a.doc_id"), col("b.doc_id"))
+      val salted = saltedDf.as[(Long, Long)].collect().toSet
+      assert(salted == unsalted)
+      assert(unsalted.size >= 200 * 199 / 2)
+      // the hot (band,bval) key must be sub-divided by __salt in the
+      // exchange, so no single reducer owns the whole viral bucket
+      val plan = saltedDf.queryExecution.executedPlan.toString
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+        s"band exchange must include the salt key:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ngram rare-shingle join never broadcasts (corpus-sized build side)") {
+    val df = operators.Dedup.ngramJaccard(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val joins = plan.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(!joins.contains("Broadcast") || {
+      // only the small verify-side re-joins may broadcast; the
+      // postings-vs-rare join itself must be a shuffled hash join
+      plan.contains("ShuffledHashJoin")
+    }, s"postings-vs-rare must not broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled hash join for postings-vs-rare:\n$plan")
+  }
+
   test("bucketed manifest join is shuffle-free (both sides pre-bucketed on id)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
