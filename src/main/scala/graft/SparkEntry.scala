@@ -39,6 +39,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhash _),
     "q_dedup_simhash" -> (Dedup.simhash _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
+    "q_dedup_keep" -> (Dedup.keep _),
     "q_dedup_embed" -> (Ann.embedDedup _),
     "q_ann_brute" -> (Ann.bruteForce _),
     "q_ann_ivf" -> (Ann.ivf _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.minhashSql,
     "q_dedup_simhash" -> Dedup.simhashSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
+    "q_dedup_keep" -> Dedup.keepSql,
     "q_dedup_embed" -> Ann.embedDedupSql,
     "q_ann_brute" -> Ann.bruteForceSql,
     "q_ann_ivf" -> Ann.ivfSql,

@@ -21,24 +21,26 @@ object Crawl {
 
   /** Min-depth BFS from `roots` over `edges(src, dst)`.
     *
-    * Each hop's frontier is `localCheckpoint`ed: materializes the hop
-    * (so the iterative plan doesn't grow without bound — on a real
-    * cluster use reliable `checkpoint` instead) and mints fresh
-    * attribute ids (so hop N+1's join with `edges` isn't an ambiguous
-    * self-join).
+    * Each hop's frontier is materialized via [[Iterate.materialize]]:
+    * cuts the iterative lineage and mints fresh attribute ids (so hop
+    * N+1's join with `edges` isn't an ambiguous self-join). Pass
+    * `checkpointDir` for a reliable cluster run — `localCheckpoint`
+    * dies with an executor; `checkpoint` survives it.
     */
-  def bfs(edges: DataFrame, roots: DataFrame, maxDepth: Int): DataFrame = {
+  def bfs(edges: DataFrame, roots: DataFrame, maxDepth: Int,
+    checkpointDir: Option[String] = None): DataFrame = {
     edges.persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = roots.select(col("node"), lit(0L).as("depth")).localCheckpoint()
+    var visited = Iterate.materialize(
+      roots.select(col("node"), lit(0L).as("depth")), checkpointDir)
     var frontier = visited
     var depth = 0L
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = frontier.join(edges, frontier("node") === edges("src"))
-        .select(edges("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .select(col("node"), lit(depth).as("depth"))
-        .localCheckpoint()
+      val next = Iterate.materialize(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(edges("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(depth).as("depth")), checkpointDir)
       if (!next.isEmpty) {
         // plain union: both inputs are already materialized, so the
         // visited lineage stays a shallow tree of checkpointed hops —

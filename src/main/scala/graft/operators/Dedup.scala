@@ -98,8 +98,14 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val minhashSql: String =
-    s"""WITH $shingledSql,
+  private val jaccardSql: String = TextSim.r6Sql(
+    "len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))")
+
+  /** shingled corpus → minhash signatures → band buckets → candidate
+    * pairs; shared by [[minhashSql]] and [[keepSql]].
+    */
+  private val minhashCandSql: String =
+    s"""$shingledSql,
        |sig AS (
        |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig
        |  FROM shingled
@@ -110,14 +116,47 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-       |)
-       |SELECT c.a_id, c.b_id,
-       |       ${TextSim.r6Sql("len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))")} AS jaccard
-       |FROM cand c
-       |JOIN shingled x ON x.doc_id = c.a_id
-       |JOIN shingled y ON y.doc_id = c.b_id
-       |WHERE ${TextSim.r6Sql("len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))")} >= 0.8
+       |), verified AS (
+       |  SELECT c.a_id, c.b_id, $jaccardSql AS jaccard
+       |  FROM cand c
+       |  JOIN shingled x ON x.doc_id = c.a_id
+       |  JOIN shingled y ON y.doc_id = c.b_id
+       |  WHERE $jaccardSql >= 0.8
+       |)""".stripMargin
+
+  val minhashSql: String =
+    s"""WITH $minhashCandSql
+       |SELECT a_id, b_id, jaccard FROM verified
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** q_dedup_keep — materialize the SURVIVOR SET: minhash near-dup
+    * pairs → connected components ([[Components.connectedComponents]],
+    * min-id label propagation) → every doc labeled with its cluster's
+    * keeper. This is the step that turns pair lists into an actual
+    * deduplicated corpus: `filter(is_kept)` is the training set.
+    */
+  def keep(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhash(s, d).select(col("a_id"), col("b_id"))
+    val nodes = Tables.docsAug(s, d).select(col("doc_id").as("id"))
+    Components.connectedComponents(nodes, pairs)
+      .select(col("id").as("doc_id"), col("lbl").as("keep_id"),
+        (col("lbl") === col("id")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val keepSql: String =
+    s"""WITH RECURSIVE $minhashCandSql,
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM verified
+       |), walk(id, r) AS (
+       |  SELECT doc_id, doc_id FROM docs_aug
+       |  UNION
+       |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+       |)
+       |SELECT id AS doc_id, min(r) AS keep_id, min(r) = id AS is_kept
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** q_dedup_simhash — 48-bit SimHash near-dup pairs, Hamming ≤ 3.
     * 4 × 12-bit band blocking is exact for Hamming ≤ 3 (pigeonhole:

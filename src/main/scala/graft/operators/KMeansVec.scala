@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * column — trains the coarse quantizer for [[Ann.ivfTrained]]
   * (replacing the fixed modulo-sampled centroids of [[Ann.ivf]]).
   *
-  * Iteration shape at scale: assignment is a broadcast of k centroids
-  * against one pass over the vectors (no shuffle of the big side);
-  * the re-centering groupBy shuffles (cent_id, dim) pairs — k·dim
-  * groups, partial-aggregated map-side. Each round's centroids are
-  * `localCheckpoint`ed: k rows, cuts the iterative lineage exactly
-  * like [[Crawl.bfs]] does for its frontier.
+  * Iteration shape at scale: assignment ships k centroids to the tasks
+  * and makes one shuffle-free pass over the vectors ([[assign]]); the
+  * re-centering groupBy shuffles (cent_id, dim) pairs — k·dim groups,
+  * partial-aggregated map-side. Each round's centroids are
+  * materialized ([[Iterate.materialize]]): k rows, cuts the iterative
+  * lineage exactly like [[Crawl.bfs]] does for its frontier.
   *
   * Determinism: init = the k lowest vec_ids; ties in assignment break
   * on lowest cent_id; means are exact double sums in dim order.
@@ -36,16 +36,18 @@ object KMeansVec {
     df.withColumn("nrm", Ann.norm(col("embedding")))
 
   /** `iters` Lloyd rounds from a deterministic init; returns
-    * (cent_id, c_emb, c_nrm).
+    * (cent_id, c_emb, c_nrm). `checkpointDir` selects reliable
+    * `checkpoint` over `localCheckpoint` for the per-round centroid
+    * materialization ([[Iterate.materialize]]).
     */
-  def fit(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+  def fit(vectors: DataFrame, k: Int, iters: Int,
+    checkpointDir: Option[String] = None): DataFrame = {
     val e = withNorm(vectors.select(col("vec_id"), col("embedding")))
       .persist()
     val wInit = Window.orderBy(col("vec_id"))
-    var cents = e.orderBy(col("vec_id")).limit(k)
+    var cents = Iterate.materialize(e.orderBy(col("vec_id")).limit(k)
       .select(row_number().over(wInit).cast("long").as("cent_id"),
-        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-      .localCheckpoint()
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm")), checkpointDir)
     for (_ <- 1 to iters) {
       val centered = assign(e, cents)
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -54,9 +56,10 @@ object KMeansVec {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s("m").cast("float")).as("c_emb"))
-      cents = withNorm(centered.withColumnRenamed("c_emb", "embedding"))
-        .select(col("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-        .localCheckpoint()
+      cents = Iterate.materialize(
+        withNorm(centered.withColumnRenamed("c_emb", "embedding"))
+          .select(col("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")),
+        checkpointDir)
     }
     e.unpersist()
     cents

@@ -85,6 +85,38 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("connected components labels chains/isolates; reliable checkpoint dir works") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val nodes = spark.range(1, 13).select(col("id"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 5L))
+      .toDF("a_id", "b_id")
+    val got = operators.Components
+      .connectedComponents(nodes, pairs, Some(tmp))
+      .as[(Long, Long)].collect().toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L) ++
+      Seq(4L, 6L, 7L, 8L, 9L, 12L).map(i => i -> i)
+    assert(got == expect)
+    // reliable checkpoint actually wrote RDD blocks to the dir
+    def rddFiles(p: java.io.File): Long =
+      if (p.isDirectory) p.listFiles.map(rddFiles).sum
+      else if (p.getName.startsWith("rdd-") || p.getParentFile.getName.startsWith("rdd-")) 1L
+      else 0L
+    assert(rddFiles(new java.io.File(tmp)) > 0,
+      s"no checkpoint files written under $tmp")
+  }
+
+  test("bfs with reliable checkpoint matches localCheckpoint bfs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_bfs").toString
+    val edges = Tables.edges(spark, sf)
+    val roots = spark.range(1).select(lit(0L).as("node"))
+    val local = operators.Crawl.bfs(edges, roots, 20)
+      .as[(Long, Long)].collect().toSet
+    val reliable = operators.Crawl.bfs(edges, roots, 20, Some(tmp))
+      .as[(Long, Long)].collect().toSet
+    assert(reliable == local && reliable.nonEmpty)
+  }
+
   test("streaming dedup keeps first copy per hash across batches") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L
