@@ -247,6 +247,83 @@ object Etl {
       |       CASE WHEN display_name = '' THEN 'file' ELSE display_name END AS safe_filename
       |FROM named ORDER BY doc_id""".stripMargin
 
+  /** q_display_name — the reference's full name-derivation chain
+    * (block_display_name + file_info_from_block + safe_filename,
+    * etl.py:141-186), which q_safe_name only partially covered:
+    *
+    * - display_name: caption text wins; else URL basename after
+    *   stripping the query string and trailing slashes, percent-decoded.
+    * - filename, `file` blocks: caption (or 'file'), BUT a caption
+    *   without a dot is not a filename → fall back to the raw URL last
+    *   segment (NOT percent-decoded — the reference never unquotes the
+    *   filename path, only the display path).
+    * - filename, `image` blocks: always the URL last segment.
+    * - safe_filename: trimmed basename, '' → 'file' (a trailing-slash
+    *   URL yields an empty last segment → 'file').
+    *
+    * Blocks are synthesized from documents with caption/url variants
+    * chosen to exercise every branch. Pure string expressions — per-row
+    * map, no shuffle.
+    */
+  def displayName(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0, "file").otherwise("image").as("btype"),
+      when(col("doc_id") % 3 === 0, lit(""))
+        .when(col("doc_id") % 3 === 1, concat(lit("Summary Notes "), col("doc_id")))
+        .otherwise(concat(lit("brief-"), col("doc_id"), lit(".pdf"))).as("caption"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("https://files.example.com/d"), col("doc_id"),
+          lit("/folder%20"), col("doc_id"), lit("/")))
+        .otherwise(concat(lit("https://files.example.com/d"), col("doc_id"),
+          lit("/Asset%20"), col("doc_id"), lit(".png?sig=abc"))).as("url"))
+    val noq = substring_index(col("url"), "?", 1)
+    val lastSeg = regexp_extract(noq, "([^/]*)$", 1)
+    val urlDisplay =
+      regexp_replace(regexp_extract(rtrim(noq, "/"), "([^/]+)$", 1), "%20", " ")
+    val capOrFile = when(col("caption") =!= "", col("caption")).otherwise(lit("file"))
+    val fname0 = when(col("btype") === "file",
+      when(capOrFile.contains("."), capOrFile).otherwise(lastSeg))
+      .otherwise(lastSeg)
+    b.select(col("doc_id"), col("btype"), col("url"),
+      when(col("caption") =!= "", col("caption")).otherwise(urlDisplay)
+        .as("display_name"),
+      when(trim(fname0) === "", "file").otherwise(trim(fname0)).as("filename"))
+      .orderBy(col("doc_id"))
+  }
+
+  val displayNameSql: String =
+    """WITH blocks AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 2 = 0 THEN 'file' ELSE 'image' END AS btype,
+      |         CASE WHEN doc_id % 3 = 0 THEN ''
+      |              WHEN doc_id % 3 = 1 THEN 'Summary Notes ' || doc_id
+      |              ELSE 'brief-' || doc_id || '.pdf' END AS caption,
+      |         CASE WHEN doc_id % 5 = 0
+      |              THEN 'https://files.example.com/d' || doc_id || '/folder%20' || doc_id || '/'
+      |              ELSE 'https://files.example.com/d' || doc_id || '/Asset%20' || doc_id || '.png?sig=abc'
+      |         END AS url
+      |  FROM documents
+      |), named AS (
+      |  SELECT doc_id, btype, caption, url,
+      |         regexp_extract(split_part(url, '?', 1), '([^/]*)$', 1) AS last_seg,
+      |         replace(regexp_extract(rtrim(split_part(url, '?', 1), '/'),
+      |                                '([^/]+)$', 1), '%20', ' ') AS url_display,
+      |         CASE WHEN caption <> '' THEN caption ELSE 'file' END AS cap_or_file
+      |  FROM blocks
+      |), fnamed AS (
+      |  SELECT *, CASE WHEN btype = 'file'
+      |                 THEN CASE WHEN cap_or_file LIKE '%.%' THEN cap_or_file
+      |                           ELSE last_seg END
+      |                 ELSE last_seg END AS f0
+      |  FROM named
+      |)
+      |SELECT doc_id, btype, url,
+      |       CASE WHEN caption <> '' THEN caption ELSE url_display END AS display_name,
+      |       CASE WHEN trim(f0) = '' THEN 'file' ELSE trim(f0) END AS filename
+      |FROM fnamed
+      |ORDER BY doc_id""".stripMargin
+
   /** q_normalize_id — id/URI normalization (reference
     * normalize_notion_id, extract_id_from_notion_url, s3_split,
     * etl.py:72-99, 110-115): dash a 32-hex id into UUID form, pull the

@@ -29,6 +29,22 @@ object IncrementalRunner {
     sourceFilter: Option[org.apache.spark.sql.Column] = None,
     dryRun: Boolean = false)
 
+  /** Run accounting — the reference's end-of-run counter line
+    * (`processed/skipped/failed/vectorized`,
+    * Notion_openai_vector_etl.py:673-677, 747-776), set-at-a-time:
+    * - `processed`: delta sources that produced chunks this run
+    * - `skipped`: cache hits (status unchanged — manifest hash AND
+    *   last_edited match)
+    * - `failed`: delta sources with no processable content (null/blank
+    *   text — the distributed analogue of the reference's per-source
+    *   try/except around download+extract; bad sources are counted and
+    *   skipped, never kill the run)
+    * - `vectorizedChunks`: chunk rows upserted into the store (0 on
+    *   dry-run, which plans but never touches the sink)
+    */
+  case class RunStats(processed: Long, skipped: Long, failed: Long,
+    vectorizedChunks: Long)
+
   /** Chunk-level vector rows for the store, derived from a set of
     * (id, content_hash) sources.
     */
@@ -66,17 +82,37 @@ object IncrementalRunner {
     * it would upload); limits/filters prune the delta before any
     * chunking happens, so a capped run does capped work.
     */
-  def run(s: SparkSession, d: String, path: String, cfg: Config): DataFrame = {
-    var delta = Etl.manifestDelta(s, d)
-      .filter(col("needs_vector"))
+  def run(s: SparkSession, d: String, path: String, cfg: Config): DataFrame =
+    runWithStats(s, d, path, cfg)._1
+
+  /** [[run]] plus [[RunStats]]. Bad sources (blank text) are counted
+    * failed and excluded from chunking — the run completes like the
+    * reference's skip-and-continue loop, it doesn't abort. The counts
+    * are a handful of driver-side aggregate actions over already-
+    * classified frames, not a per-source loop.
+    */
+  def runWithStats(s: SparkSession, d: String, path: String,
+    cfg: Config = Config()): (DataFrame, RunStats) = {
+    val classified = Etl.manifestDelta(s, d)
+    var delta = classified.filter(col("needs_vector"))
       .select(col("id"), col("content_hash"))
     cfg.sourceFilter.foreach(p => delta = delta.filter(p))
     cfg.maxSources.foreach(n => delta = delta.orderBy(col("id")).limit(n))
-    val rows = vectorRows(s, d, delta)
-    if (cfg.dryRun) rows
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val joined = delta.join(docs, delta("id") === docs("doc_id"), "left_outer")
+    val bad = col("text").isNull || trim(col("text")) === ""
+    val failed = joined.filter(bad).count()
+    val good = joined.filter(!bad)
+      .select(col("id"), col("content_hash"))
+    val rows = vectorRows(s, d, good)
+    val skipped = classified.filter(!col("needs_vector")).count()
+    val processed = joined.count() - failed
+    if (cfg.dryRun) (rows, RunStats(processed, skipped, failed, 0L))
     else {
       VectorStoreWriter.upsert(rows, path)
-      VectorStoreWriter.read(s, path)
+      val store = VectorStoreWriter.read(s, path)
+      val nChunks = rows.count()
+      (store, RunStats(processed, skipped, failed, nChunks))
     }
   }
 }

@@ -46,4 +46,33 @@ object JsonStores {
 
   def loadManifest(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(ManifestSchema).json(path)
+
+  /** Fault-tolerant JSONL chunk read with a quarantine side-output —
+    * the reference's skip-and-continue on bad pages/blocks
+    * (Notion_openai_vector_etl.py:497-504, 542-546) applied to ingest:
+    * a corrupt line (unparseable JSON, or a record missing its
+    * identity fields) lands in the quarantine frame with its raw text
+    * instead of killing the 100 TB job; the good frame parses clean.
+    *
+    * The parsed frame is cached because Spark disallows filtering on
+    * the internal corrupt-record column of an un-materialized scan.
+    */
+  def readChunksJsonlTolerant(spark: SparkSession,
+    path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val schema = ChunkSchema.add(StructField("_corrupt_record", StringType))
+    val raw = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val bad = col("_corrupt_record").isNotNull ||
+      col("chunk_id").isNull || col("doc_id").isNull
+    val good = raw.filter(!bad).drop("_corrupt_record")
+    val quarantine = raw.filter(bad)
+      .select(coalesce(col("_corrupt_record"),
+        to_json(struct(ChunkSchema.fieldNames.map(col).toIndexedSeq: _*)))
+        .as("raw_record"))
+    (good, quarantine)
+  }
 }

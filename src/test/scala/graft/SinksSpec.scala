@@ -63,6 +63,53 @@ class SinksSpec extends AnyFunSuite {
     assert(srcs.length <= 3 && srcs.forall(_ % 2 == 0))
   }
 
+  test("run accounting: processed/skipped/failed/vectorized on a known delta") {
+    val dataDir = Files.createTempDirectory("accdata").toString
+    // blank text for every 7th doc: those land in the delta (changed)
+    // but have nothing to chunk -> counted failed, run keeps going
+    (1L to 20L).map(i => (i, s"s$i",
+      if (i % 7 == 0) "  "
+      else (1 to 30).map(w => s"w${i}_$w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(dataDir + "/documents.parquet")
+    val store = Files.createTempDirectory("accstore").toString + "/store"
+    IncrementalRunner.initStore(spark, dataDir, store)
+    val (storeDf, stats) = IncrementalRunner.runWithStats(spark, dataDir, store)
+    val deltaIds = Etl.manifestDelta(spark, dataDir)
+      .filter(col("needs_vector")).select("id").as[Long].collect().toSet
+    val expFailed = deltaIds.count(_ % 7 == 0)
+    assert(expFailed > 0 && deltaIds.size > expFailed)
+    assert(stats.failed == expFailed)
+    assert(stats.processed == deltaIds.size - expFailed)
+    assert(stats.skipped == 20 - deltaIds.size)
+    val goodIds = deltaIds.filter(_ % 7 != 0)
+    val upserted = storeDf.filter(col("src_id").isin(goodIds.toSeq: _*))
+      .count()
+    assert(stats.vectorizedChunks == upserted && upserted > 0)
+    // dry-run: same counts, nothing vectorized
+    val (_, dry) = IncrementalRunner.runWithStats(spark, dataDir, store,
+      IncrementalRunner.Config(dryRun = true))
+    assert(dry.processed == stats.processed && dry.failed == stats.failed &&
+      dry.skipped == stats.skipped && dry.vectorizedChunks == 0)
+  }
+
+  test("tolerant jsonl read quarantines corrupt records, keeps the rest") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("jsonq").toString
+    val lines = Seq(
+      """{"chunk_id":"a","doc_id":1,"chunk_index":0,"chunk_text":"hello"}""",
+      """{"chunk_id":"b","doc_id":2,"chunk_index":1,"chunk_text":"world"}""",
+      """{this is not json""",
+      """{"chunk_index":0,"chunk_text":"missing identity fields"}""")
+    Files.write(java.nio.file.Paths.get(dir, "part-000.json"), lines.asJava)
+    val (good, bad) = graft.sources.JsonStores.readChunksJsonlTolerant(spark, dir)
+    assert(good.select("chunk_id").as[String].collect().sorted.toSeq == Seq("a", "b"))
+    assert(!good.columns.contains("_corrupt_record"))
+    val quarantined = bad.select("raw_record").as[String].collect()
+    assert(quarantined.length == 2)
+    assert(quarantined.exists(_.contains("this is not json")))
+  }
+
   test("media extract batches partitions and stubs deterministically") {
     val ds = MediaExtract.fromDocuments(spark, sf).repartition(2)
     val out = MediaExtract.extract(ds).collect()
