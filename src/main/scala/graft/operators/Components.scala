@@ -30,18 +30,33 @@ object Components {
     val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
+    // seed with min(self, direct neighbours): one groupBy, and the
+    // common dedup shape (star clusters around the min id) converges at
+    // the seed — a full propagation round saved every run
+    val minNbr = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
     var labels = Iterate.materialize(
-      nodes.select(col("id"), col("id").as("lbl")), checkpointDir)
-    var changed = 1L
-    while (changed > 0) {
+      nodes.join(minNbr, nodes("id") === minNbr("src"), "left_outer")
+        .select(nodes("id"),
+          least(nodes("id"), coalesce(col("mn"), nodes("id"))).as("lbl")),
+      checkpointDir)
+    // labels only ever decrease, so their exact (decimal — no IEEE
+    // rounding at 10^10 nodes) sum strictly decreases iff any label
+    // moved: fixpoint detection is one agg action per round instead of
+    // a compare-join of consecutive rounds
+    def lsum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prev = lsum(labels)
+    var done = false
+    while (!done) {
       val viaEdges = labels.join(sym, labels("id") === sym("src"))
         .select(sym("dst").as("id"), labels("lbl").as("lbl"))
       val next = Iterate.materialize(
         labels.unionAll(viaEdges).groupBy(col("id"))
           .agg(min(col("lbl")).as("lbl")), checkpointDir)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") < col("prev")).count()
+      val cur = lsum(next)
       labels = next
+      done = java.util.Objects.equals(cur, prev)
+      prev = cur
     }
     sym.unpersist()
     labels

@@ -136,11 +136,21 @@ object Dedup {
     * deduplicated corpus: `filter(is_kept)` is the training set.
     */
   def keep(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhash(s, d).select(col("a_id"), col("b_id"))
-    val nodes = Tables.docsAug(s, d).select(col("doc_id").as("id"))
-    Components.connectedComponents(nodes, pairs)
-      .select(col("id").as("doc_id"), col("lbl").as("keep_id"),
-        (col("lbl") === col("id")).as("is_kept"))
+    val pairs = minhash(s, d).select(col("a_id"), col("b_id")).persist()
+    // only pair members enter the iteration: the isolated majority of a
+    // deduped corpus (it's the whole point that most docs have no dup)
+    // never rides a propagation round — they rejoin as their own keeper
+    // at the end. At 100 TB this is the difference between iterating
+    // over a few percent and iterating over everything.
+    val members = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+    val labels = Components.connectedComponents(members, pairs)
+    pairs.unpersist()
+    Tables.docsAug(s, d).select(col("doc_id"))
+      .join(labels, col("doc_id") === labels("id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("keep_id"),
+        (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("is_kept"))
       .orderBy(col("doc_id"))
   }
 
