@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Plan audit main — prints the plan facts the 100 TB design claims:
+  * pushed filters, broadcast vs shuffle joins per analytics query, and
+  * the round-2 invariants (shuffle-free centroid assignment, shuffled
+  * rare-shingle join, salted band exchanges, partial-agg ANN ranking).
+  * The enforceable versions of these checks live in AnnSpec/ScaleSpec;
+  * this main is the human-readable sweep.
+  */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -16,6 +25,36 @@ object ExplainAudit {
       println(s"== $n: scans=$scans bhj=$bcast smj=$smj")
       pushed.foreach(p => println(s"   $p"))
     }
+
+    // round-2 invariants
+    def flag(name: String, ok: Boolean): Unit =
+      println(s"== $name: ${if (ok) "OK" else "VIOLATED"}")
+
+    val e = Tables.embeddings(spark, d).selectExpr("vec_id", "embedding")
+      .withColumn("nrm", operators.Ann.norm(col("embedding")))
+    val cents = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assignPlan = operators.KMeansVec.assign(e, cents)
+      .queryExecution.executedPlan.toString
+    flag("ivf assignment shuffle-free",
+      !assignPlan.contains("Exchange") && !assignPlan.contains("Window"))
+
+    val ngramPlan = operators.Dedup.ngramJaccard(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("ngram rare join shuffled (never broadcast)",
+      ngramPlan.contains("ShuffledHashJoin"))
+
+    val minhashPlan = operators.Dedup.minhash(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("band self-join salted (__salt in a join key)",
+      minhashPlan.contains("__salt"))
+
+    val brutePlan = operators.Ann.bruteForce(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("ANN rank via partial ObjectHashAggregate (no score-matrix window)",
+      brutePlan.contains("ObjectHashAggregate") && !brutePlan.contains("Window"))
+
     spark.stop()
   }
 }

@@ -44,6 +44,10 @@ object SparkEntry {
     "q_dedup_embed" -> (Ann.embedDedup _),
     "q_ann_brute" -> (Ann.bruteForce _),
     "q_ann_ivf" -> (Ann.ivf _),
+    "q_split" -> (Corpus.split _),
+    "q_domain_mix" -> (Corpus.domainMix _),
+    "q_contamination" -> (Corpus.contamination _),
+    "q_pack" -> (Corpus.pack _),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_quality" -> (TextAnalysis.quality _),
     "q_tokens" -> (TextAnalysis.tokens _),
@@ -79,6 +83,10 @@ object SparkEntry {
     "q_dedup_embed" -> Ann.embedDedupSql,
     "q_ann_brute" -> Ann.bruteForceSql,
     "q_ann_ivf" -> Ann.ivfSql,
+    "q_split" -> Corpus.splitSql,
+    "q_domain_mix" -> Corpus.domainMixSql,
+    "q_contamination" -> Corpus.contaminationSql,
+    "q_pack" -> Corpus.packSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,
     "q_tokens" -> TextAnalysis.tokensSql,

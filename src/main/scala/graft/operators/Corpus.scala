@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the steps between "deduplicated corpus"
+  * and "training mix" in a large-scale pretraining pipeline: stable
+  * splits, domain mixing stats, benchmark-contamination screening, and
+  * token-budget sequence binning. No reference analogue (the reference
+  * stops at vector upload); these extend the LLM-training-data surface
+  * alongside the dedup/ANN/text-analysis blocks.
+  *
+  * All arithmetic is md5-derived integers + explicit rounding, shared
+  * with the DuckDB oracle like the rest of the engine.
+  */
+object Corpus {
+
+  val TrainPct = 80
+  val ValPct = 10 // remainder is test
+  val SeqTokens = 2048
+  val EvalMod = 97 // doc_id % 97 = 0 -> the held-out "benchmark" set
+  val MinSharedShingles = 3
+
+  /** q_split — deterministic train/val/test assignment by content-free
+    * id hash: bucket = first-28-bits(md5('split:' || doc_id)) % 100.
+    * Stable across runs/engines, uncorrelated with any content feature,
+    * and adding documents never reshuffles existing assignments —
+    * THE property a reproducible training corpus needs (a rand() or
+    * row_number split breaks on every re-run or upstream insert).
+    * Pure per-row map, no shuffle.
+    */
+  def split(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 7), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  val splitSql: String =
+    s"""SELECT doc_id,
+       |       ('0x' || substr(md5('split:' || doc_id), 1, 7))::BIGINT % 100 AS bucket,
+       |       CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 7))::BIGINT % 100 < $TrainPct THEN 'train'
+       |            WHEN ('0x' || substr(md5('split:' || doc_id), 1, 7))::BIGINT % 100 < ${TrainPct + ValPct} THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** q_domain_mix — per-source (domain) corpus composition: doc count,
+    * token count, share of total tokens, mean doc length. The frame a
+    * mixing/weighting step consumes. One partial-agg groupBy over a
+    * per-row token count; the share window runs over the already-
+    * aggregated |domains|-row frame (tiny by construction), not the
+    * corpus.
+    */
+  def domainMix(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("source"), size(TextSim.tokens(col("text"))).cast("long").as("n_toks"))
+    val agg = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    agg
+      .withColumn("token_share",
+        TextSim.r6(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy())))
+      .withColumn("avg_doc_tokens",
+        TextSim.r6(col("n_tokens").cast("double") / col("n_docs")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("token_share"), col("avg_doc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val domainMixSql: String =
+    s"""WITH per_doc AS (
+       |  SELECT source,
+       |         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_toks
+       |  FROM documents
+       |), agg AS (
+       |  SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens
+       |  FROM per_doc GROUP BY source
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |       ${TextSim.r6Sql("n_tokens::DOUBLE / sum(n_tokens) OVER ()")} AS token_share,
+       |       ${TextSim.r6Sql("n_tokens::DOUBLE / n_docs")} AS avg_doc_tokens
+       |FROM agg
+       |ORDER BY source""".stripMargin
+
+  /** q_contamination — benchmark-contamination screen: which training
+    * documents share >= $MinSharedShingles word-3-gram shingles with a
+    * held-out eval document (doc_id % $EvalMod = 0). Inverted-index
+    * join on the shingle key.
+    *
+    * The eval side IS broadcast — deliberately, in contrast to the
+    * ngram rare-shingle set: a benchmark suite is bounded by
+    * construction (thousands of documents, not a function of corpus
+    * size), so its shingle table stays broadcastable at any corpus
+    * scale. The corpus side streams past it with no shuffle of the
+    * postings; only the (train_id, eval_id) count groupBy shuffles —
+    * candidate pairs only.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(TextSim.shingles3(col("t"))).as("shingle"))
+    val evalSh = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val trainSh = sh.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    trainSh.join(broadcast(evalSh), "shingle")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedShingles)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${TextSim.shingles3Sql("t")}) AS shingle
+       |  FROM (
+       |    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |    FROM documents)
+       |  WHERE len(t) >= 3
+       |)
+       |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+       |       count(*) AS n_shared
+       |FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |WHERE a.doc_id % $EvalMod <> 0 AND b.doc_id % $EvalMod = 0
+       |GROUP BY train_id, eval_id
+       |HAVING count(*) >= $MinSharedShingles
+       |ORDER BY train_id, eval_id""".stripMargin
+
+  /** q_pack — token-budget sequence binning: within each source, docs
+    * (in doc_id order) are assigned to the training sequence their
+    * token prefix-sum lands in (`floor(tokens_before / $SeqTokens)`).
+    * Set-at-a-time: one window shuffle on source; a bin can overflow by
+    * at most one document, the standard scalable approximation — exact
+    * greedy packing is a sequential fold (the [[Etl.chunkLinear]]
+    * pattern) if byte-exact budgets ever matter.
+    */
+  def pack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(TextSim.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("seq_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / SeqTokens))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val packSql: String =
+    s"""WITH per_doc AS (
+       |  SELECT source, doc_id,
+       |         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT source, doc_id, n_tokens,
+       |       floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |             / $SeqTokens)::BIGINT AS seq_id
+       |FROM per_doc
+       |ORDER BY source, doc_id""".stripMargin
+}
