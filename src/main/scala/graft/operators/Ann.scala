@@ -83,20 +83,30 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** q_ann_brute — exact top-k cosine neighbours for each query vector
-    * (query set: vec_id % 100 = 0), self excluded. Broadcast query set,
-    * one pass over the vectors, partial top-k before the rank shuffle.
+  /** Exact top-k cosine neighbours of each query vector over a vector
+    * corpus — both frames `(vec_id, embedding: array<float>)`, ids in
+    * one space (a query never matches itself). Broadcast query set, one
+    * pass over the vectors, partial top-k before the rank shuffle. The
+    * right answer whenever |Q| is broadcast-small; [[ivf]] is the
+    * indexed path.
     */
-  def bruteForce(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d))
-    val q = e.filter(col("vec_id") % 100 === 0)
+  def topKNeighbors(s: SparkSession, vectors: DataFrame, queries: DataFrame,
+    k: Int = TopK): DataFrame = {
+    val e = withNorm(vectors.select(col("vec_id"), col("embedding")))
+    val q = withNorm(queries.select(col("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as(
           "cos_sim"))
-    rankTopK(s, scored, TopK)
+    rankTopK(s, scored, k)
+  }
+
+  /** q_ann_brute — [[topKNeighbors]]: query set vec_id % 100 = 0. */
+  def bruteForce(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    topKNeighbors(s, e, e.filter(col("vec_id") % 100 === 0), TopK)
   }
 
   val bruteForceSql: String =
@@ -130,25 +140,34 @@ object Ann {
       .select(col("query_id"), col("p.cent_id").as("cent_id"),
         col("q_emb"), col("q_nrm"))
 
-  /** q_ann_ivf — IVF-style ANN: deterministic coarse centroids
-    * (vec_id % 25 = 0), shuffle-free nearest-centroid assignment (the
+  /** IVF search over pre-normed vectors and a `(cent_id, c_emb, c_nrm)`
+    * centroid frame: shuffle-free nearest-centroid assignment (the
     * [[graft.functions.NearestCentroids]] per-row argmax — this is the
-    * partitioning that makes 100 TB tractable), nprobe=2 probing,
+    * partitioning that makes 100 TB tractable), `nprobe` probing,
     * partial top-k within the probed lists.
     */
-  def ivf(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d))
-    val cents = e.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    val assigned = KMeansVec.assign(e, cents)
-    val q = e.filter(col("vec_id") % 100 === 0)
-    val scored = probeLists(q, cents, NProbe).join(assigned, "cent_id")
+  def ivfSearch(s: SparkSession, vectorsWithNorm: DataFrame,
+    queriesWithNorm: DataFrame, cents: DataFrame, k: Int = TopK,
+    nprobe: Int = NProbe): DataFrame = {
+    val assigned = KMeansVec.assign(vectorsWithNorm, cents)
+    val scored = probeLists(queriesWithNorm, cents, nprobe)
+      .join(assigned, "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as("cos_sim"))
     // a vector reached via both probed lists dedups inside the top-k
     // buffer — no distinct() shuffle of the candidate set
-    rankTopK(s, scored, TopK)
+    rankTopK(s, scored, k)
+  }
+
+  /** q_ann_ivf — [[ivfSearch]] with deterministic coarse centroids
+    * (vec_id % 25 = 0) and the % 100 query set.
+    */
+  def ivf(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cents = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    ivfSearch(s, e, e.filter(col("vec_id") % 100 === 0), cents)
   }
 
   val ivfSql: String =
@@ -200,13 +219,7 @@ object Ann {
     iters: Int = 3): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
     val cents = KMeansVec.fit(Tables.embeddings(s, d), k, iters)
-    val assigned = KMeansVec.assign(e, cents)
-    val q = e.filter(col("vec_id") % 100 === 0)
-    val scored = probeLists(q, cents, NProbe).join(assigned, "cent_id")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as("cos_sim"))
-    rankTopK(s, scored, TopK)
+    ivfSearch(s, e, e.filter(col("vec_id") % 100 === 0), cents)
   }
 
   /** Deterministic ±1 hyperplane matrix, LCG-derived once at plan-build
@@ -220,13 +233,13 @@ object Ann {
       1.0 else -1.0
   }
 
-  /** q_dedup_embed — near-duplicate vectors (cosine ≥ 0.95) via
-    * random-hyperplane LSH blocking on the dup-injected corpus:
-    * 48 sign bits → 4 bands × 12 bits (4096 buckets/band) →
+  /** Near-duplicate vector pairs (cosine ≥ `threshold`) over any
+    * `(vec_id, embedding)` frame via random-hyperplane LSH blocking:
+    * 48 sign bits → 4 bands × 12 bits (4096 buckets/band) → salted
     * band-bucket self-join → exact cosine verify on candidates only.
     */
-  def embedDedup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embAug(s, d)
+  def nearDups(vectors: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val e = vectors.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
     val bits = graft.functions.HyperplaneBits(col("embedding"), Coefs)
     // Barrier: without it project-collapse inlines the 12-plane × 64-dim
@@ -257,9 +270,13 @@ object Ann {
     cand.join(ea, "a_id").join(eb, "b_id")
       .select(col("a_id"), col("b_id"),
         cosine(col("a_emb"), col("a_nrm"), col("b_emb"), col("b_nrm")).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.95)
+      .filter(col("cos_sim") >= threshold)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** q_dedup_embed — [[nearDups]] on the dup-injected vector corpus. */
+  def embedDedup(s: SparkSession, d: String): DataFrame =
+    nearDups(Tables.embAug(s, d), 0.95)
 
   private val coefsSqlLit: String =
     Coefs.map(row => row.map(c => if (c > 0) "1.0" else "-1.0")

@@ -20,11 +20,13 @@ object Dedup {
   /** Salt ways for the LSH band self-joins. */
   val LshSalt = 4
 
-  /** q_dedup_exact — content-hash dedup, keep lowest doc_id per group,
-    * report the groups that actually had duplicates.
+  /** Exact content-hash dedup over any `(doc_id, text)` frame: keep
+    * lowest doc_id per group, report the groups that actually had
+    * duplicates. Map-side partial agg into one group per distinct
+    * content — the shuffle carries hashes, not text.
     */
-  def exact(s: SparkSession, d: String): DataFrame =
-    Tables.docsAug(s, d)
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"),
@@ -34,6 +36,10 @@ object Dedup {
       .select(col("content_hash"), col("keep_id"), col("n_copies"),
         concat_ws(",", transform(col("all_ids"), x => x.cast("string"))).as("all_ids"))
       .orderBy(col("keep_id"))
+
+  /** q_dedup_exact — [[exactGroups]] on the dup-injected corpus. */
+  def exact(s: SparkSession, d: String): DataFrame =
+    exactGroups(Tables.docsAug(s, d))
 
   val exactSql: String =
     s"""WITH ${Tables.docsAugSql}
@@ -56,30 +62,44 @@ object Dedup {
        |  FROM toks WHERE len(t) >= 3
        |)""".stripMargin
 
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.docsAug(s, d)
+  /** Distinct word-3-gram shingles of a `(doc_id, text)` frame (docs
+    * with fewer than 3 tokens drop out — they have no 3-gram identity).
+    */
+  def shingleDocs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingles3(col("t")).as("sh"))
 
-  /** q_dedup_minhash — MinHash+LSH near-dup pairs.
-    * shingle → 64-hash signature (map) → 16 bands × 4 rows → bucket
-    * self-join (the one shuffle) → exact-Jaccard verify ≥ 0.8 on
-    * candidates only.
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingleDocs(Tables.docsAug(s, d))
+
+  /** MinHash signature table `(doc_id, sh, sig)` of a shingled frame,
+    * persisted — the explicit barrier the band join needs.
+    *
+    * Both internal persists are load-bearing: without them Catalyst's
+    * project-collapse inlines (a) the md5 pair array into the 64-k
+    * signature lambda (64× md5 per shingle) and (b) the signature into
+    * the 16-band slice (16× recompute) — and the band self-join would
+    * recompute everything for each side. At 100 TB the same barrier is
+    * the signature table written to storage once and joined from there
+    * ([[graft.sources.SignatureStore]]).
     */
-  def minhash(s: SparkSession, d: String): DataFrame = {
-    // Two persist barriers, both load-bearing: without them Catalyst's
-    // project-collapse inlines (a) the md5 pair array into the 64-k
-    // signature lambda (64× md5 per shingle) and (b) the signature into
-    // the 16-band slice (16× recompute) — and the band self-join would
-    // recompute everything for each side. At 100 TB the same barrier is
-    // the signature table written to storage once and joined from there.
-    val paired = shingled(s, d)
+  def minhashSignatures(shingled: DataFrame): DataFrame = {
+    val paired = shingled
       .withColumn("pairs", hashPairs(col("sh"))).persist()
-    val sig = paired
+    paired
       .select(col("doc_id"), col("sh"),
         graft.functions.SigExprs.minhashSig(col("pairs")).as("sig"))
       .persist()
+  }
+
+  /** Verified near-dup pairs from a `(doc_id, sh, sig)` signature
+    * table (persisted or storage-backed): 16 bands × 4 rows → salted
+    * bucket self-join (the one shuffle, bare ids only) → exact-Jaccard
+    * verify ≥ 0.8 on unique candidates.
+    */
+  def minhashPairsFrom(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"), slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)).as("bsig"))))
@@ -97,6 +117,14 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** MinHash+LSH near-dup pairs over any `(doc_id, text)` frame. */
+  def minhashPairs(docs: DataFrame): DataFrame =
+    minhashPairsFrom(minhashSignatures(shingleDocs(docs)))
+
+  /** q_dedup_minhash — [[minhashPairs]] on the dup-injected corpus. */
+  def minhash(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.docsAug(s, d))
 
   private val jaccardSql: String = TextSim.r6Sql(
     "len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))")
@@ -135,8 +163,15 @@ object Dedup {
     * keeper. This is the step that turns pair lists into an actual
     * deduplicated corpus: `filter(is_kept)` is the training set.
     */
-  def keep(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhash(s, d).select(col("a_id"), col("b_id")).persist()
+  def keep(s: SparkSession, d: String): DataFrame =
+    keepFrom(Tables.docsAug(s, d).select(col("doc_id")),
+      minhash(s, d).select(col("a_id"), col("b_id")))
+
+  /** Survivor labeling for any `(doc_id)` node frame and `(a_id, b_id)`
+    * near-dup pair frame: (doc_id, keep_id, is_kept).
+    */
+  def keepFrom(nodes: DataFrame, pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.persist()
     // only pair members enter the iteration: the isolated majority of a
     // deduped corpus (it's the whole point that most docs have no dup)
     // never rides a propagation round — they rejoin as their own keeper
@@ -146,7 +181,7 @@ object Dedup {
       .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
     val labels = Components.connectedComponents(members, pairs)
     pairs.unpersist()
-    Tables.docsAug(s, d).select(col("doc_id"))
+    nodes
       .join(labels, col("doc_id") === labels("id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("keep_id"),
@@ -168,14 +203,15 @@ object Dedup {
        |SELECT id AS doc_id, min(r) AS keep_id, min(r) = id AS is_kept
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
-  /** q_dedup_simhash — 48-bit SimHash near-dup pairs, Hamming ≤ 3.
-    * 4 × 12-bit band blocking is exact for Hamming ≤ 3 (pigeonhole:
-    * 3 differing bits can dirty at most 3 of 4 bands).
+  /** 48-bit SimHash near-dup pairs (Hamming ≤ 3) over any
+    * `(doc_id, text)` frame. 4 × 12-bit band blocking is exact for
+    * Hamming ≤ 3 (pigeonhole: 3 differing bits can dirty at most 3 of
+    * 4 bands).
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  def simhashPairs(docs: DataFrame): DataFrame = {
     // Same barrier pattern as minhash: materialize md5 pairs once, then
     // the 48-bit signature once, before the band self-join.
-    val paired = Tables.docsAug(s, d)
+    val paired = docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
       .withColumn("pairs", hashPairs(col("t"))).persist()
@@ -197,6 +233,10 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q_dedup_simhash — [[simhashPairs]] on the dup-injected corpus. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.docsAug(s, d))
+
   val simhashSql: String =
     s"""WITH ${Tables.docsAugSql},
        |toks AS (
@@ -216,15 +256,15 @@ object Dedup {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** q_dedup_ngram — exact n-gram Jaccard with inverted-index blocking:
-    * candidates = pairs sharing any *rare* shingle (doc-frequency ≤ 5).
-    * The posting-list self-join replaces the reference-era all-pairs
-    * scan; df-capping bounds bucket size (a stopword-like shingle never
-    * explodes the join).
+  /** Exact n-gram Jaccard with inverted-index blocking over any
+    * `(doc_id, text)` frame: candidates = pairs sharing any *rare*
+    * shingle (doc-frequency ≤ 5). The posting-list self-join replaces
+    * the reference-era all-pairs scan; df-capping bounds bucket size (a
+    * stopword-like shingle never explodes the join).
     */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  def ngramPairs(docs: DataFrame): DataFrame = {
     // shingled feeds postings AND both verify sides — one barrier, three reads
-    val sh = shingled(s, d).persist()
+    val sh = shingleDocs(docs).persist()
     val postings = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val rare = postings.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
@@ -249,6 +289,10 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** q_dedup_ngram — [[ngramPairs]] on the dup-injected corpus. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramPairs(Tables.docsAug(s, d))
 
   val ngramJaccardSql: String =
     s"""WITH $shingledSql,

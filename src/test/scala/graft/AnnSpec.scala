@@ -97,6 +97,36 @@ class AnnSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("multimodal: media features flow through the ANN library (near-dup + top-k)") {
+    import org.apache.spark.sql.functions._
+    // image features (stub decoder, real plumbing) as a vector corpus
+    val feats = MediaTransforms.extractFeatures(
+      MediaExtract.fromDocuments(spark, sf).limit(60)).toDF()
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+    // inject exact duplicate features under offset ids
+    val srcIds = feats.filter(col("vec_id") % 5 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val corpus = feats.unionAll(
+      feats.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    // near-dup blocking finds every injected copy (exact dups agree on
+    // all hyperplane bits, so LSH can never lose them)
+    val pairs = Ann.nearDups(corpus, 0.999)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(srcIds.map(i => (i, i + 100000L)).subsetOf(pairs))
+    // brute-force top-k: each copy ranks its source at cosine 1.0
+    val top = Ann.topKNeighbors(spark, corpus,
+      corpus.filter(col("vec_id") >= 100000L), k = 3)
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    srcIds.foreach { src =>
+      val hits = top(src + 100000L)
+      assert(hits.exists(h => h._2 == src && h._3 == 1.0),
+        s"copy of $src must see its source at cos 1.0, got ${hits.toList}")
+    }
+  }
+
   test("media transforms: meta, resize, frames, features are deterministic") {
     val ds = MediaExtract.fromDocuments(spark, sf).limit(40)
     val meta = MediaTransforms.decodeMeta(ds).collect()

@@ -85,6 +85,16 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("signature store: write-once bucketed signatures reproduce minhash pairs") {
+    val docs = Tables.docsAug(spark, sf)
+    graft.sources.SignatureStore.build(docs, "sig_store_t", buckets = 8)
+    val fromStore = graft.sources.SignatureStore.pairs(spark, "sig_store_t")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = operators.Dedup.minhashPairs(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromStore == direct && direct.nonEmpty)
+  }
+
   test("connected components labels chains/isolates; reliable checkpoint dir works") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val nodes = spark.range(1, 13).select(col("id"))
