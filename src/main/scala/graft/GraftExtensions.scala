@@ -20,5 +20,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vec_dot(a, b) - double-precision dot product of two float vectors",
         "array functions"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinhashSigExpr].getName, null,
+        "minhash_sig",
+        "minhash_sig(pairs) - 64-element MinHash signature from an " +
+          "array<struct<h1: long, h2: long>> hash-pair column " +
+          "(build pairs with graft.functions.TextSim.hashPairs)",
+        "hash functions"),
+      (children: Seq[Expression]) => graft.functions.MinhashSigExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash48"),
+      new ExpressionInfo(classOf[graft.functions.Simhash48Expr].getName, null,
+        "simhash48",
+        "simhash48(pairs) - 48-bit SimHash from an " +
+          "array<struct<h1: long, h2: long>> hash-pair column",
+        "hash functions"),
+      (children: Seq[Expression]) => graft.functions.Simhash48Expr(children.head)))
   }
 }

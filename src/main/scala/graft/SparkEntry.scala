@@ -26,6 +26,7 @@ object SparkEntry {
     "q_upsert_state" -> (Etl.upsertState _),
     "q_safe_name" -> (Etl.safeName _),
     "q_display_name" -> (Etl.displayName _),
+    "q_page_title" -> (Etl.pageTitle _),
     "q_normalize_id" -> (Etl.normalizeId _),
     "q_media_meta" -> (Etl.mediaMeta _),
     // B. analytics core
@@ -67,6 +68,7 @@ object SparkEntry {
     "q_upsert_state" -> Etl.upsertStateSql,
     "q_safe_name" -> Etl.safeNameSql,
     "q_display_name" -> Etl.displayNameSql,
+    "q_page_title" -> Etl.pageTitleSql,
     "q_normalize_id" -> Etl.normalizeIdSql,
     "q_media_meta" -> Etl.mediaMetaSql,
     "q1_agg" -> Analytics.q1AggSql,

@@ -247,6 +247,78 @@ object Etl {
       |       CASE WHEN display_name = '' THEN 'file' ELSE display_name END AS safe_filename
       |FROM named ORDER BY doc_id""".stripMargin
 
+  /** q_page_title — the reference's page-title extraction
+    * (page_title_from_properties, etl.py:131-138): scan a page's JSON
+    * property map for the first `type == "title"` property whose
+    * concatenated `plain_text` fragments are non-blank after trim;
+    * fall back to the page id. Schema-on-read `from_json` into a typed
+    * map (one parse per row, codegen-friendly field access) instead of
+    * per-path JSON pathing; candidate properties checked in the
+    * reference's iteration order (Name, then Title).
+    *
+    * Pages are synthesized from documents with property variants
+    * covering: multi-fragment titles, blank titles (fall through), no
+    * title property, and a non-title prop shadowing a later title.
+    */
+  def pageTitle(s: SparkSession, d: String): DataFrame = {
+    val pages = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("""{"Name":{"type":"title","title":[{"plain_text":"Page """),
+          col("doc_id"),
+          lit(""""},{"plain_text":" part two"}]},"Tags":{"type":"multi_select"}}""")))
+        .when(col("doc_id") % 4 === 1,
+          lit("""{"Title":{"type":"title","title":[{"plain_text":"   "}]}}"""))
+        .when(col("doc_id") % 4 === 2,
+          lit("""{"Status":{"type":"select"}}"""))
+        .otherwise(
+          concat(lit("""{"Name":{"type":"select"},"Title":{"type":"title","title":[{"plain_text":"Doc """),
+            col("doc_id"), lit("\"}]}}")))
+        .as("props"))
+    val propType = org.apache.spark.sql.types.DataType.fromDDL(
+      "map<string, struct<type: string, title: array<struct<plain_text: string>>>>")
+    val m = from_json(col("props"), propType)
+    def titleOf(key: String): Column = {
+      val p = element_at(m, key)
+      val joined = trim(concat_ws("",
+        transform(p.getField("title"), t => coalesce(t.getField("plain_text"), lit("")))))
+      when(p.getField("type") === "title" && joined =!= "", joined)
+    }
+    pages.select(col("doc_id"),
+      coalesce(titleOf("Name"), titleOf("Title"),
+        concat(lit("page-"), col("doc_id"))).as("page_title"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def titleOfSql(key: String): String = {
+    val joined =
+      s"""trim(coalesce(list_aggregate([coalesce(json_extract_string(props, '$$.$key.title[' || i || '].plain_text'), '')
+         |  for i in range(0, coalesce(json_array_length(props, '$$.$key.title'), 0)::BIGINT)], 'string_agg', ''), ''))""".stripMargin
+    s"""CASE WHEN json_extract_string(props, '$$.$key.type') = 'title'
+       |      AND $joined <> '' THEN $joined ELSE NULL END""".stripMargin
+  }
+
+  val pageTitleSql: String =
+    s"""WITH pages AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 4 = 0 THEN
+       |                '{"Name":{"type":"title","title":[{"plain_text":"Page ' || doc_id ||
+       |                '"},{"plain_text":" part two"}]},"Tags":{"type":"multi_select"}}'
+       |              WHEN doc_id % 4 = 1 THEN
+       |                '{"Title":{"type":"title","title":[{"plain_text":"   "}]}}'
+       |              WHEN doc_id % 4 = 2 THEN
+       |                '{"Status":{"type":"select"}}'
+       |              ELSE
+       |                '{"Name":{"type":"select"},"Title":{"type":"title","title":[{"plain_text":"Doc ' ||
+       |                doc_id || '"}]}}'
+       |         END AS props
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       coalesce(${titleOfSql("Name")}, ${titleOfSql("Title")},
+       |                'page-' || doc_id) AS page_title
+       |FROM pages
+       |ORDER BY doc_id""".stripMargin
+
   /** q_display_name — the reference's full name-derivation chain
     * (block_display_name + file_info_from_block + safe_filename,
     * etl.py:141-186), which q_safe_name only partially covered:

@@ -15,6 +15,19 @@ class SigExprsSpec extends AnyFunSuite {
     .withColumn("pairs", TextSim.hashPairs(col("sh")))
     .persist()
 
+  test("minhash_sig / simhash48 are SQL-callable via GraftExtensions") {
+    paired.createOrReplaceTempView("paired_sql_t")
+    val viaSql = spark.sql(
+      """SELECT doc_id, minhash_sig(pairs) AS sig, simhash48(pairs) AS sh
+        |FROM paired_sql_t""".stripMargin)
+      .as[(Long, Seq[Long], Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val viaApi = paired.select(col("doc_id"),
+      SigExprs.minhashSig(col("pairs")).as("sig"),
+      SigExprs.simhash48(col("pairs")).as("sh"))
+      .as[(Long, Seq[Long], Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("native minhash signature equals the HOF form on the corpus") {
     val both = paired.select(
       SigExprs.minhashSig(col("pairs")).as("native"),
