@@ -33,6 +33,8 @@ object SparkEntry {
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_topn" -> (Analytics.q3TopN _),
     "q5_region" -> (Analytics.q5Region _),
+    "q_rollup" -> (Analytics.rollupSummary _),
+    "q_exists" -> (Analytics.existsAnti _),
     "q_window_topk" -> (Analytics.windowTopK _),
     "q_events_hourly" -> (Analytics.eventsHourly _),
     "q_sessionize" -> (Analytics.sessionize _),
@@ -74,6 +76,8 @@ object SparkEntry {
     "q1_agg" -> Analytics.q1AggSql,
     "q3_topn" -> Analytics.q3TopNSql,
     "q5_region" -> Analytics.q5RegionSql,
+    "q_rollup" -> Analytics.rollupSummarySql,
+    "q_exists" -> Analytics.existsAntiSql,
     "q_window_topk" -> Analytics.windowTopKSql,
     "q_events_hourly" -> Analytics.eventsHourlySql,
     "q_sessionize" -> Analytics.sessionizeSql,

@@ -123,6 +123,59 @@ object Analytics {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q_rollup — multi-level pricing summary via ROLLUP grouping sets:
+    * (flag, status), (flag), and grand total in ONE pass — partial-agg
+    * friendly like q1 (the rollup expands map-side; the shuffle still
+    * carries a handful of groups). Null grouping cells are projected to
+    * 'ALL' so both engines order and hash identically.
+    */
+  def rollupSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        TextSim.r4(TextSim.dsum(col("l_quantity"))).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val rollupSummarySql: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       |       count(*) AS n_rows,
+       |       ${TextSim.r4Sql(TextSim.dsumSql("l_quantity"))} AS sum_qty
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q_exists — semi/anti-join shapes (EXISTS / NOT EXISTS): BUILDING
+    * customers who placed at least one order but never an URGENT one.
+    * Left-semi and left-anti joins shuffle on custkey and never
+    * materialize the probe side's payload — the set-membership pattern
+    * every incremental pipeline uses (the upsert sink is built on the
+    * same anti-join).
+    */
+  def existsAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(o.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val existsAntiSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
   /** Top-3 parts per brand by retail price: window row_number, single
     * shuffle on the partition key. At scale: rank within partitions is
     * sort-based; low-cardinality brand keys would salt if skewed.
