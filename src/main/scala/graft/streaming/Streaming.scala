@@ -62,7 +62,9 @@ object StreamingSessionize {
   val GapUs: Long = 30L * 60 * 1000000
 
   private def toRow(uid: Long, st: SessState): SessionRow =
-    SessionRow(uid, st.n, math.rint(st.sum * 10000) / 10000,
+    // same floor-based r4 convention as the batch mirror
+    // (TextSim.r4: floor(x*1e4 + 0.5)/1e4), not rint's half-to-even
+    SessionRow(uid, st.n, math.floor(st.sum * 10000 + 0.5) / 10000,
       st.firstEvent, st.lastEvent, st.start, st.last)
 
   /** One user's update: absorb the batch's events in (ts, event_id)

@@ -62,6 +62,36 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- Components ----
+
+  test("connected components == union-find spec on random graphs") {
+    val p = Gen.Parameters.default
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 25L); b <- Gen.chooseNum(0L, 25L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val graphs = (1 to 12).map { s =>
+      val n = Gen.chooseNum(0, 20).apply(p, Seed(s)).getOrElse(0)
+      Gen.listOfN(n, edgeGen).apply(p, Seed(s * 7919L)).getOrElse(Nil).distinct
+    }
+    for ((edges, gi) <- graphs.zipWithIndex) {
+      val nodes = (0L to 25L).toSeq
+      // union-find reference
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = nodes.map(n => n -> find(n)).toMap
+      val got = graft.operators.Components.connectedComponents(
+        nodes.toDF("id"),
+        edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"graph $gi: edges=$edges")
+    }
+  }
+
   // ---- NearestCentroids ----
 
   private def vecGen(dim: Int): Gen[Array[Float]] =
