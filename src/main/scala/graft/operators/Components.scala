@@ -27,24 +27,50 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
     checkpointDir: Option[String] = None): DataFrame = {
-    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist()
+    val sym = symmetric(pairs).persist()
     // seed with min(self, direct neighbours): one groupBy, and the
     // common dedup shape (star clusters around the min id) converges at
     // the seed — a full propagation round saved every run
     val minNbr = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-    var labels = Iterate.materialize(
-      nodes.join(minNbr, nodes("id") === minNbr("src"), "left_outer")
-        .select(nodes("id"),
-          least(nodes("id"), coalesce(col("mn"), nodes("id"))).as("lbl")),
-      checkpointDir)
-    // labels only ever decrease, so their exact (decimal — no IEEE
-    // rounding at 10^10 nodes) sum strictly decreases iff any label
-    // moved: fixpoint detection is one agg action per round instead of
-    // a compare-join of consecutive rounds
+    val seed = nodes.join(minNbr, nodes("id") === minNbr("src"), "left_outer")
+      .select(nodes("id"),
+        least(nodes("id"), coalesce(col("mn"), nodes("id"))).as("lbl"))
+    val labels = propagate(sym, seed, checkpointDir)
+    sym.unpersist()
+    labels
+  }
+
+  /** [[connectedComponents]] restricted to nodes that appear in a pair
+    * — every member IS an edge src after symmetrization, so the seed
+    * groupBy already enumerates them and no separate node frame (or
+    * members-distinct shuffle) is needed. The right entry point for
+    * dedup survivor labeling, where the isolated majority is handled
+    * by a final left join ([[Dedup.keepFrom]]), not by the iteration.
+    */
+  def fromPairs(pairs: DataFrame,
+    checkpointDir: Option[String] = None): DataFrame = {
+    val sym = symmetric(pairs).persist()
+    val seed = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+    val labels = propagate(sym, seed, checkpointDir)
+    sym.unpersist()
+    labels
+  }
+
+  private def symmetric(pairs: DataFrame): DataFrame =
+    pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+
+  /** Min-label rounds to fixpoint. Labels only ever decrease, so their
+    * exact (decimal — no IEEE rounding at 10^10 nodes) sum strictly
+    * decreases iff any label moved: fixpoint detection is one agg
+    * action per round instead of a compare-join of consecutive rounds.
+    */
+  private def propagate(sym: DataFrame, seed: DataFrame,
+    checkpointDir: Option[String]): DataFrame = {
     def lsum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var labels = Iterate.materialize(seed, checkpointDir)
     var prev = lsum(labels)
     var done = false
     while (!done) {
@@ -58,7 +84,6 @@ object Components {
       done = java.util.Objects.equals(cur, prev)
       prev = cur
     }
-    sym.unpersist()
     labels
   }
 }

@@ -177,9 +177,7 @@ object Dedup {
     // never rides a propagation round — they rejoin as their own keeper
     // at the end. At 100 TB this is the difference between iterating
     // over a few percent and iterating over everything.
-    val members = pairs
-      .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
-    val labels = Components.connectedComponents(members, pairs)
+    val labels = Components.fromPairs(pairs)
     pairs.unpersist()
     nodes
       .join(labels, col("doc_id") === labels("id"), "left_outer")

@@ -89,6 +89,13 @@ class KernelPropertySpec extends AnyFunSuite {
         edges.toDF("a_id", "b_id"))
         .as[(Long, Long)].collect().toMap
       assert(got == want, s"graph $gi: edges=$edges")
+      // fromPairs covers exactly the pair members, same labels
+      val members = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val gotPairs = graft.operators.Components.fromPairs(
+        edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotPairs == want.filter(kv => members(kv._1)),
+        s"graph $gi fromPairs: edges=$edges")
     }
   }
 
