@@ -47,6 +47,8 @@ object SparkEntry {
     "q_dedup_embed" -> (Ann.embedDedup _),
     "q_ann_brute" -> (Ann.bruteForce _),
     "q_ann_ivf" -> (Ann.ivf _),
+    "q_quantiles" -> (Analytics.quantiles _),
+    "q_histogram" -> (Corpus.histogram _),
     "q_split" -> (Corpus.split _),
     "q_domain_mix" -> (Corpus.domainMix _),
     "q_contamination" -> (Corpus.contamination _),
@@ -89,6 +91,8 @@ object SparkEntry {
     "q_dedup_embed" -> Ann.embedDedupSql,
     "q_ann_brute" -> Ann.bruteForceSql,
     "q_ann_ivf" -> Ann.ivfSql,
+    "q_quantiles" -> Analytics.quantilesSql,
+    "q_histogram" -> Corpus.histogramSql,
     "q_split" -> Corpus.splitSql,
     "q_domain_mix" -> Corpus.domainMixSql,
     "q_contamination" -> Corpus.contaminationSql,

@@ -224,6 +224,46 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** q_quantiles — exact discrete order statistics (p50/p95 of value
+    * per event_type): rank rows per group with a total order
+    * (value, event_id tiebreak), pick rank ceil(p·n). Exact and
+    * engine-identical, unlike interpolated percentile_cont whose
+    * formula differs across engines, or approx_percentile whose sketch
+    * isn't comparable at all. Cost model: one per-group window sort —
+    * the exact-answer price; at 100 TB the scale path is
+    * approx_percentile and this query is the accuracy oracle for it.
+    */
+  def quantiles(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val w = byType.orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy(col("event_type"))
+      .agg(
+        TextSim.r6(max(when(col("rn") === ceil(col("n") * lit(0.5)), col("value")))).as("p50"),
+        TextSim.r6(max(when(col("rn") === ceil(col("n") * lit(0.95)), col("value")))).as("p95"),
+        max(col("n")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val quantilesSql: String =
+    s"""WITH ranked AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY value, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events
+       |)
+       |SELECT event_type,
+       |       ${TextSim.r6Sql("max(CASE WHEN rn = ceil(n * 0.5) THEN value END)")} AS p50,
+       |       ${TextSim.r6Sql("max(CASE WHEN rn = ceil(n * 0.95) THEN value END)")} AS p95,
+       |       max(n) AS n_events
+       |FROM ranked
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   /** Sessionization: 30-min inactivity gap splits a user's events into
     * sessions (lag + running count of gap-starts), then per-session agg.
     * One shuffle on user_id; the window sort is within-partition. The

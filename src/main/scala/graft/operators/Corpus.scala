@@ -135,6 +135,36 @@ object Corpus {
        |HAVING count(*) >= $MinSharedShingles
        |ORDER BY train_id, eval_id""".stripMargin
 
+  /** q_histogram — document-length histogram (20-token bins) with
+    * corpus share: the distribution a quality-filter threshold is read
+    * off of. Per-row bin id + one partial-agg groupBy into a handful
+    * of bins; the share window runs over the aggregated bins only.
+    */
+  def histogram(s: SparkSession, d: String): DataFrame = {
+    val binned = Tables.documents(s, d)
+      .select((floor(size(TextSim.tokens(col("text"))) / 20) * 20)
+        .cast("long").as("bin_lo"))
+      .groupBy(col("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+    binned
+      .withColumn("share",
+        TextSim.r6(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy())))
+      .orderBy(col("bin_lo"))
+  }
+
+  val histogramSql: String =
+    s"""WITH binned AS (
+       |  SELECT (floor(len(list_filter(string_split(text, ' '), x -> x <> '')) / 20) * 20)::BIGINT AS bin_lo,
+       |         count(*) AS n_docs
+       |  FROM documents
+       |  GROUP BY 1
+       |)
+       |SELECT bin_lo, n_docs,
+       |       ${TextSim.r6Sql("n_docs::DOUBLE / sum(n_docs) OVER ()")} AS share
+       |FROM binned
+       |ORDER BY bin_lo""".stripMargin
+
   /** q_pack — token-budget sequence binning: within each source, docs
     * (in doc_id order) are assigned to the training sequence their
     * token prefix-sum lands in (`floor(tokens_before / $SeqTokens)`).
