@@ -444,11 +444,18 @@ object Etl {
     * per-file dict lookup; at 100 TB both sides bucket by id so this
     * is a co-partitioned sort-merge join.
     */
-  def manifestDelta(s: SparkSession, d: String): DataFrame = {
-    val m = Tables.manifest(s, d)
+  def manifestDelta(s: SparkSession, d: String): DataFrame =
+    manifestDeltaFrom(Tables.currentSnapshot(s, d), Tables.manifest(s, d))
+
+  /** Frame-based delta core: classify any current snapshot against any
+    * manifest frame (both `(id, content_hash, last_edited)` — e.g. one
+    * loaded from the reference's JSON manifest via
+    * [[graft.sources.JsonStores.loadManifest]]).
+    */
+  def manifestDeltaFrom(current: DataFrame, manifest: DataFrame): DataFrame = {
+    val m = manifest
       .select(col("id"), col("content_hash").as("m_hash"), col("last_edited").as("m_edited"))
-    val c = Tables.currentSnapshot(s, d)
-    c.join(m, Seq("id"), "left_outer")
+    current.join(m, Seq("id"), "left_outer")
       .select(col("id"),
         when(col("m_hash").isNull, "new")
           .when(col("m_hash") =!= col("content_hash") || col("m_edited") =!= col("last_edited"), "changed")

@@ -93,6 +93,18 @@ class SinksSpec extends AnyFunSuite {
       dry.skipped == stats.skipped && dry.vectorizedChunks == 0)
   }
 
+  test("manifest round-trips through JSON and drives the same delta") {
+    val dir = Files.createTempDirectory("manifest_rt").toString + "/manifest"
+    graft.sources.JsonStores.saveManifest(Tables.manifest(spark, sf), dir)
+    val loaded = graft.sources.JsonStores.loadManifest(spark, dir)
+    val viaJson = Etl.manifestDeltaFrom(Tables.currentSnapshot(spark, sf), loaded)
+      .select("id", "status").as[(Long, String)].collect().toMap
+    val direct = Etl.manifestDelta(spark, sf)
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(viaJson == direct && direct.nonEmpty)
+    assert(direct.values.toSet == Set("new", "changed", "unchanged"))
+  }
+
   test("tolerant jsonl read quarantines corrupt records, keeps the rest") {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("jsonq").toString
