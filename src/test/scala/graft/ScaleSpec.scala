@@ -85,6 +85,23 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("approx_percentile tracks the exact order-statistic quantiles") {
+    // q_quantiles is the accuracy oracle; approx_percentile is the
+    // 100 TB scale path (mergeable sketch, no per-group sort) — assert
+    // the sketch stays within its accuracy contract on real data
+    val approx = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"))
+      .as[(String, Double)].collect().toMap
+    val exact = operators.Analytics.quantiles(spark, sf)
+      .select("event_type", "p50").as[(String, Double)].collect().toMap
+    assert(exact.nonEmpty && approx.keySet == exact.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= math.max(0.05 * math.abs(v), 0.05),
+        s"$k: approx ${approx(k)} vs exact $v")
+    }
+  }
+
   test("signature store: write-once bucketed signatures reproduce minhash pairs") {
     val docs = Tables.docsAug(spark, sf)
     graft.sources.SignatureStore.build(docs, "sig_store_t", buckets = 8)
