@@ -25,6 +25,13 @@ case class Hit(cos_sim: Double, vec_id: Long)
   * duplicate is bit-identical and "first wins" equals SELECT DISTINCT.
   * That removes the ivf path's pre-ranking distinct(), which was a
   * second full shuffle of the candidate set.
+  *
+  * NaN scores (a zero-norm degenerate vector) never beat anything and
+  * rank LAST — deliberately: a SQL `ORDER BY sim DESC` window would
+  * rank NaN first (both Spark and DuckDB sort NaN greatest), which is
+  * never what a similarity search wants. Degenerate vectors should be
+  * filtered upstream; if one slips through it can't displace real
+  * neighbours here.
   */
 class TopKByScore(k: Int) extends Aggregator[ScoredHit, Seq[Hit], Seq[Hit]] {
 
