@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal main — replicates the corpus N× (distinct ids, so
+  * every source doc becomes an N-clone duplicate cluster) and times the
+  * heavy operators on it. Answers the question the small-SF bench
+  * can't: how do the dedup/ANN paths behave when the data — and worse,
+  * the duplicate-cluster sizes — grow multiplicatively? Clone clusters
+  * are exactly the "viral bucket" case the salted LSH self-joins exist
+  * for: every clone shares every band value with its siblings.
+  *
+  * Usage: `sbt "runMain graft.ScaleRehearsal [mult]"` (default 4).
+  * Prints one JSON line of per-stage seconds and output sizes.
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String): DataFrame =
+      (0 until mult).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+
+    val docs = replicate(
+      Tables.docsAug(spark, sfDir).select(col("doc_id"), col("text")), "doc_id")
+    val vecs = replicate(
+      Tables.embAug(spark, sfDir).select(col("vec_id"), col("embedding")), "vec_id")
+
+    var stages = List.empty[(String, Double, Long)]
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      stages ::= ((name, (System.nanoTime() - t0) / 1e9, n))
+      spark.catalog.clearCache()
+    }
+
+    t("minhash_pairs") {
+      operators.Dedup.minhashPairs(docs).count()
+    }
+    t("dedup_keep") {
+      val pairs = operators.Dedup.minhashPairs(docs)
+        .select(col("a_id"), col("b_id"))
+      operators.Dedup.keepFrom(docs.select(col("doc_id")), pairs)
+        .filter(col("is_kept")).count()
+    }
+    t("simhash_pairs") {
+      operators.Dedup.simhashPairs(docs).count()
+    }
+    t("embed_neardups") {
+      operators.Ann.nearDups(vecs, 0.95).count()
+    }
+    t("ann_topk") {
+      operators.Ann.topKNeighbors(spark, vecs,
+        vecs.filter(col("vec_id") % 400 === 0), 10).count()
+    }
+
+    val qs = stages.reverse.map { case (k, v, n) =>
+      s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"rehearsal":$qs,"mult":$mult,"sf":"$sfDir"}""")
+  }
+}
