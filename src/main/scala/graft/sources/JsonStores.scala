@@ -47,6 +47,20 @@ object JsonStores {
   def loadManifest(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(ManifestSchema).json(path)
 
+  /** First-run-safe manifest load — the reference's missing-manifest
+    * default (`load_manifest` returns `{"files": {}}` when neither the
+    * local file nor the s3 object exists, etl.py:190-204): an absent
+    * path yields an empty, correctly-typed manifest, so the first
+    * incremental run classifies everything `new` instead of crashing.
+    */
+  def loadManifestOrEmpty(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) loadManifest(spark, path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ManifestSchema)
+  }
+
   /** Fault-tolerant JSONL chunk read with a quarantine side-output —
     * the reference's skip-and-continue on bad pages/blocks
     * (Notion_openai_vector_etl.py:497-504, 542-546) applied to ingest:

@@ -93,6 +93,16 @@ class SinksSpec extends AnyFunSuite {
       dry.skipped == stats.skipped && dry.vectorizedChunks == 0)
   }
 
+  test("missing manifest loads empty and classifies everything new (first run)") {
+    val missing = Files.createTempDirectory("mf_missing").toString + "/never_written"
+    val empty = graft.sources.JsonStores.loadManifestOrEmpty(spark, missing)
+    assert(empty.count() == 0 &&
+      empty.schema == graft.sources.JsonStores.ManifestSchema)
+    val delta = Etl.manifestDeltaFrom(Tables.currentSnapshot(spark, sf), empty)
+    assert(delta.filter(col("status") =!= "new").count() == 0)
+    assert(delta.count() == Tables.currentSnapshot(spark, sf).count())
+  }
+
   test("manifest round-trips through JSON and drives the same delta") {
     val dir = Files.createTempDirectory("manifest_rt").toString + "/manifest"
     graft.sources.JsonStores.saveManifest(Tables.manifest(spark, sf), dir)
