@@ -64,10 +64,13 @@ object Corpus {
       .select(col("source"), size(TextSim.tokens(col("text"))).cast("long").as("n_toks"))
     val agg = perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-    agg
+    // corpus total as a broadcast scalar, NOT an unpartitioned window:
+    // a global window funnels every domain row through one task, which
+    // breaks exactly when domains number in the millions
+    val total = agg.agg(sum(col("n_tokens")).as("total_tokens"))
+    agg.crossJoin(broadcast(total))
       .withColumn("token_share",
-        TextSim.r6(col("n_tokens").cast("double") /
-          sum(col("n_tokens")).over(Window.partitionBy())))
+        TextSim.r6(col("n_tokens").cast("double") / col("total_tokens")))
       .withColumn("avg_doc_tokens",
         TextSim.r6(col("n_tokens").cast("double") / col("n_docs")))
       .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -146,10 +149,11 @@ object Corpus {
         .cast("long").as("bin_lo"))
       .groupBy(col("bin_lo"))
       .agg(count(lit(1)).as("n_docs"))
-    binned
+    val total = binned.agg(sum(col("n_docs")).as("total_docs"))
+    binned.crossJoin(broadcast(total))
       .withColumn("share",
-        TextSim.r6(col("n_docs").cast("double") /
-          sum(col("n_docs")).over(Window.partitionBy())))
+        TextSim.r6(col("n_docs").cast("double") / col("total_docs")))
+      .select(col("bin_lo"), col("n_docs"), col("share"))
       .orderBy(col("bin_lo"))
   }
 

@@ -24,6 +24,12 @@ object Dedup {
     * lowest doc_id per group, report the groups that actually had
     * duplicates. Map-side partial agg into one group per distinct
     * content — the shuffle carries hashes, not text.
+    *
+    * The `all_ids` enumeration is the REPORT form — a viral cluster
+    * (millions of copies of one document) would make its collect_list
+    * cell unbounded. At that scale emit `(keep_id, doc_id)` rows
+    * instead: exactly what [[keepFrom]] produces, with `min(doc_id)`
+    * as the keeper — same keep semantics, no per-group materialization.
     */
   def exactGroups(docs: DataFrame): DataFrame =
     docs
