@@ -112,6 +112,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(fromStore == direct && direct.nonEmpty)
   }
 
+  test("survivor set composes across detector families (minhash + simhash + embed)") {
+    // the production dedup shape: several near-dup detectors, ONE
+    // survivor materialization over the union of their pair sets
+    val docs = Tables.docsAug(spark, sf)
+    val textPairs = operators.Dedup.minhashPairs(docs).select("a_id", "b_id")
+      .unionAll(operators.Dedup.simhashPairs(docs).select("a_id", "b_id"))
+    val kept = operators.Dedup.keepFrom(docs.select(col("doc_id")), textPairs)
+    val n = docs.count()
+    assert(kept.count() == n)
+    // every injected exact copy (doc_id + 1000000) must lose, and land
+    // in the SAME cluster as its source (families may merge clusters
+    // further — the keeper is the cluster min, not necessarily the
+    // direct source)
+    val keepOf = kept.select("doc_id", "keep_id")
+      .as[(Long, Long)].collect().toMap
+    val copies = kept.filter(col("doc_id") >= 1000000 && col("doc_id") < 2000000)
+      .select("doc_id", "keep_id", "is_kept")
+      .as[(Long, Long, Boolean)].collect()
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, keep, isKept) =>
+      assert(!isKept && keep == keepOf(id - 1000000),
+        s"copy $id must share its source's cluster keeper ${keepOf(id - 1000000)}, got $keep")
+    }
+    // survivors are closed under the pair set: no kept doc is the b-side
+    // of a pair whose a-side is also kept... (a kept pair would mean an
+    // unmerged cluster)
+    val keptIds = kept.filter(col("is_kept")).select("doc_id").as[Long].collect().toSet
+    val unmerged = textPairs.as[(Long, Long)].collect()
+      .filter { case (a, b) => keptIds(a) && keptIds(b) }
+    assert(unmerged.isEmpty, s"pairs with both sides kept: ${unmerged.take(5).toList}")
+  }
+
   test("connected components labels chains/isolates; reliable checkpoint dir works") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val nodes = spark.range(1, 13).select(col("id"))
