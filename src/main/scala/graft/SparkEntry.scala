@@ -51,6 +51,7 @@ object SparkEntry {
     "q_histogram" -> (Corpus.histogram _),
     "q_split" -> (Corpus.split _),
     "q_domain_mix" -> (Corpus.domainMix _),
+    "q_domain_cap" -> (Corpus.domainCap _),
     "q_contamination" -> (Corpus.contamination _),
     "q_pack" -> (Corpus.pack _),
     "q_lang_id" -> (TextAnalysis.langId _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "q_histogram" -> Corpus.histogramSql,
     "q_split" -> Corpus.splitSql,
     "q_domain_mix" -> Corpus.domainMixSql,
+    "q_domain_cap" -> Corpus.domainCapSql,
     "q_contamination" -> Corpus.contaminationSql,
     "q_pack" -> Corpus.packSql,
     "q_lang_id" -> TextAnalysis.langIdSql,

@@ -138,6 +138,37 @@ object Corpus {
        |HAVING count(*) >= $MinSharedShingles
        |ORDER BY train_id, eval_id""".stripMargin
 
+  /** q_domain_cap — per-domain downsampling: keep at most `DomainCap`
+    * docs per source, chosen by md5-hash order (an unbiased,
+    * deterministic sample — doc_id order would bias toward old
+    * documents, rand() wouldn't reproduce). The standard fix for an
+    * over-represented domain in the training mix. One window shuffle on
+    * source; a skewed mega-domain salts like any hot key.
+    */
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pick_hash"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        md5(concat(lit("cap:"), col("doc_id"))).as("pick_hash"))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= DomainCap)
+      .select(col("source"), col("doc_id"), col("pick_rank"))
+      .orderBy(col("source"), col("pick_rank"))
+  }
+
+  val DomainCap = 15
+
+  val domainCapSql: String =
+    s"""SELECT source, doc_id, pick_rank
+       |FROM (
+       |  SELECT source, doc_id,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY md5('cap:' || doc_id), doc_id)::BIGINT AS pick_rank
+       |  FROM documents)
+       |WHERE pick_rank <= $DomainCap
+       |ORDER BY source, pick_rank""".stripMargin
+
   /** q_histogram — document-length histogram (20-token bins) with
     * corpus share: the distribution a quality-filter threshold is read
     * off of. Per-row bin id + one partial-agg groupBy into a handful
