@@ -29,6 +29,86 @@ object SigExprs {
 
   def simhash48(pairs: Column): Column =
     toColumn(Simhash48Expr(toExpression(pairs)))
+
+  def hashPairs(arr: Column): Column =
+    toColumn(HashPairsExpr(toExpression(arr)))
+}
+
+/** Native (h1, h2) hash pairs of an `array<string>` — the fused form
+  * of [[TextSim.hashPairs]]: one md5 over the UTF-8 bytes per element,
+  * with the two 28-bit ints read straight off the digest bytes instead
+  * of materializing the 32-char hex string and parsing substrings
+  * through `conv` (bit-identical values: h1 = hex digits 1-7,
+  * h2 = hex digits 8-14, exactly the oracle's
+  * `('0x' || substr(md5(s), 1, 7))::BIGINT` arithmetic).
+  */
+case class HashPairsExpr(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.types.{LongType => LT, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LT, nullable = false),
+    StructField("h2", LT, nullable = false))), containsNull = false)
+
+  private def pairOf(digest: Array[Byte]): (Long, Long) = {
+    val h1 = ((digest(0) & 0xFFL) << 20) | ((digest(1) & 0xFFL) << 12) |
+      ((digest(2) & 0xFFL) << 4) | ((digest(3) & 0xFFL) >> 4)
+    val h2 = ((digest(3) & 0x0FL) << 24) | ((digest(4) & 0xFFL) << 16) |
+      ((digest(5) & 0xFFL) << 8) | (digest(6) & 0xFFL)
+    (h1, h2)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    // interpreted path only (codegen has a reusable digest instance)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val (h1, h2) = pairOf(md.digest(arr.getUTF8String(i).getBytes))
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h1, h2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
+      v => s"""
+        |try { $v = java.security.MessageDigest.getInstance("MD5"); }
+        |catch (java.security.NoSuchAlgorithmException e) {
+        |  throw new RuntimeException(e);
+        |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val dg = ctx.freshName("dg")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $md.reset();
+         |  byte[] $dg = $md.digest($a.getUTF8String($i).getBytes());
+         |  long $h1 = (($dg[0] & 0xFFL) << 20) | (($dg[1] & 0xFFL) << 12) |
+         |    (($dg[2] & 0xFFL) << 4) | (($dg[3] & 0xFFL) >> 4);
+         |  long $h2 = (($dg[3] & 0x0FL) << 24) | (($dg[4] & 0xFFL) << 16) |
+         |    (($dg[5] & 0xFFL) << 8) | ($dg[6] & 0xFFL);
+         |  $out[$i] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $h1, $h2 });
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashPairsExpr =
+    copy(child = newChild)
 }
 
 case class MinhashSigExpr(child: Expression) extends UnaryExpression {

@@ -93,7 +93,7 @@ object Dedup {
     */
   def minhashSignatures(shingled: DataFrame): DataFrame = {
     val paired = shingled
-      .withColumn("pairs", hashPairs(col("sh"))).persist()
+      .withColumn("pairs", graft.functions.SigExprs.hashPairs(col("sh"))).persist()
     paired
       .select(col("doc_id"), col("sh"),
         graft.functions.SigExprs.minhashSig(col("pairs")).as("sig"))
@@ -218,7 +218,7 @@ object Dedup {
     val paired = docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
-      .withColumn("pairs", hashPairs(col("t"))).persist()
+      .withColumn("pairs", graft.functions.SigExprs.hashPairs(col("t"))).persist()
     val sh = paired
       .select(col("doc_id"),
         graft.functions.SigExprs.simhash48(col("pairs")).as("sh"))

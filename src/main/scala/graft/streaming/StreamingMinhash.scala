@@ -46,7 +46,7 @@ object StreamingMinhash {
       .select(col("doc_id"), col("ts"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), col("ts"), TextSim.shingles3(col("t")).as("sh"))
-      .withColumn("pairs", TextSim.hashPairs(col("sh")))
+      .withColumn("pairs", graft.functions.SigExprs.hashPairs(col("sh")))
       .withColumn("sig", TextSim.minhashSigFromPairs(col("pairs")))
     toks
       .select(col("doc_id"), col("ts"),

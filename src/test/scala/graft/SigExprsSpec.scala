@@ -28,6 +28,18 @@ class SigExprsSpec extends AnyFunSuite {
     assert(viaSql == viaApi && viaSql.nonEmpty)
   }
 
+  test("native hash pairs equal the hex-string HOF form on the corpus") {
+    val both = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(
+        SigExprs.hashPairs(col("t")).as("native"),
+        TextSim.hashPairs(col("t")).as("hof"))
+      .as[(Seq[(Long, Long)], Seq[(Long, Long)])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("native minhash signature equals the HOF form on the corpus") {
     val both = paired.select(
       SigExprs.minhashSig(col("pairs")).as("native"),
