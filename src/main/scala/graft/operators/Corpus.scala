@@ -219,6 +219,36 @@ object Corpus {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Typed rows for [[packGreedy]]. */
+  case class DocTok(source: String, doc_id: Long, n_tokens: Long)
+  case class PackedDoc(source: String, doc_id: Long, n_tokens: Long, seq_id: Long)
+
+  /** EXACT greedy sequence packing — the [[Etl.chunkLinear]] pattern
+    * lifted to documents: repartition by source, sort within partitions
+    * on (source, doc_id), then one streaming pass that closes a
+    * sequence when the next doc would overflow the budget. Unlike
+    * [[pack]]'s prefix-sum approximation, no sequence ever exceeds
+    * `budget` (except a single over-budget doc alone in its sequence).
+    * One shuffle + per-partition sort; constant memory per task.
+    */
+  def packGreedy(docs: org.apache.spark.sql.Dataset[DocTok],
+    budget: Long): org.apache.spark.sql.Dataset[PackedDoc] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[PackedDoc]
+    docs.repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .mapPartitions { it =>
+        var curSource: String = null
+        var seq = 0L
+        var fill = 0L
+        it.map { d =>
+          if (d.source != curSource) { curSource = d.source; seq = 0L; fill = 0L }
+          else if (fill + d.n_tokens > budget && fill > 0) { seq += 1; fill = 0L }
+          fill += d.n_tokens
+          PackedDoc(d.source, d.doc_id, d.n_tokens, seq)
+        }
+      }
+  }
+
   val packSql: String =
     s"""WITH per_doc AS (
        |  SELECT source, doc_id,

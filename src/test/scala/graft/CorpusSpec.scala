@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Corpus
+import graft.operators.Corpus.{DocTok, PackedDoc}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("greedy packing: budget never exceeded, matches the sequential reference") {
+    val budget = 500L
+    val docsTok = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.TextSim.tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[DocTok]
+    val got = Corpus.packGreedy(docsTok, budget).collect()
+      .sortBy(d => (d.source, d.doc_id))
+
+    // sequential reference: per source in doc_id order
+    val ref = docsTok.collect().groupBy(_.source).toSeq.flatMap { case (src, ds) =>
+      var seq = 0L; var fill = 0L
+      ds.sortBy(_.doc_id).map { d =>
+        if (fill + d.n_tokens > budget && fill > 0) { seq += 1; fill = 0L }
+        fill += d.n_tokens
+        PackedDoc(src, d.doc_id, d.n_tokens, seq)
+      }
+    }.sortBy(d => (d.source, d.doc_id))
+    assert(got.toSeq == ref)
+
+    // invariant: a sequence's total fits the budget unless it is a
+    // single over-budget doc
+    got.groupBy(d => (d.source, d.seq_id)).foreach { case (k, ds) =>
+      val total = ds.map(_.n_tokens).sum
+      assert(total <= budget || ds.length == 1,
+        s"sequence $k holds $total tokens across ${ds.length} docs")
+    }
+    // sequences are contiguous per source starting at 0
+    got.groupBy(_.source).foreach { case (_, ds) =>
+      val seqs = ds.sortBy(_.doc_id).map(_.seq_id)
+      assert(seqs.head == 0L)
+      seqs.sliding(2).foreach {
+        case Array(a, b) => assert(b == a || b == a + 1)
+        case _ =>
+      }
+    }
+  }
+}
