@@ -221,6 +221,40 @@ object Ann {
     ivfSearch(s, e, e.filter(col("vec_id") % 100 === 0), cents)
   }
 
+  /** Auto-tune nprobe: the smallest probe width whose recall@k against
+    * the brute-force ground truth meets `targetRecall`, plus the recall
+    * it achieved. The operational question every IVF deployment answers
+    * by hand — here it's a library call: ground truth once (exact,
+    * broadcast-query pass), then widening probes until the target
+    * holds. Run it on a sampled query set; the chosen nprobe transfers
+    * to the full workload.
+    */
+  def tuneNprobe(s: SparkSession, vectors: DataFrame, queries: DataFrame,
+    cents: DataFrame, k: Int = TopK,
+    targetRecall: Double = 0.9): (Int, Double) = {
+    val e = withNorm(vectors.select(col("vec_id"), col("embedding")))
+    val q = withNorm(queries.select(col("vec_id"), col("embedding")))
+    val truth = topKNeighbors(s, vectors, queries, k)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nlist = cents.count().toInt
+    var best = (nlist, 0.0)
+    var nprobe = 1
+    var done = false
+    while (!done && nprobe <= nlist) {
+      val got = ivfSearch(s, e, q, cents, k, nprobe)
+        .select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall =
+        if (truth.isEmpty) 1.0
+        else truth.intersect(got).size.toDouble / truth.size
+      best = (nprobe, recall)
+      done = recall >= targetRecall
+      nprobe += 1
+    }
+    best
+  }
+
   /** Deterministic ±1 hyperplane matrix, LCG-derived once at plan-build
     * time. Both engines consume the same precomputed signs (Spark as
     * flat codegen-able ±element sums, DuckDB as a literal matrix) —

@@ -97,6 +97,24 @@ class AnnSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("nprobe auto-tuning reaches the recall target with a minimal probe width") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+    val cents = KMeansVec.fit(vecs, 8, 2)
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val (nprobe, recall) = Ann.tuneNprobe(spark, vecs, queries, cents,
+      k = 10, targetRecall = 0.9)
+    assert(nprobe >= 1 && nprobe <= 8)
+    // either the target was met, or we exhausted every list (recall of
+    // full probing == brute force by construction, so this only happens
+    // if the target is unreachable... which full probing never is)
+    assert(recall >= 0.9, s"nprobe=$nprobe recall=$recall")
+    // probing every list IS brute force - sanity-check the ceiling
+    val (_, full) = Ann.tuneNprobe(spark, vecs, queries, cents,
+      k = 10, targetRecall = 2.0) // unreachable -> runs to nprobe=nlist
+    assert(full == 1.0, s"full probing must recover brute force, got $full")
+  }
+
   test("multimodal: media features flow through the ANN library (near-dup + top-k)") {
     import org.apache.spark.sql.functions._
     // image features (stub decoder, real plumbing) as a vector corpus
