@@ -56,6 +56,8 @@ object SparkEntry {
     "q_pack" -> (Corpus.pack _),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_quality" -> (TextAnalysis.quality _),
+    "q_repetition" -> (TextAnalysis.repetition _),
+    "q_filter" -> (TextAnalysis.filterMask _),
     "q_tokens" -> (TextAnalysis.tokens _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
   )
@@ -101,6 +103,8 @@ object SparkEntry {
     "q_pack" -> Corpus.packSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,
+    "q_repetition" -> TextAnalysis.repetitionSql,
+    "q_filter" -> TextAnalysis.filterMaskSql,
     "q_tokens" -> TextAnalysis.tokensSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
   )

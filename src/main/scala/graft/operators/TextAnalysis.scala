@@ -131,6 +131,109 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q_repetition — duplicate word-3-gram fraction (the Gopher-rule
+    * style repetition signal: boilerplate and templated text repeat
+    * n-grams; quality prose doesn't). Per-row map, no shuffle.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        (size(col("t")) - 2).cast("long").as("n_grams"),
+        size(TextSim.shingles3(col("t"))).cast("long").as("n_distinct"))
+      .withColumn("dup_fraction",
+        TextSim.r6((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams")))
+      .orderBy(col("doc_id"))
+
+  val repetitionSql: String =
+    s"""SELECT doc_id, (len(t) - 2)::BIGINT AS n_grams,
+       |       len(${TextSim.shingles3Sql("t")})::BIGINT AS n_distinct,
+       |       ${TextSim.r6Sql(s"((len(t) - 2) - len(${TextSim.shingles3Sql("t")}))::DOUBLE / (len(t) - 2)")} AS dup_fraction
+       |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |      FROM documents)
+       |WHERE len(t) >= 3
+       |ORDER BY doc_id""".stripMargin
+
+  /** q_filter — the composite keep/drop decision every curation
+    * pipeline ends with: quality composite ≥ 0.5 AND predicted English
+    * AND duplicate-3-gram fraction ≤ 0.2. Computed as ONE per-row
+    * projection over the scan (the signals share the token array) —
+    * never as joins of the individual signal queries, which would pay
+    * two id-shuffles for what is a fused map. Docs under 3 tokens have
+    * no 3-gram identity and are dropped by the frame's contract.
+    */
+  def filterMask(s: SparkSession, d: String): DataFrame = {
+    val en = Profiles.head._2
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("t")).cast("long").as("tok_count"),
+        aggregate(col("t"), lit(0L), (a, w) => a + length(w)).as("wlen_sum"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long").as("punct"),
+        hits(col("t"), en).as("en_hits"),
+        hits(col("t"), Profiles(1)._2).as("de_hits"),
+        hits(col("t"), Profiles(2)._2).as("fr_hits"),
+        hits(col("t"), Profiles(3)._2).as("es_hits"),
+        (size(col("t")) - 2).cast("long").as("n_grams"),
+        size(TextSim.shingles3(col("t"))).cast("long").as("n_distinct"))
+    val quality = TextSim.r6(
+      lit(0.3) * least(col("tok_count").cast("double") / 50.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - col("punct").cast("double") / col("n_chars")) +
+        lit(0.2) * (col("en_hits").cast("double") / col("tok_count")) +
+        lit(0.2) * least(col("wlen_sum").cast("double") / col("tok_count") / 8.0, lit(1.0)))
+    val isEn = greatest(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits")) > 0 &&
+      col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+      col("en_hits") >= col("es_hits")
+    val dupFrac = TextSim.r6(
+      (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+    base.select(col("doc_id"), quality.as("quality"), isEn.as("is_en"),
+      dupFrac.as("dup_fraction"))
+      .withColumn("keep",
+        col("quality") >= 0.5 && col("is_en") && col("dup_fraction") <= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  val filterMaskSql: String = {
+    val en = hitsSql("t", Profiles.head._2)
+    val de = hitsSql("t", Profiles(1)._2)
+    val fr = hitsSql("t", Profiles(2)._2)
+    val es = hitsSql("t", Profiles(3)._2)
+    s"""WITH base AS (
+       |  SELECT doc_id, len(text)::BIGINT AS n_chars,
+       |         len(t)::BIGINT AS tok_count,
+       |         list_sum(list_transform(t, w -> len(w)))::BIGINT AS wlen_sum,
+       |         (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS punct,
+       |         $en::BIGINT AS en_hits, $de::BIGINT AS de_hits,
+       |         $fr::BIGINT AS fr_hits, $es::BIGINT AS es_hits,
+       |         (len(t) - 2)::BIGINT AS n_grams,
+       |         len(${TextSim.shingles3Sql("t")})::BIGINT AS n_distinct
+       |  FROM (SELECT doc_id, text,
+       |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |        FROM documents)
+       |  WHERE len(t) >= 3
+       |), scored AS (
+       |  SELECT doc_id,
+       |         ${TextSim.r6Sql(
+            """0.3 * least(tok_count::DOUBLE / 50.0, 1.0)
+              |           + 0.3 * (1.0 - punct::DOUBLE / n_chars)
+              |           + 0.2 * (en_hits::DOUBLE / tok_count)
+              |           + 0.2 * least(wlen_sum::DOUBLE / tok_count / 8.0, 1.0)""".stripMargin)} AS quality,
+       |         (greatest(en_hits, de_hits, fr_hits, es_hits) > 0
+       |          AND en_hits >= de_hits AND en_hits >= fr_hits
+       |          AND en_hits >= es_hits) AS is_en,
+       |         ${TextSim.r6Sql("(n_grams - n_distinct)::DOUBLE / n_grams")} AS dup_fraction
+       |  FROM base
+       |)
+       |SELECT doc_id, quality, is_en, dup_fraction,
+       |       (quality >= 0.5 AND is_en AND dup_fraction <= 0.2) AS keep
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q_tokens — token counting three ways: whitespace tokens, regex
     * word/number/symbol tokens, and a BPE-ish subword estimate
     * (ceil(len/4) pieces per word — long words split into 4-char units).
