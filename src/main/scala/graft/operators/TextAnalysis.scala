@@ -163,9 +163,18 @@ object TextAnalysis {
     * two id-shuffles for what is a fused map. Docs under 3 tokens have
     * no 3-gram identity and are dropped by the frame's contract.
     */
-  def filterMask(s: SparkSession, d: String): DataFrame = {
+  def filterMask(s: SparkSession, d: String): DataFrame =
+    filterSignals(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** The fused filter over any `(doc_id, text)` frame — batch OR
+    * streaming: it's a pure projection (no sort, no state), so the same
+    * plan curates a live document feed unchanged (asserted in
+    * StreamingSpec). [[filterMask]] adds the total order the oracle
+    * compare needs.
+    */
+  def filterSignals(docs: DataFrame): DataFrame = {
     val en = Profiles.head._2
-    val base = Tables.documents(s, d)
+    val base = docs
       .select(col("doc_id"), col("text"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
@@ -194,7 +203,6 @@ object TextAnalysis {
       dupFrac.as("dup_fraction"))
       .withColumn("keep",
         col("quality") >= 0.5 && col("is_en") && col("dup_fraction") <= 0.2)
-      .orderBy(col("doc_id"))
   }
 
   val filterMaskSql: String = {

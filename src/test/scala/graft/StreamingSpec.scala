@@ -33,6 +33,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("the fused curation filter runs unchanged on a document stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis
+      .filterSignals(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("filter_t")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: the per-row projection is batch-invariant
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("filter_t")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val batch = graft.operators.TextAnalysis.filterMask(spark, sf)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming sessionize closes sessions on 30-min gaps across batches") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L // ms
