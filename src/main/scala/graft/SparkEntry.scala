@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A. reference ETL surface
     "q_crawl_bfs" -> (Crawl.crawlBfs _),
+    "q_crawl_limited" -> (Crawl.crawlLimitedQuery _),
     "q_discover" -> (Etl.discover _),
     "q_manifest_delta" -> (Etl.manifestDelta _),
     "q_content_hash" -> (Etl.contentHash _),
@@ -67,6 +68,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_crawl_bfs" -> Crawl.crawlBfsSql,
+    "q_crawl_limited" -> Crawl.crawlLimitedSql,
     "q_discover" -> Etl.discoverSql,
     "q_manifest_delta" -> Etl.manifestDeltaSql,
     "q_content_hash" -> Etl.contentHashSql,

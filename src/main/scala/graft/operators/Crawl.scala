@@ -71,6 +71,28 @@ object Crawl {
       .orderBy(col("depth"), col("node"))
       .limit(maxPages)
 
+  /** q_crawl_limited — the MAX_PAGES guard as an oracle query: BFS from
+    * node 0 trimmed to the first 40 pages in (depth, node) order — the
+    * deterministic distributed analogue of the reference's
+    * insertion-order cutoff.
+    */
+  def crawlLimitedQuery(s: SparkSession, d: String): DataFrame =
+    crawlLimited(Tables.edges(s, d),
+      s.range(1).select(lit(0L).as("node")), maxDepth = 20, maxPages = 40)
+      .orderBy(col("depth"), col("node"))
+
+  val crawlLimitedSql: String =
+    s"""WITH RECURSIVE ${Tables.edgesSql},
+       |walk(node, depth) AS (
+       |  SELECT 0::BIGINT, 0::BIGINT
+       |  UNION
+       |  SELECT e.dst, w.depth + 1
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.depth < 20
+       |)
+       |SELECT node, min(depth) AS depth FROM walk
+       |GROUP BY node ORDER BY depth, node LIMIT 40""".stripMargin
+
   val crawlBfsSql: String =
     s"""WITH RECURSIVE ${Tables.edgesSql},
        |walk(node, depth) AS (

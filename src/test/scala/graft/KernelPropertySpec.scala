@@ -99,6 +99,35 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- saltedSelfJoin ----
+
+  test("salted self-join == plain self-join pairs on random bucket tables") {
+    import org.apache.spark.sql.functions.col
+    val p = Gen.Parameters.default
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 40L)
+      band <- Gen.chooseNum(0, 2)
+      bval <- Gen.chooseNum(0L, 5L) // few buckets -> collisions everywhere
+    } yield (id, band, bval)
+    val tables = (1 to 8).map { s =>
+      val n = Gen.chooseNum(0, 50).apply(p, Seed(s)).getOrElse(0)
+      Gen.listOfN(n, rowGen).apply(p, Seed(s * 7919L)).getOrElse(Nil).distinct
+    }
+    for ((rows, ti) <- tables.zipWithIndex; salt <- Seq(1, 3)) {
+      val df = rows.toDF("doc_id", "band", "bval")
+      val plain = df.as("a").join(df.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val salted = graft.operators.Skew
+        .saltedSelfJoin(df, "doc_id", Seq("band", "bval"), salt)
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(salted == plain, s"table $ti salt=$salt")
+    }
+  }
+
   // ---- NearestCentroids ----
 
   private def vecGen(dim: Int): Gen[Array[Float]] =
