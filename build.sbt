@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout: pass the forked process's
+// stdout through RAW (no "[info] " prefix) and suppress sbt's
+// "[success] Total time" banner so the bench metric JSON printed by
+// graft.Bench is the FINAL stdout line (BENCH_r01/r02 were "parsed":
+// null because sbt wrapped the JSON).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

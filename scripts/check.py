@@ -23,13 +23,34 @@ def norm_cell(v):
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        # match a reasonable driver normalization: repr with modest precision
-        return f"{v:.10g}"
+        # FULL precision: the driver stringifies at full precision (a
+        # pandas float64 of an integer renders "3.0", not "3" — this is
+        # how the round-1/2 q_sessionize "hash flake" was really an
+        # uncast HUGEINT sum becoming float64 in the oracle fetch).
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
+
+
+def fetch(rel):
+    """Fetch a duckdb relation THROUGH PANDAS, like the driver: this is
+    what turns HUGEINT (e.g. an uncast sum(BIGINT)) into float64 and
+    makes int-vs-float diffs visible. Every oracle integer aggregate
+    must therefore be ::BIGINT cast."""
+    df = rel.df()
+    cols = list(df.columns)
+    rows = []
+    for t in df.itertuples(index=False, name=None):
+        row = []
+        for x in t:
+            if hasattr(x, "tolist"):      # numpy scalar or array
+                x = x.tolist()
+            row.append(x)
+        rows.append(tuple(row))
+    return cols, rows
 
 
 def frame_fingerprint(cols, rows):
@@ -56,14 +77,14 @@ def main():
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            s_cols, s_rows = spark_rel.columns, spark_rel.fetchall()
+            s_cols, s_rows = fetch(spark_rel)
         except Exception as e:
             print(f"FAIL {name}: cannot read spark dump: {e}")
             n_fail += 1
             continue
         try:
             o_rel = con.sql(sql)
-            o_cols, o_rows = o_rel.columns, o_rel.fetchall()
+            o_cols, o_rows = fetch(o_rel)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
             n_fail += 1

@@ -184,7 +184,10 @@ object Analytics {
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
     Tables.part(s, d)
-      .withColumn("rank_in_brand", row_number().over(w))
+      // cast to long: row_number() is int in Spark but BIGINT in the
+      // DuckDB oracle; a driver that fetches via pandas would see
+      // int32 vs int64 (and worse, HUGEINT aggregates become float64)
+      .withColumn("rank_in_brand", row_number().over(w).cast("long"))
       .filter(col("rank_in_brand") <= 3)
       .select(col("p_brand"), col("rank_in_brand"), col("p_partkey"),
         col("p_name"), TextSim.r4(col("p_retailprice")).as("p_retailprice"))
@@ -296,8 +299,8 @@ object Analytics {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sessions AS (
       |  SELECT user_id, event_id, value,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+      |         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
       |  FROM marked
       |)
       |SELECT user_id, session_seq, count(*) AS n_events,

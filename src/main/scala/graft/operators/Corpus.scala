@@ -84,7 +84,7 @@ object Corpus {
        |         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_toks
        |  FROM documents
        |), agg AS (
-       |  SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens
+       |  SELECT source, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens
        |  FROM per_doc GROUP BY source
        |)
        |SELECT source, n_docs, n_tokens,
