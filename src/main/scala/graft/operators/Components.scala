@@ -61,28 +61,35 @@ object Components {
     pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
 
-  /** Min-label rounds to fixpoint. Labels only ever decrease, so their
-    * exact (decimal — no IEEE rounding at 10^10 nodes) sum strictly
-    * decreases iff any label moved: fixpoint detection is one agg
-    * action per round instead of a compare-join of consecutive rounds.
+  /** Min-label rounds to fixpoint. Each round is ONE job: the round
+    * frame carries the previous label (`old`) alongside the new min,
+    * and the changed-label count rides the materialization job as an
+    * [[org.apache.spark.sql.Observation]] metric — no second
+    * fixpoint-detection scan over the labels (which at 10^10 nodes is
+    * a full pass per round saved).
     */
   private def propagate(sym: DataFrame, seed: DataFrame,
     checkpointDir: Option[String]): DataFrame = {
-    def lsum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
     var labels = Iterate.materialize(seed, checkpointDir)
-    var prev = lsum(labels)
     var done = false
     while (!done) {
       val viaEdges = labels.join(sym, labels("id") === sym("src"))
-        .select(sym("dst").as("id"), labels("lbl").as("lbl"))
+        .select(sym("dst").as("id"), labels("lbl").as("lbl"),
+          lit(null).cast("long").as("old"))
+      // every id keeps exactly one labels row, so min(old) recovers its
+      // previous label; the union keeps that row a min() candidate, so
+      // lbl <= old always and "changed" is a strict decrease
+      val merged = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
+        .unionAll(viaEdges)
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
+      val obs = org.apache.spark.sql.Observation()
       val next = Iterate.materialize(
-        labels.unionAll(viaEdges).groupBy(col("id"))
-          .agg(min(col("lbl")).as("lbl")), checkpointDir)
-      val cur = lsum(next)
+        merged.observe(obs,
+          sum(when(col("lbl") < col("old"), 1L).otherwise(0L)).as("changed"))
+          .select(col("id"), col("lbl")), checkpointDir)
       labels = next
-      done = java.util.Objects.equals(cur, prev)
-      prev = cur
+      done = obs.get("changed").asInstanceOf[Long] == 0L
     }
     labels
   }

@@ -30,24 +30,35 @@ object Crawl {
   def bfs(edges: DataFrame, roots: DataFrame, maxDepth: Int,
     checkpointDir: Option[String] = None): DataFrame = {
     edges.persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = Iterate.materialize(
-      roots.select(col("node"), lit(0L).as("depth")), checkpointDir)
-    var frontier = visited
+    // each hop is ONE job: the frontier size rides the materialization
+    // as an Observation metric instead of a separate isEmpty scan
+    def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = Iterate.materialize(
+        df.observe(obs, count(lit(1)).as("n")), checkpointDir)
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    val (seed, seedN) = materializeCounted(
+      roots.select(col("node"), lit(0L).as("depth")))
+    var visited = seed
+    var frontier = seed
+    var frontierN = seedN
     var depth = 0L
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierN > 0) {
       depth += 1
-      val next = Iterate.materialize(
+      val (next, n) = materializeCounted(
         frontier.join(edges, frontier("node") === edges("src"))
           .select(edges("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
-          .select(col("node"), lit(depth).as("depth")), checkpointDir)
-      if (!next.isEmpty) {
+          .select(col("node"), lit(depth).as("depth")))
+      if (n > 0) {
         // plain union: both inputs are already materialized, so the
         // visited lineage stays a shallow tree of checkpointed hops —
         // no extra materialization job per hop needed
         visited = visited.unionAll(next)
       }
       frontier = next
+      frontierN = n
     }
     edges.unpersist()
     visited
