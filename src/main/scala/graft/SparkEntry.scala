@@ -61,6 +61,10 @@ object SparkEntry {
     "q_filter" -> (TextAnalysis.filterMask _),
     "q_tokens" -> (TextAnalysis.tokens _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q_boilerplate" -> (Scrub.boilerplate _),
+    "q_para_dedup" -> (Scrub.paraDedup _),
+    "q_pii_scrub" -> (Scrub.piiScrub _),
+    "q_vec_quant" -> (Quantize.vecQuant _),
   )
 
   /** DuckDB-runnable oracle SQL per queries key (same tables, same
@@ -109,5 +113,9 @@ object SparkEntry {
     "q_filter" -> TextAnalysis.filterMaskSql,
     "q_tokens" -> TextAnalysis.tokensSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_boilerplate" -> Scrub.boilerplateSql,
+    "q_para_dedup" -> Scrub.paraDedupSql,
+    "q_pii_scrub" -> Scrub.piiScrubSql,
+    "q_vec_quant" -> Quantize.vecQuantSql,
   )
 }

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextSim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus cleaning operators a large-scale training-data pipeline runs
+  * between crawl and tokenize: corpus-level boilerplate discovery,
+  * intra-document repetition removal, and PII scrubbing. All three are
+  * per-row maps except the boilerplate count, whose only shuffle is a
+  * partial-agg-friendly groupBy on the unit key.
+  *
+  * "Units" are non-overlapping W-word windows of the token stream —
+  * this corpus has no sentence punctuation (TESTDATA.md word soup), so
+  * fixed windows stand in for the line/sentence split a web pipeline
+  * (C4, CCNet, RefinedWeb) would use. The window width is a parameter;
+  * the operator shape is identical for real line splits.
+  */
+object Scrub {
+
+  /** Boilerplate unit width (words) and doc-frequency threshold. */
+  val BoilerWidth = 8
+  val BoilerMinDocs = 2
+
+  /** Intra-doc repetition unit width. */
+  val ParaWidth = 2
+
+  /** Non-overlapping `w`-word units of a token array; ragged tail
+    * dropped (a partial window has no stable identity across edits).
+    */
+  def units(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      transform(sequence(lit(0L), floor(size(toks).cast("double") / w).cast("long") - 1),
+        j => concat_ws(" ", slice(toks, (j * w + 1).cast("int"), lit(w)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** SQL mirror of [[units]] over a list column `t`. */
+  def unitsSql(t: String, w: Int): String =
+    s"[array_to_string($t[(j*$w+1):(j*$w+$w)], ' ') for j in range(0, len($t)//$w)]"
+
+  /** Units appearing in at least `minDocs` DISTINCT documents — the
+    * corpus boilerplate table (nav bars, license headers, injected
+    * templates) a cleaning pass subtracts before dedup/tokenization.
+    *
+    * Scale: explode → one groupBy on the unit key with partial
+    * (map-side) distinct-count — no joins, no window. At 100 TB the
+    * unit key is md5-hashed to fix width; text is kept here because
+    * the output IS the human-audited blocklist.
+    */
+  def boilerplateUnits(docs: DataFrame, w: Int = BoilerWidth,
+    minDocs: Int = BoilerMinDocs): DataFrame =
+    docs
+      .select(col("doc_id"), explode(units(TextSim.tokens(col("text")), w)).as("unit"))
+      .groupBy(col("unit"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(desc("n_docs"), col("unit"))
+
+  /** q_boilerplate — [[boilerplateUnits]] on the dup-injected corpus
+    * (copies guarantee cross-doc repeats; the organic word soup
+    * contributes its own).
+    */
+  def boilerplate(s: SparkSession, d: String): DataFrame =
+    boilerplateUnits(Tables.docsAug(s, d))
+
+  val boilerplateSql: String =
+    s"""WITH ${Tables.docsAugSql},
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM docs_aug
+       |), u AS (
+       |  SELECT doc_id, unnest(${unitsSql("t", BoilerWidth)}) AS unit
+       |  FROM toks
+       |)
+       |SELECT unit, count(DISTINCT doc_id) AS n_docs
+       |FROM u GROUP BY unit
+       |HAVING count(DISTINCT doc_id) >= $BoilerMinDocs
+       |ORDER BY n_docs DESC, unit""".stripMargin
+
+  /** Intra-document repetition stats + the deduplicated content
+    * identity: unit count, distinct-unit count, repeated fraction
+    * (the Gopher/RefinedWeb within-doc repetition signal at unit
+    * granularity), and the md5 of the doc's sorted distinct units —
+    * the identity under which two docs differing only by internal
+    * repetition collide. Pure per-row map, no shuffle.
+    *
+    * Sorted (not first-occurrence) order for the identity: DuckDB's
+    * `list_distinct` does not guarantee first-occurrence order, so the
+    * engine-portable contract is the ORDER-FREE unit set.
+    */
+  def paraDedupStats(docs: DataFrame, w: Int = ParaWidth): DataFrame =
+    docs
+      .select(col("doc_id"), units(TextSim.tokens(col("text")), w).as("us"))
+      .filter(size(col("us")) >= 1)
+      .select(col("doc_id"),
+        size(col("us")).cast("long").as("n_units"),
+        size(array_distinct(col("us"))).cast("long").as("n_unique"),
+        TextSim.r6(lit(1.0) - size(array_distinct(col("us"))).cast("double") /
+          size(col("us"))).as("rep_ratio"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("us"))))).as("clean_hash"))
+      .orderBy(col("doc_id"))
+
+  /** q_para_dedup — [[paraDedupStats]] on the plain corpus. */
+  def paraDedup(s: SparkSession, d: String): DataFrame =
+    paraDedupStats(Tables.documents(s, d))
+
+  val paraDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents
+       |), u AS (
+       |  SELECT doc_id, ${unitsSql("t", ParaWidth)} AS us FROM toks
+       |)
+       |SELECT doc_id,
+       |       len(us)::BIGINT AS n_units,
+       |       len(list_distinct(us))::BIGINT AS n_unique,
+       |       ${TextSim.r6Sql("1.0 - len(list_distinct(us))::DOUBLE / len(us)")} AS rep_ratio,
+       |       md5(array_to_string(list_sort(list_distinct(us)), ' ')) AS clean_hash
+       |FROM u WHERE len(us) >= 1
+       |ORDER BY doc_id""".stripMargin
+
+  // Shared regex constants — the SAME pattern string goes to Spark
+  // (java.util.regex) and DuckDB (RE2); only syntax valid and
+  // identically-interpreted in both engines is used (char classes,
+  // bounded repetition, \b word boundary — no lookaround, no backrefs).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrub over any `(doc_id, text)` frame: count then redact
+    * emails, E.164-ish phone numbers, and IPv4 literals. Per-row map —
+    * the regex chain rides the scan projection; at 100 TB this is the
+    * shape that matters (no shuffle, no UDF, codegen'd regexp).
+    * Replacement order is fixed (email → phone → ip) so counts are
+    * computed against the original text and replacements can't create
+    * or destroy later matches.
+    */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(t, lit(IpRe)).cast("long").as("n_ips"),
+      md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        IpRe, "<IP>")).as("scrub_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_pii_scrub — [[scrubPii]] over the corpus with deterministically
+    * injected PII (the test corpus is PII-free word soup, so the
+    * operator's work — match, count, redact — is exercised by
+    * synthesizing one email/phone/IP per doc from doc_id; the
+    * injection is mirrored verbatim in the oracle).
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val injected = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call +1-555-"),
+        lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"),
+        lit(" end")).as("text"))
+    scrubPii(injected)
+  }
+
+  val piiScrubSql: String =
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || doc_id::VARCHAR ||
+       |         '@mail.example.com or call +1-555-' ||
+       |         lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ||
+       |         ' from 10.' || (doc_id % 256)::VARCHAR ||
+       |         '.0.' || (doc_id % 100)::VARCHAR || ' end' AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
+       |       len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phones,
+       |       len(regexp_extract_all(text, '$IpRe'))::BIGINT AS n_ips,
+       |       md5(regexp_replace(regexp_replace(regexp_replace(
+       |         text, '$EmailRe', '<EMAIL>', 'g'),
+       |         '$PhoneRe', '<PHONE>', 'g'),
+       |         '$IpRe', '<IP>', 'g')) AS scrub_hash
+       |FROM injected
+       |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Quantize, Scrub}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScrubSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("boilerplateUnits finds exactly the cross-doc repeated units") {
+    // docs 1 and 2 share one 8-word unit; doc 3 is disjoint; doc 4
+    // repeats the shared unit twice WITHIN one doc (counts once)
+    val shared = "a b c d e f g h"
+    val docs = Seq(
+      (1L, shared + " tail1 x y z q w e r"),
+      (2L, shared + " tail2 j k l m n o p"),
+      (3L, "entirely different words one two three four five"),
+      (4L, shared + " " + shared)
+    ).toDF("doc_id", "text")
+    val out = Scrub.boilerplateUnits(docs, w = 8, minDocs = 2)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map(shared -> 3L))
+  }
+
+  test("paraDedupStats counts intra-doc repeats and builds an order-free identity") {
+    val docs = Seq(
+      (1L, "x y x y a b"),   // units: [x y, x y, a b] -> 3 total, 2 unique
+      (2L, "a b x y x y"),   // same unit SET, different order/position
+      (3L, "only one unitx") // 2 tokens -> 1 unit, no repeats
+    ).toDF("doc_id", "text")
+    val out = Scrub.paraDedupStats(docs, w = 2)
+      .select("doc_id", "n_units", "n_unique", "rep_ratio", "clean_hash")
+      .as[(Long, Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(out(0)._2 == 3 && out(0)._3 == 2 && out(0)._4 > 0.33 && out(0)._4 < 0.34)
+    // docs 1 and 2 collide on the repetition-free identity
+    assert(out(0)._5 == out(1)._5)
+    assert(out(2)._2 == 1 && out(2)._4 == 0.0)
+  }
+
+  test("scrubPii counts and redacts emails, phones, IPv4") {
+    val docs = Seq(
+      (1L, "mail a.user+tag@sub.example.org and b@x.io call +44-207-1234 from 192.168.0.1 ok"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = Scrub.scrubPii(docs)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0)._2 == 2 && out(0)._3 == 1 && out(0)._4 == 1)
+    assert(out(1)._2 == 0 && out(1)._3 == 0 && out(1)._4 == 0)
+    // redaction really rewrites: scrubbed hash == hash of the expected text
+    val expected = spark.sql(
+      "SELECT md5('mail <EMAIL> and <EMAIL> call <PHONE> from <IP> ok')")
+      .as[String].head()
+    assert(out(0)._5 == expected)
+  }
+
+  test("quantize maps min to -127, max to 127, constant dims to 0") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 5.0f, 1.0f)),
+      (2L, Array(1.0f, 5.0f, 3.0f)),
+      (3L, Array(2.0f, 5.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.quantize(vecs).as[(Long, String)].collect().toMap
+    // dim1: [0,2] -> 0->-127, 1->0, 2->127; dim2 constant -> 0
+    // dim3: [1,3] -> 1->-127, 3->127, 2->0
+    assert(out(1L) == "-127,0,-127")
+    assert(out(2L) == "0,0,127")
+    assert(out(3L) == "127,0,0")
+  }
+
+  test("quantize stats pass is shuffle-bounded and the map pass broadcast") {
+    val vecs = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val plan = Quantize.quantize(vecs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"stats should broadcast, got:\n$plan")
+  }
+}
