@@ -61,6 +61,7 @@ object SparkEntry {
     "q_filter" -> (TextAnalysis.filterMask _),
     "q_tokens" -> (TextAnalysis.tokens _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q_vocab" -> (Corpus.vocab _),
     "q_boilerplate" -> (Scrub.boilerplate _),
     "q_para_dedup" -> (Scrub.paraDedup _),
     "q_pii_scrub" -> (Scrub.piiScrub _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "q_filter" -> TextAnalysis.filterMaskSql,
     "q_tokens" -> TextAnalysis.tokensSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_vocab" -> Corpus.vocabSql,
     "q_boilerplate" -> Scrub.boilerplateSql,
     "q_para_dedup" -> Scrub.paraDedupSql,
     "q_pii_scrub" -> Scrub.piiScrubSql,

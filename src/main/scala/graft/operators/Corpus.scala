@@ -261,4 +261,37 @@ object Corpus {
        |             / $SeqTokens)::BIGINT AS seq_id
        |FROM per_doc
        |ORDER BY source, doc_id""".stripMargin
+
+  /** Vocabulary head size for [[vocab]]. */
+  val VocabTopK = 50
+
+  /** q_vocab — corpus vocabulary head: term frequency + document
+    * frequency for the top-$VocabTopK terms by tf (term tiebreak, so
+    * the cut is deterministic). The frame tokenizer coverage, stopword
+    * lists, and quality thresholds are derived from.
+    *
+    * Scale: explode → ONE partial-agg groupBy on the term key (tf is
+    * map-side combined; df's distinct carries (term, doc_id) — the
+    * standard price). The final sort ranks |vocab| aggregated rows,
+    * not the corpus; vocab grows sub-linearly (Heaps' law), and the
+    * true-scale variant swaps the global sort for a per-partition
+    * top-k merge ([[graft.functions.TopKByScore]] pattern).
+    */
+  def vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextSim.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), col("term"))
+      .limit(VocabTopK)
+
+  val vocabSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |  FROM documents
+       |)
+       |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |FROM terms GROUP BY term
+       |ORDER BY tf DESC, term LIMIT $VocabTopK""".stripMargin
 }

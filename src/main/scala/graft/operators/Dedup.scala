@@ -105,7 +105,15 @@ object Dedup {
     * bucket self-join (the one shuffle, bare ids only) → exact-Jaccard
     * verify ≥ 0.8 on unique candidates.
     */
-  def minhashPairsFrom(sig: DataFrame): DataFrame = {
+  def minhashPairsFrom(sig: DataFrame): DataFrame =
+    minhashPairsRaw(sig).orderBy(col("a_id"), col("b_id"))
+
+  /** [[minhashPairsFrom]] without the final presentation sort — the
+    * form internal consumers ([[keep]]'s connected components) use:
+    * a global orderBy before a groupBy/join is a full-corpus sort the
+    * downstream exchange immediately destroys.
+    */
+  private def minhashPairsRaw(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"), slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)).as("bsig"))))
@@ -121,7 +129,6 @@ object Dedup {
         TextSim.r6(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** MinHash+LSH near-dup pairs over any `(doc_id, text)` frame. */
@@ -171,7 +178,8 @@ object Dedup {
     */
   def keep(s: SparkSession, d: String): DataFrame =
     keepFrom(Tables.docsAug(s, d).select(col("doc_id")),
-      minhash(s, d).select(col("a_id"), col("b_id")))
+      minhashPairsRaw(minhashSignatures(shingleDocs(Tables.docsAug(s, d))))
+        .select(col("a_id"), col("b_id")))
 
   /** Survivor labeling for any `(doc_id)` node frame and `(a_id, b_id)`
     * near-dup pair frame: (doc_id, keep_id, is_kept).
