@@ -55,6 +55,24 @@ object ExplainAudit {
     flag("ANN rank via partial ObjectHashAggregate (no score-matrix window)",
       brutePlan.contains("ObjectHashAggregate") && !brutePlan.contains("Window"))
 
+    // round-3 invariants
+    val scrubPlan = operators.Scrub.piiScrub(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("pii scrub is a pure scan projection (no Exchange before the sort)",
+      scrubPlan.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1 &&
+        !scrubPlan.contains("Join"))
+
+    val boilerPlan = operators.Scrub.boilerplate(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("boilerplate is one partial-agg groupBy, no joins",
+      boilerPlan.contains("partial_count(distinct") && !boilerPlan.contains("Join"))
+
+    val quantPlan = operators.Quantize.vecQuant(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("vec quant stats broadcast back (no vec_id join/shuffle)",
+      quantPlan.contains("BroadcastNestedLoopJoin") &&
+        !quantPlan.contains("SortMergeJoin") && !quantPlan.contains("HashJoin"))
+
     spark.stop()
   }
 }

@@ -88,7 +88,7 @@ object Corpus {
        |  FROM per_doc GROUP BY source
        |)
        |SELECT source, n_docs, n_tokens,
-       |       ${TextSim.r6Sql("n_tokens::DOUBLE / sum(n_tokens) OVER ()")} AS token_share,
+       |       ${TextSim.r6Sql("n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE")} AS token_share,
        |       ${TextSim.r6Sql("n_tokens::DOUBLE / n_docs")} AS avg_doc_tokens
        |FROM agg
        |ORDER BY source""".stripMargin
@@ -196,7 +196,7 @@ object Corpus {
        |  GROUP BY 1
        |)
        |SELECT bin_lo, n_docs,
-       |       ${TextSim.r6Sql("n_docs::DOUBLE / sum(n_docs) OVER ()")} AS share
+       |       ${TextSim.r6Sql("n_docs::DOUBLE / (sum(n_docs) OVER ())::DOUBLE")} AS share
        |FROM binned
        |ORDER BY bin_lo""".stripMargin
 
