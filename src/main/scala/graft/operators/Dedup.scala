@@ -113,15 +113,26 @@ object Dedup {
     * a global orderBy before a groupBy/join is a full-corpus sort the
     * downstream exchange immediately destroys.
     */
-  private def minhashPairsRaw(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"),
+  private[graft] def minhashPairsRaw(sig: DataFrame): DataFrame = {
+    val cand = Skew.saltedSelfJoin(bandsOf(sig), "doc_id", Seq("band", "bsig"), LshSalt)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, sig)
+  }
+
+  /** 16 × 4-row LSH band keys of a signature table. */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
         struct(b.as("band"), slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)).as("bsig"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-    val cand = Skew.saltedSelfJoin(bands, "doc_id", Seq("band", "bsig"), LshSalt)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+
+  /** Exact-Jaccard ≥ 0.8 verification of candidate `(a_id, b_id)`
+    * pairs against a signature table's shingle sets — joins touch
+    * candidates only, never all pairs.
+    */
+  private[graft] def verifyJaccard(cand: DataFrame, sig: DataFrame): DataFrame = {
     val sa = sig.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
     val sb = sig.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
     cand.join(sa, "a_id").join(sb, "b_id")

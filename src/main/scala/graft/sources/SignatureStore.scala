@@ -31,4 +31,44 @@ object SignatureStore {
     */
   def pairs(spark: SparkSession, table: String): DataFrame =
     Dedup.minhashPairsFrom(spark.table(table))
+
+  /** Incremental dedup — the operator a weekly ingest actually runs:
+    * near-dup pairs INVOLVING A NEW DOC, from a new `(doc_id, text)`
+    * batch against the stored signature corpus, without recomputing or
+    * rescanning old×old (those pairs were emitted when their batch
+    * arrived). Returns `(a_id, b_id, jaccard)` with a_id < b_id.
+    *
+    * Scale shape: new signatures are computed once (batch-sized);
+    * new×new goes through the salted self-join; new×old BROADCASTS the
+    * new band table against the stored one — an incremental batch is
+    * bounded (day's crawl), the corpus isn't, so the stream-past join
+    * touches no stored-side shuffle at all. Verification joins the
+    * union signature table on candidate ids only. Caller appends the
+    * new signatures via [[append]] after a successful run — ids must
+    * be new (the store is the identity authority, mirroring the
+    * reference manifest's incremental contract).
+    */
+  def incrementalPairs(spark: SparkSession, newDocs: DataFrame,
+    table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val newSig = Dedup.minhashSignatures(Dedup.shingleDocs(newDocs))
+    val oldSig = spark.table(table)
+    val newNew = Dedup.minhashPairsRaw(newSig)
+    val cand = Dedup.bandsOf(oldSig).as("o")
+      .join(broadcast(Dedup.bandsOf(newSig).as("n")), Seq("band", "bsig"))
+      .select(least(col("o.doc_id"), col("n.doc_id")).as("a_id"),
+        greatest(col("o.doc_id"), col("n.doc_id")).as("b_id"))
+      .distinct()
+    val newOld = Dedup.verifyJaccard(cand,
+      oldSig.select(col("doc_id"), col("sh"))
+        .unionByName(newSig.select(col("doc_id"), col("sh"))))
+    newNew.unionByName(newOld).orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Append a new batch's signatures to the store (same bucketing). */
+  def append(newDocs: DataFrame, table: String, buckets: Int = 16): Unit =
+    Dedup.minhashSignatures(Dedup.shingleDocs(newDocs))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
 }

@@ -112,6 +112,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(fromStore == direct && direct.nonEmpty)
   }
 
+  test("incremental dedup: new batch vs store equals the full-recompute pairs touching new docs") {
+    val docs = Tables.docsAug(spark, sf)
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+    val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    graft.sources.SignatureStore.build(oldDocs, "sig_store_incr", buckets = 8)
+    val incr = graft.sources.SignatureStore
+      .incrementalPairs(spark, newDocs, "sig_store_incr")
+      .as[(Long, Long, Double)].collect().toSet
+    val newIds = newDocs.select("doc_id").as[Long].collect().toSet
+    val expected = operators.Dedup.minhashPairs(docs)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => newIds(p._1) || newIds(p._2))
+    assert(incr == expected && expected.nonEmpty)
+    // append completes the store: a follow-up full read reproduces the
+    // whole corpus's pair set
+    graft.sources.SignatureStore.append(newDocs, "sig_store_incr", buckets = 8)
+    val full = graft.sources.SignatureStore.pairs(spark, "sig_store_incr")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = operators.Dedup.minhashPairs(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == direct)
+  }
+
   test("survivor set composes across detector families (minhash + simhash + embed)") {
     // the production dedup shape: several near-dup detectors, ONE
     // survivor materialization over the union of their pair sets
