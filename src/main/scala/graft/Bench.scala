@@ -18,7 +18,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver may merge stderr into stdout; a
+    // stray WARN after the metric line would break a last-line parse
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the session once (parquet footers, codegen infra, task
     // scheduling) so first-run JVM costs aren't charged to whichever
     // query executes first. Uses the REAL loaders: events.parquet is
@@ -71,6 +73,7 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }
