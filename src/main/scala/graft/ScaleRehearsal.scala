@@ -64,6 +64,17 @@ object ScaleRehearsal {
       operators.Ann.topKNeighbors(spark, vecs,
         vecs.filter(col("vec_id") % 400 === 0), 10).count()
     }
+    t("boilerplate") {
+      // clone clusters make every unit an N-doc repeat: the groupBy
+      // cardinality is the stress (units ~ corpus tokens / width)
+      operators.Scrub.boilerplateUnits(docs).count()
+    }
+    t("pii_scrub") {
+      operators.Scrub.scrubPii(docs).count()
+    }
+    t("vec_quant") {
+      operators.Quantize.quantize(vecs).count()
+    }
 
     val qs = stages.reverse.map { case (k, v, n) =>
       s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")
