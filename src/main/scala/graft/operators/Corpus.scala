@@ -265,6 +265,58 @@ object Corpus {
   /** Vocabulary head size for [[vocab]]. */
   val VocabTopK = 50
 
+  /** Target per-domain doc count for [[mixSample]]'s rate curve. */
+  val MixTarget = 15
+
+  /** q_mix_sample — temperature-scaled domain sampling (the T5/Pile
+    * mixing move): domain d keeps each doc with rate
+    * `min(1, sqrt(MixTarget / n_d))` — alpha = 0.5 between "cap every
+    * domain" (alpha=1, [[domainCap]]) and "keep everything" (alpha=0) —
+    * so over-represented domains shrink sub-linearly while small
+    * domains survive whole. The keep decision is the stable md5 bucket
+    * of the doc id against `floor(rate·10⁴ + 0.5)`: reproducible,
+    * content-free, and adding documents only moves a domain's RATE,
+    * never which bucket a doc hashes to.
+    *
+    * Determinism note: alpha is pinned to 0.5 because IEEE `sqrt` is
+    * correctly rounded in every engine; a general `pow(x, alpha)` is
+    * libm-dependent and may differ in the last ulp — exactly the kind
+    * of boundary that flips a `<` threshold on one engine only.
+    *
+    * Scale: one tiny per-domain agg broadcast back over a per-row
+    * map — same shape as [[domainMix]]; no corpus-sized shuffle.
+    */
+  def mixSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        (conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 7), 16, 10)
+          .cast("long") % 10000).as("bucket"))
+    val rates = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("keep_below",
+        least(lit(10000L),
+          floor(sqrt(lit(MixTarget.toDouble) / col("n_docs").cast("double")) * 1e4 + lit(0.5))))
+    docs.join(broadcast(rates), "source")
+      .filter(col("bucket") < col("keep_below"))
+      .select(col("source"), col("doc_id"), col("bucket"), col("keep_below"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val mixSampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id,
+       |         ('0x' || substr(md5('mix:' || doc_id), 1, 7))::BIGINT % 10000 AS bucket
+       |  FROM documents
+       |), rates AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         least(10000, floor(sqrt($MixTarget.0 / count(*)::DOUBLE) * 10000.0 + 0.5))::BIGINT AS keep_below
+       |  FROM docs GROUP BY source
+       |)
+       |SELECT d.source, d.doc_id, d.bucket, r.keep_below
+       |FROM docs d JOIN rates r ON d.source = r.source
+       |WHERE d.bucket < r.keep_below
+       |ORDER BY d.source, d.doc_id""".stripMargin
+
   /** q_vocab — corpus vocabulary head: term frequency + document
     * frequency for the top-$VocabTopK terms by tf (term tiebreak, so
     * the cut is deterministic). The frame tokenizer coverage, stopword
