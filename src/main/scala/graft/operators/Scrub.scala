@@ -128,13 +128,30 @@ object Scrub {
   val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
   val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
-  /** PII scrub over any `(doc_id, text)` frame: count then redact
-    * emails, E.164-ish phone numbers, and IPv4 literals. Per-row map —
-    * the regex chain rides the scan projection; at 100 TB this is the
+  /** The redaction chain as a column: emails → phones → IPv4, fixed
+    * order so replacements can't create or destroy later matches.
+    */
+  def redact(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+
+  /** Any `(doc_id, text, ...)` frame with `text` redacted in place —
+    * the form the rest of the pipeline (dedup, chunking, tokenize)
+    * consumes. Scrub BEFORE dedup: per-document PII (emails, account
+    * ids) makes otherwise-identical documents distinct, so unscrubbed
+    * dedup under-merges ([[graft.ScrubSpec]] asserts this end to end).
+    */
+  def scrubbedDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", redact(col("text")))
+
+  /** PII scrub report over any `(doc_id, text)` frame: match counts
+    * per category + the md5 of the redacted text. Per-row map — the
+    * regex chain rides the scan projection; at 100 TB this is the
     * shape that matters (no shuffle, no UDF, codegen'd regexp).
-    * Replacement order is fixed (email → phone → ip) so counts are
-    * computed against the original text and replacements can't create
-    * or destroy later matches.
+    * Counts are computed against the original text.
     */
   def scrubPii(docs: DataFrame): DataFrame = {
     val t = col("text")
@@ -143,11 +160,7 @@ object Scrub {
       regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
       regexp_count(t, lit(IpRe)).cast("long").as("n_ips"),
-      md5(regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"),
-        IpRe, "<IP>")).as("scrub_hash"))
+      md5(redact(t)).as("scrub_hash"))
       .orderBy(col("doc_id"))
   }
 

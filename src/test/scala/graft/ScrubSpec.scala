@@ -68,6 +68,22 @@ class ScrubSpec extends AnyFunSuite {
     assert(out(3L) == "127,0,0")
   }
 
+  test("scrub before dedup: redaction restores identity per-doc PII destroyed") {
+    // same document, but each copy carries ITS OWN contact line (the
+    // real-world shape: mirrored pages with per-user footers)
+    val body = "shared body words that are identical across the mirrors"
+    val docs = Seq(
+      (1L, body + " contact alice@example.com from 10.0.0.1"),
+      (2L, body + " contact bob@example.org from 10.0.0.2")
+    ).toDF("doc_id", "text")
+    // unscrubbed: the PII makes the copies distinct -> exact dedup misses
+    assert(operators.Dedup.exactGroups(docs).count() == 0)
+    // scrubbed: identical again -> one group, keeper is the min id
+    val groups = operators.Dedup.exactGroups(operators.Scrub.scrubbedDocs(docs))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(groups.toSeq == Seq((1L, 2L)))
+  }
+
   test("quantize stats pass is shuffle-bounded and the map pass broadcast") {
     val vecs = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
