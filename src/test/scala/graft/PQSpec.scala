@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Ann, PQ}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PQSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+  private val Dim = 64
+
+  test("pq fit/encode/decode: valid codes, deterministic, reconstruction beats noise") {
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val books = PQ.fit(vecs, Dim, m = 8, k = 16, iters = 2)
+    assert(books.size == 8 && books.forall(_.count() == 16))
+
+    val codes = PQ.encode(vecs, books, Dim)
+    val n = vecs.count()
+    assert(codes.count() == n)
+    val bounds = codes.select(
+      min(array_min(col("codes"))), max(array_max(col("codes"))),
+      min(size(col("codes"))), max(size(col("codes"))))
+      .as[(Long, Long, Int, Int)].head()
+    assert(bounds._1 >= 1L && bounds._2 <= 16L && bounds._3 == 8 && bounds._4 == 8)
+
+    // deterministic end to end
+    val codes2 = PQ.encode(vecs, PQ.fit(vecs, Dim, m = 8, k = 16, iters = 2), Dim)
+    assert(codes.as[(Long, Seq[Long])].collect().toMap ==
+      codes2.as[(Long, Seq[Long])].collect().toMap)
+
+    // reconstruction quality: cos(original, decoded(self)) must beat
+    // cos(original, decoded of a DIFFERENT vector) on average — the
+    // codes carry vector-specific information, not just corpus priors
+    val dec = PQ.decode(codes, books)
+      .select(col("vec_id"), col("embedding").as("rec"))
+    val both = vecs.join(dec, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("rec"),
+        Ann.norm(col("embedding")).as("n1"), Ann.norm(col("rec")).as("n2"))
+    assert(dec.count() == n)
+    val selfCos = both.select(avg(
+      Ann.cosine(col("embedding"), col("n1"), col("rec"), col("n2"))))
+      .as[Double].head()
+    val shifted = both.select(col("vec_id"), col("rec"), col("n2"))
+      .withColumn("vec_id", (col("vec_id") + 1) % n)
+    val crossCos = both.select(col("vec_id"), col("embedding"), col("n1"))
+      .join(shifted, "vec_id")
+      .select(avg(Ann.cosine(col("embedding"), col("n1"), col("rec"), col("n2"))))
+      .as[Double].head()
+    assert(selfCos > crossCos + 0.1,
+      s"self-reconstruction $selfCos should beat cross $crossCos")
+  }
+}
