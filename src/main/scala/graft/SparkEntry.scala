@@ -62,6 +62,7 @@ object SparkEntry {
     "q_tokens" -> (TextAnalysis.tokens _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_vocab" -> (Corpus.vocab _),
+    "q_quality_domain" -> (TextAnalysis.qualityDomain _),
     "q_mix_sample" -> (Corpus.mixSample _),
     "q_boilerplate" -> (Scrub.boilerplate _),
     "q_para_dedup" -> (Scrub.paraDedup _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_tokens" -> TextAnalysis.tokensSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_vocab" -> Corpus.vocabSql,
+    "q_quality_domain" -> TextAnalysis.qualityDomainSql,
     "q_mix_sample" -> Corpus.mixSampleSql,
     "q_boilerplate" -> Scrub.boilerplateSql,
     "q_para_dedup" -> Scrub.paraDedupSql,

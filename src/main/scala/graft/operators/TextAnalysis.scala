@@ -170,14 +170,20 @@ object TextAnalysis {
     * streaming: it's a pure projection (no sort, no state), so the same
     * plan curates a live document feed unchanged (asserted in
     * StreamingSpec). [[filterMask]] adds the total order the oracle
-    * compare needs.
+    * compare needs. `passthrough` columns ride the projection
+    * unchanged (e.g. `source` for [[qualityDomain]]) — carrying them
+    * through the map is free; re-attaching them later would cost an
+    * id-shuffle join.
     */
-  def filterSignals(docs: DataFrame): DataFrame = {
+  def filterSignals(docs: DataFrame,
+    passthrough: Seq[String] = Nil): DataFrame = {
     val en = Profiles.head._2
+    val pt = passthrough.map(col)
     val base = docs
-      .select(col("doc_id"), col("text"), TextSim.tokens(col("text")).as("t"))
+      .select(col("doc_id") +: pt :+ col("text") :+
+        TextSim.tokens(col("text")).as("t"): _*)
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: pt ++: Seq(
         length(col("text")).cast("long").as("n_chars"),
         size(col("t")).cast("long").as("tok_count"),
         aggregate(col("t"), lit(0L), (a, w) => a + length(w)).as("wlen_sum"),
@@ -188,7 +194,7 @@ object TextAnalysis {
         hits(col("t"), Profiles(2)._2).as("fr_hits"),
         hits(col("t"), Profiles(3)._2).as("es_hits"),
         (size(col("t")) - 2).cast("long").as("n_grams"),
-        size(TextSim.shingles3(col("t"))).cast("long").as("n_distinct"))
+        size(TextSim.shingles3(col("t"))).cast("long").as("n_distinct")): _*)
     val quality = TextSim.r6(
       lit(0.3) * least(col("tok_count").cast("double") / 50.0, lit(1.0)) +
         lit(0.3) * (lit(1.0) - col("punct").cast("double") / col("n_chars")) +
@@ -199,19 +205,31 @@ object TextAnalysis {
       col("en_hits") >= col("es_hits")
     val dupFrac = TextSim.r6(
       (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
-    base.select(col("doc_id"), quality.as("quality"), isEn.as("is_en"),
-      dupFrac.as("dup_fraction"))
+    base.select(col("doc_id") +: pt ++: Seq(quality.as("quality"),
+      isEn.as("is_en"), dupFrac.as("dup_fraction")): _*)
       .withColumn("keep",
         col("quality") >= 0.5 && col("is_en") && col("dup_fraction") <= 0.2)
   }
 
   val filterMaskSql: String = {
+    s"""WITH ${signalsSqlCte("")}
+       |SELECT doc_id, quality, is_en, dup_fraction,
+       |       (quality >= 0.5 AND is_en AND dup_fraction <= 0.2) AS keep
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** base + scored CTEs of the fused filter; `pt` is an optional
+    * ", col"-style passthrough fragment carried through both CTEs
+    * (the SQL mirror of [[filterSignals]]'s `passthrough`).
+    */
+  private def signalsSqlCte(pt: String): String = {
     val en = hitsSql("t", Profiles.head._2)
     val de = hitsSql("t", Profiles(1)._2)
     val fr = hitsSql("t", Profiles(2)._2)
     val es = hitsSql("t", Profiles(3)._2)
-    s"""WITH base AS (
-       |  SELECT doc_id, len(text)::BIGINT AS n_chars,
+    s"""base AS (
+       |  SELECT doc_id$pt, len(text)::BIGINT AS n_chars,
        |         len(t)::BIGINT AS tok_count,
        |         list_sum(list_transform(t, w -> len(w)))::BIGINT AS wlen_sum,
        |         (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS punct,
@@ -219,12 +237,12 @@ object TextAnalysis {
        |         $fr::BIGINT AS fr_hits, $es::BIGINT AS es_hits,
        |         (len(t) - 2)::BIGINT AS n_grams,
        |         len(${TextSim.shingles3Sql("t")})::BIGINT AS n_distinct
-       |  FROM (SELECT doc_id, text,
+       |  FROM (SELECT doc_id$pt, text,
        |               list_filter(string_split(text, ' '), x -> x <> '') AS t
        |        FROM documents)
        |  WHERE len(t) >= 3
        |), scored AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id$pt,
        |         ${TextSim.r6Sql(
             """0.3 * least(tok_count::DOUBLE / 50.0, 1.0)
               |           + 0.3 * (1.0 - punct::DOUBLE / n_chars)
@@ -235,12 +253,52 @@ object TextAnalysis {
        |          AND en_hits >= es_hits) AS is_en,
        |         ${TextSim.r6Sql("(n_grams - n_distinct)::DOUBLE / n_grams")} AS dup_fraction
        |  FROM base
-       |)
-       |SELECT doc_id, quality, is_en, dup_fraction,
-       |       (quality >= 0.5 AND is_en AND dup_fraction <= 0.2) AS keep
-       |FROM scored
-       |ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
   }
+
+  /** q_quality_domain — per-source quality calibration: exact p50/p90
+    * of the quality score (ranked-window order statistics, the
+    * [[Analytics.quantiles]] technique), doc count, and the keep rate
+    * of the global filter. THE frame an adaptive curation threshold is
+    * read from — a single global cutoff over-prunes clean domains and
+    * under-prunes noisy ones. One signals map (source rides the
+    * projection — no re-join) + one window shuffle on source.
+    */
+  def qualityDomain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = filterSignals(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+      passthrough = Seq("source"))
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    sig
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("quality"))).as("q50"),
+        max(when(col("rn") === ceil(col("n") * 0.9), col("quality"))).as("q90"),
+        TextSim.r6(sum(col("keep").cast("long")).cast("double") /
+          count(lit(1))).as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
+  val qualityDomainSql: String =
+    s"""WITH ${signalsSqlCte(", source")},
+       |ranked AS (
+       |  SELECT source, quality, keep,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY quality, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY source) AS n
+       |  FROM (SELECT *, (quality >= 0.5 AND is_en AND dup_fraction <= 0.2) AS keep
+       |        FROM scored)
+       |)
+       |SELECT source, max(n)::BIGINT AS n_docs,
+       |       max(CASE WHEN rn = ceil(n * 0.5) THEN quality END) AS q50,
+       |       max(CASE WHEN rn = ceil(n * 0.9) THEN quality END) AS q90,
+       |       ${TextSim.r6Sql("sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE")} AS keep_rate
+       |FROM ranked
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 
   /** q_tokens — token counting three ways: whitespace tokens, regex
     * word/number/symbol tokens, and a BPE-ish subword estimate
