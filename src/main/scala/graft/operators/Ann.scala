@@ -221,6 +221,40 @@ object Ann {
     ivfSearch(s, e, e.filter(col("vec_id") % 100 === 0), cents)
   }
 
+  /** IVF-PQ search — the full compressed-index composition: coarse
+    * [[KMeansVec]] lists prune WHICH vectors a query scores;
+    * [[PQ]] codes compress WHAT is resident to score them. The index
+    * build is ONE narrow pass (coarse assignment and all m subspace
+    * codes are per-row argmaxes over the same scan — no shuffle, no
+    * join); search probes `nprobe` lists and ranks against the
+    * PQ-reconstructed vectors with the partial top-k aggregator.
+    * Recall vs brute force is bounded by PQ distortion — production
+    * re-ranks the top candidates against exact vectors fetched by id,
+    * which is `topKNeighbors` on the shortlist. Verified by recall in
+    * `PQSpec`.
+    */
+  def ivfPqSearch(s: SparkSession, vectors: DataFrame, queries: DataFrame,
+    dim: Int, nlist: Int = 16, m: Int = 8, kcode: Int = 16,
+    k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
+    val e = withNorm(vectors.select(col("vec_id"), col("embedding")))
+    val cents = KMeansVec.fit(vectors.select(col("vec_id"), col("embedding")),
+      nlist, iters = 3)
+    val books = PQ.fit(vectors.select(col("vec_id"), col("embedding")),
+      dim, m, kcode)
+    // index build: list id + m codes in one projection over one scan
+    val indexed = PQ.encode(
+      KMeansVec.assign(e, cents).select(col("vec_id"), col("cent_id"), col("embedding")),
+      books, dim, passthrough = Seq("cent_id"))
+    val resident = withNorm(PQ.decode(indexed, books, passthrough = Seq("cent_id")))
+    val q = withNorm(queries.select(col("vec_id"), col("embedding")))
+    val scored = probeLists(q, cents, nprobe)
+      .join(resident, "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as("cos_sim"))
+    rankTopK(s, scored, k)
+  }
+
   /** Auto-tune nprobe: the smallest probe width whose recall@k against
     * the brute-force ground truth meets `targetRecall`, plus the recall
     * it achieved. The operational question every IVF deployment answers

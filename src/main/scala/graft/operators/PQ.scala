@@ -38,10 +38,15 @@ object PQ {
     }
   }
 
-  /** `(vec_id, codes: array<long>)` — code j is the nearest subspace-j
-    * centroid of the vector's j-th slice. One narrow pass, no shuffle.
+  /** `(vec_id[, passthrough...], codes: array<long>)` — code j is the
+    * nearest subspace-j centroid of the vector's j-th slice. One
+    * narrow pass, no shuffle; `passthrough` columns (e.g. the coarse
+    * IVF list id) ride the same pass, which is how a production index
+    * build writes list assignment + codes together instead of paying
+    * an id-shuffle join to recombine them.
     */
-  def encode(vectors: DataFrame, codebooks: Seq[DataFrame], dim: Int): DataFrame = {
+  def encode(vectors: DataFrame, codebooks: Seq[DataFrame], dim: Int,
+    passthrough: Seq[String] = Nil): DataFrame = {
     val m = codebooks.size
     val sub = dim / m
     val coded = codebooks.zipWithIndex.foldLeft(vectors) { case (df, (cb, j)) =>
@@ -50,21 +55,22 @@ object PQ {
           slice(col("embedding"), j * sub + 1, sub), cb, 1), 1)
           .getField("cent_id"))
     }
-    coded.select(col("vec_id"),
-      array((0 until m).map(j => col(s"__c$j")): _*).as("codes"))
+    coded.select(col("vec_id") +: passthrough.map(col) :+
+      array((0 until m).map(j => col(s"__c$j")): _*).as("codes"): _*)
   }
 
   /** Reconstructed vectors from codes: concat of the m looked-up
     * subspace centroids (broadcast joins, k rows each).
     */
-  def decode(codes: DataFrame, codebooks: Seq[DataFrame]): DataFrame = {
+  def decode(codes: DataFrame, codebooks: Seq[DataFrame],
+    passthrough: Seq[String] = Nil): DataFrame = {
     val m = codebooks.size
     val joined = codebooks.zipWithIndex.foldLeft(codes) { case (df, (cb, j)) =>
       df.join(broadcast(cb.select(col("cent_id").as(s"__c$j"),
         col("c_emb").as(s"__e$j"))),
         element_at(col("codes"), j + 1) === col(s"__c$j"))
     }
-    joined.select(col("vec_id"),
-      concat((0 until m).map(j => col(s"__e$j")): _*).as("embedding"))
+    joined.select(col("vec_id") +: passthrough.map(col) :+
+      concat((0 until m).map(j => col(s"__e$j")): _*).as("embedding"): _*)
   }
 }

@@ -51,4 +51,24 @@ class PQSpec extends AnyFunSuite {
     assert(selfCos > crossCos + 0.1,
       s"self-reconstruction $selfCos should beat cross $crossCos")
   }
+
+  test("ivf-pq search recalls a usable fraction of brute-force, full-probe beats narrow") {
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val truth = Ann.topKNeighbors(spark, vecs, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val got = Ann.ivfPqSearch(spark, vecs, queries, Dim,
+        nlist = 8, m = 8, kcode = 16, k = 10, nprobe = nprobe)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val narrow = recall(2)
+    val full = recall(8)
+    // PQ distortion bounds recall; probing every list must still beat
+    // a 2-list probe, and both must be far above chance (10/500)
+    assert(full >= narrow, s"full-probe $full vs narrow $narrow")
+    assert(narrow > 0.1, s"narrow recall $narrow")
+    assert(full > 0.25, s"full recall $full")
+  }
 }
