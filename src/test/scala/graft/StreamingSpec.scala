@@ -56,6 +56,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("pii scrub runs unchanged on a document stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "write to a.b@example.com or 10.1.2.3 now"),
+      (2L, "call +1-555-0100 twice"),
+      (3L, "clean text with no pii"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Scrub
+      .scrubbedDocs(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("scrub_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2)); q.processAllAvailable()
+      mem.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("scrub_t")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val batch = graft.operators.Scrub.scrubbedDocs(rows.toDF("doc_id", "text"))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed(1L) == "write to <EMAIL> or <IP> now")
+    assert(streamed(2L) == "call <PHONE> twice")
+    assert(streamed(3L) == "clean text with no pii")
+  }
+
   test("streaming sessionize closes sessions on 30-min gaps across batches") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L // ms
