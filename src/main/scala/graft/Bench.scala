@@ -41,8 +41,12 @@ object Bench {
       val small = new java.io.File("/root/testdata/sf0.001")
       if (small.isDirectory) small.getPath else sfDir
     }
+    // NonFatal only: swallowing OutOfMemoryError/InterruptedException
+    // here would leave a corrupt JVM to poison the timed runs below
+    // with no visible cause
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     spark.catalog.clearCache()
     var errors = List.empty[(String, String)]

@@ -78,7 +78,11 @@ object Components {
           lit(null).cast("long").as("old"))
       // every id keeps exactly one labels row, so min(old) recovers its
       // previous label; the union keeps that row a min() candidate, so
-      // lbl <= old always and "changed" is a strict decrease
+      // lbl <= old always and "changed" is a strict decrease. A null
+      // old means the id reached via an edge had NO labels row at all
+      // (caller passed a nodes frame missing a pair endpoint) — that id
+      // just acquired its first label, which must count as changed or
+      // the loop could stop a round early with unpropagated labels.
       val merged = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
         .unionAll(viaEdges)
         .groupBy(col("id"))
@@ -86,7 +90,8 @@ object Components {
       val obs = org.apache.spark.sql.Observation()
       val next = Iterate.materialize(
         merged.observe(obs,
-          sum(when(col("lbl") < col("old"), 1L).otherwise(0L)).as("changed"))
+          sum(when(col("old").isNull || col("lbl") < col("old"), 1L)
+            .otherwise(0L)).as("changed"))
           .select(col("id"), col("lbl")), checkpointDir)
       labels = next
       done = obs.get("changed").asInstanceOf[Long] == 0L

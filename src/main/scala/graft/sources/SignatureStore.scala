@@ -65,10 +65,24 @@ object SignatureStore {
     newNew.unionByName(newOld).orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Append a new batch's signatures to the store (same bucketing). */
-  def append(newDocs: DataFrame, table: String, buckets: Int = 16): Unit =
-    Dedup.minhashSignatures(Dedup.shingleDocs(newDocs))
+  /** Append a new batch's signatures to the store, reading the bucket
+    * spec off the existing catalog table — an append with a DIFFERENT
+    * bucket count than the build would fail at runtime (or silently
+    * break the bucket-pruned verify joins), so the store, not the
+    * caller, is the authority on its own layout.
+    */
+  def append(newDocs: DataFrame, table: String): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not a bucketed signature store"))
+    val w = Dedup.minhashSignatures(Dedup.shingleDocs(newDocs))
       .write.mode(SaveMode.Append)
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(table)
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+      w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    else w).saveAsTable(table)
+  }
 }

@@ -11,8 +11,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** A unit sighting on the document stream. */
 case class UnitSeen(unit: String, doc_id: Long, ts: Timestamp)
 
-/** A unit promoted to boilerplate (crossed the distinct-doc threshold). */
-case class BoilerHit(unit: String, n_docs: Long, ts: Timestamp)
+/** A unit promoted to boilerplate (crossed the distinct-doc threshold).
+  * `n_docs_at_promotion` is the distinct-doc count AT the moment the
+  * threshold was crossed — a LOWER BOUND on the batch operator's total
+  * `n_docs` for the same unit (the stream stops counting after
+  * promotion; the batch pass sees every sighting). The name is
+  * deliberately different from the batch output's `n_docs` so the two
+  * can never be compared as equals by accident.
+  */
+case class BoilerHit(unit: String, n_docs_at_promotion: Long, ts: Timestamp)
 
 /** Streaming boilerplate discovery — the continuous version of
   * `q_boilerplate`: a unit is emitted ONCE, the moment it has been

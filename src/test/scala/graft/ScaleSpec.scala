@@ -127,7 +127,8 @@ class ScaleSpec extends AnyFunSuite {
     assert(incr == expected && expected.nonEmpty)
     // append completes the store: a follow-up full read reproduces the
     // whole corpus's pair set
-    graft.sources.SignatureStore.append(newDocs, "sig_store_incr", buckets = 8)
+    // no bucket count: append reads the spec off the catalog table
+    graft.sources.SignatureStore.append(newDocs, "sig_store_incr")
     val full = graft.sources.SignatureStore.pairs(spark, "sig_store_incr")
       .as[(Long, Long, Double)].collect().toSet
     val direct = operators.Dedup.minhashPairs(docs)

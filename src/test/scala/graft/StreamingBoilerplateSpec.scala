@@ -33,7 +33,7 @@ class StreamingBoilerplateSpec extends AnyFunSuite {
       mem.addData((3L, shared, new Timestamp(t0 + 2000)),
         (4L, other, new Timestamp(t0 + 2000)))
       q.processAllAvailable()
-      val hits = spark.table("bp_t").select("unit", "n_docs")
+      val hits = spark.table("bp_t").select("unit", "n_docs_at_promotion")
         .as[(String, Long)].collect()
       assert(hits.toSeq == Seq((shared, 3L)), s"got ${hits.toSeq}")
       // later sightings do not re-emit (tombstone)
@@ -63,7 +63,7 @@ class StreamingBoilerplateSpec extends AnyFunSuite {
         mem.addData((id, tx, new Timestamp(t0 + i * 1000)))
       }
       q.processAllAvailable()
-      val stream = spark.table("bp_t2").select("unit", "n_docs")
+      val stream = spark.table("bp_t2").select("unit", "n_docs_at_promotion")
         .as[(String, Long)].collect().toMap
       assert(stream.keySet == batch.keySet,
         s"stream ${stream.keySet} vs batch ${batch.keySet}")
