@@ -130,14 +130,17 @@ object Ann {
 
   /** Probe rows: each query exploded to its `n` nearest centroid lists
     * — a per-row [[graft.functions.NearestCentroids]] pass, no shuffle.
+    * `extra` columns (e.g. a per-query ADC lookup table, computed ONCE
+    * per query before the explode) ride along.
     */
-  private def probeLists(q: DataFrame, cents: DataFrame, n: Int): DataFrame =
-    q.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm"),
+  private def probeLists(q: DataFrame, cents: DataFrame, n: Int,
+    extra: Seq[String] = Nil): DataFrame =
+    q.select(Seq(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm")) ++ extra.map(col) :+
       explode(graft.functions.NearestCentroids.fromFrame(
-        col("embedding"), cents, n)).as("p"))
-      .select(col("query_id"), col("p.cent_id").as("cent_id"),
-        col("q_emb"), col("q_nrm"))
+        col("embedding"), cents, n)).as("p"): _*)
+      .select(Seq(col("query_id"), col("p.cent_id").as("cent_id"),
+        col("q_emb"), col("q_nrm")) ++ extra.map(col): _*)
 
   /** IVF search over pre-normed vectors and a `(cent_id, c_emb, c_nrm)`
     * centroid frame: shuffle-free nearest-centroid assignment (the
@@ -221,17 +224,49 @@ object Ann {
     ivfSearch(s, e, e.filter(col("vec_id") % 100 === 0), cents)
   }
 
+  /** ADC probe rows: each query gets its m×k lookup table ONCE
+    * ([[PQ.adcLut]] — the table, not the query vector, is what scoring
+    * reads), then explodes to its `nprobe` nearest lists. |Q|·nprobe
+    * rows, broadcast-small by the ANN contract.
+    */
+  private[graft] def adcProbes(queriesWithNorm: DataFrame, cents: DataFrame,
+    books: PQ.PqBooks, dim: Int, nprobe: Int): DataFrame =
+    probeLists(
+      queriesWithNorm.withColumn("lut", PQ.adcLut(col("embedding"), books, dim)),
+      cents, nprobe, extra = Seq("lut"))
+
+  /** Rank a `(cent_id, vec_id, codes, rec_nrm)` resident code table
+    * against ADC probe rows: broadcast the probes past the code table
+    * (the resident side is never shuffled — at 100 TB it's a
+    * partition-pruned read, [[graft.sources.IndexStore]]), score each
+    * candidate with m table lookups ([[PQ.adcDot]] — no decode join,
+    * no reconstruction), partial top-k.
+    */
+  private[graft] def rankCodes(s: SparkSession, resident: DataFrame,
+    probes: DataFrame, books: PQ.PqBooks, k: Int): DataFrame = {
+    val scored = resident.join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.TextSim.r6(PQ.adcDot(col("lut"), col("codes"), books.m) /
+          (col("q_nrm") * col("rec_nrm"))).as("cos_sim"))
+    rankTopK(s, scored, k)
+  }
+
   /** IVF-PQ search — the full compressed-index composition: coarse
     * [[KMeansVec]] lists prune WHICH vectors a query scores;
     * [[PQ]] codes compress WHAT is resident to score them. The index
-    * build is ONE narrow pass (coarse assignment and all m subspace
-    * codes are per-row argmaxes over the same scan — no shuffle, no
-    * join); search probes `nprobe` lists and ranks against the
-    * PQ-reconstructed vectors with the partial top-k aggregator.
-    * Recall vs brute force is bounded by PQ distortion — production
-    * re-ranks the top candidates against exact vectors fetched by id,
-    * which is `topKNeighbors` on the shortlist. Verified by recall in
-    * `PQSpec`.
+    * build is ONE narrow pass (coarse assignment, all m subspace codes,
+    * and the reconstruction norm are per-row expressions over the same
+    * scan — no shuffle, no join); search probes `nprobe` lists and
+    * scores codes directly against per-query ADC lookup tables
+    * ([[PQ.adcLut]]/[[PQ.adcDot]] — full vectors are never rebuilt),
+    * ranking with the partial top-k aggregator. Recall vs brute force
+    * is bounded by PQ distortion — [[rerank]] on the shortlist buys it
+    * back. Verified by recall + ADC-vs-decode parity in `PQSpec`.
+    *
+    * This is the SELF-CONTAINED form (train + encode + search in one
+    * call) for one-shot jobs; a serving deployment builds ONCE with
+    * [[graft.sources.IndexStore.build]] and probes the stored index.
     */
   def ivfPqSearch(s: SparkSession, vectors: DataFrame, queries: DataFrame,
     dim: Int, nlist: Int = 16, m: Int = 8, kcode: Int = 16,
@@ -239,17 +274,35 @@ object Ann {
     val e = withNorm(vectors.select(col("vec_id"), col("embedding")))
     val cents = KMeansVec.fit(vectors.select(col("vec_id"), col("embedding")),
       nlist, iters = 3)
-    val books = PQ.fit(vectors.select(col("vec_id"), col("embedding")),
+    val bookFrames = PQ.fit(vectors.select(col("vec_id"), col("embedding")),
       dim, m, kcode)
-    // index build: list id + m codes in one projection over one scan
-    val indexed = PQ.encode(
+    val books = PQ.collectBooks(bookFrames)
+    // index build: list id + m codes + rec norm in one projection
+    val resident = PQ.encode(
       KMeansVec.assign(e, cents).select(col("vec_id"), col("cent_id"), col("embedding")),
-      books, dim, passthrough = Seq("cent_id"))
-    val resident = withNorm(PQ.decode(indexed, books, passthrough = Seq("cent_id")))
+      bookFrames, dim, passthrough = Seq("cent_id"))
+      .withColumn("rec_nrm", PQ.recNorm(col("codes"), books))
     val q = withNorm(queries.select(col("vec_id"), col("embedding")))
-    val scored = probeLists(q, cents, nprobe)
-      .join(resident, "cent_id")
-      .filter(col("vec_id") =!= col("query_id"))
+    rankCodes(s, resident, adcProbes(q, cents, books, dim, nprobe), books, k)
+  }
+
+  /** Exact re-rank of an ANN shortlist — the stage that buys back PQ
+    * distortion: fetch the exact vectors of the `(query_id, vec_id)`
+    * shortlist by id (candidates only — the id join touches |shortlist|
+    * rows, never the corpus), rescore with exact cosine, keep top `k`.
+    * If a true neighbor made the shortlist at all, re-ranking places it
+    * exactly where brute force would, so recall@k of
+    * `rerank(ivfPqSearch(k' > k))` ≥ recall@k of the plain PQ top-k.
+    */
+  def rerank(s: SparkSession, vectors: DataFrame, queries: DataFrame,
+    shortlist: DataFrame, k: Int = TopK): DataFrame = {
+    val e = withNorm(vectors.select(col("vec_id"), col("embedding")))
+    val q = withNorm(queries.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = shortlist.select(col("query_id"), col("vec_id"))
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as("cos_sim"))
     rankTopK(s, scored, k)
@@ -268,24 +321,27 @@ object Ann {
     targetRecall: Double = 0.9): (Int, Double) = {
     val e = withNorm(vectors.select(col("vec_id"), col("embedding")))
     val q = withNorm(queries.select(col("vec_id"), col("embedding")))
+    // ground truth stays a FRAME: recall per probe width is a semi-join
+    // count against it — two scalar actions per iteration, no id sets
+    // shipped to the driver, so the tuning query set can be as large as
+    // the workload it samples
     val truth = topKNeighbors(s, vectors, queries, k)
-      .select(col("query_id"), col("vec_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .select(col("query_id"), col("vec_id")).persist()
+    val total = truth.count()
     val nlist = cents.count().toInt
     var best = (nlist, 0.0)
     var nprobe = 1
     var done = false
     while (!done && nprobe <= nlist) {
-      val got = ivfSearch(s, e, q, cents, k, nprobe)
-        .select(col("query_id"), col("vec_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val recall =
-        if (truth.isEmpty) 1.0
-        else truth.intersect(got).size.toDouble / truth.size
+      val matched = truth.join(
+        ivfSearch(s, e, q, cents, k, nprobe).select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi").count()
+      val recall = if (total == 0L) 1.0 else matched.toDouble / total
       best = (nprobe, recall)
       done = recall >= targetRecall
       nprobe += 1
     }
+    truth.unpersist()
     best
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product quantization — the memory side of a production ANN index
@@ -60,7 +60,10 @@ object PQ {
   }
 
   /** Reconstructed vectors from codes: concat of the m looked-up
-    * subspace centroids (broadcast joins, k rows each).
+    * subspace centroids (broadcast joins, k rows each). Reconstruction
+    * is for EXPORT (handing full vectors to a consumer); scoring codes
+    * goes through [[adcDot]] — rebuilding floats to score them
+    * surrenders the memory win PQ exists for.
     */
   def decode(codes: DataFrame, codebooks: Seq[DataFrame],
     passthrough: Seq[String] = Nil): DataFrame = {
@@ -73,4 +76,87 @@ object PQ {
     joined.select(col("vec_id") +: passthrough.map(col) :+
       concat((0 until m).map(j => col(s"__e$j")): _*).as("embedding"): _*)
   }
+
+  /** Driver-resident codebook matrices — the task reference object for
+    * ADC scoring (the [[graft.functions.NearestCentroids]] pattern: m·k
+    * small centroid rows are index METADATA, bounded by construction,
+    * and belong next to the generated code, not in a join). `books(j)`
+    * is dense, indexed by `code - 1`; a cent_id gap (an empty Lloyd
+    * cluster) holds a zero vector that no code ever references.
+    */
+  final case class PqBooks(books: Array[Array[Array[Float]]]) {
+    val m: Int = books.length
+    val codeSlots: Int = books(0).length
+    /** ‖book_j[c]‖² in [[graft.functions.VecDot]] fold order — feeds
+      * [[recNorm]]: a reconstruction's norm² is the SUM of its subspace
+      * norm²s (concatenation), so the resident set never materializes.
+      */
+    lazy val norm2: Array[Array[Double]] = books.map(_.map { v =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      s
+    })
+  }
+
+  /** Collect fitted codebook frames into [[PqBooks]] (m·k rows — the
+    * same bounded collect that ships centroids to
+    * [[graft.functions.NearestCentroids]]).
+    */
+  def collectBooks(codebooks: Seq[DataFrame]): PqBooks =
+    collectBooksFromRows(codebooks.map { cb =>
+      cb.select(col("cent_id"), col("c_emb")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    })
+
+  /** [[PqBooks]] from already-collected `(cent_id, c_emb)` rows per
+    * subspace (how [[graft.sources.IndexStore]] rehydrates a stored
+    * codebook table).
+    */
+  def collectBooksFromRows(per: Seq[Seq[(Long, Array[Float])]]): PqBooks = {
+    val maps = per.map(_.toMap)
+    val slots = maps.map(_.keysIterator.max).max.toInt
+    val sub = maps.head.valuesIterator.next().length
+    PqBooks(maps.map { mp =>
+      Array.tabulate(slots)(i => mp.getOrElse((i + 1).toLong, new Array[Float](sub)))
+    }.toArray)
+  }
+
+  /** Reconstruction norm of a `codes` column via the per-subspace norm²
+    * tables — a per-row lookup riding the encode pass, so the index
+    * stores (codes, rec_nrm) and cosine needs no decode.
+    */
+  def recNorm(codes: Column, books: PqBooks): Column =
+    sqrt((0 until books.m).map(j =>
+      element_at(typedLit(books.norm2(j).toSeq),
+        element_at(codes, j + 1).cast("int"))).reduce(_ + _))
+
+  /** ADC lookup table for ONE query row: `lut[j][c] = dot(q_j, book_j[c])`
+    * (m×k doubles). Built once per query — |Q|·m·k subspace dots total —
+    * then broadcast with the probe rows; every resident code row is
+    * scored by m array lookups ([[adcDot]]) instead of a decode join +
+    * full-dimension dot. This is the asymmetric-distance computation of
+    * Jégou et al., "Product Quantization for Nearest Neighbor Search"
+    * (TPAMI 2011) §III — the query stays exact, only the corpus side is
+    * quantized.
+    */
+  def adcLut(qEmb: Column, books: PqBooks, dim: Int): Column = {
+    val sub = dim / books.m
+    array((0 until books.m).map { j =>
+      array((0 until books.codeSlots).map { c =>
+        graft.functions.VecDot(slice(qEmb, j * sub + 1, sub),
+          typedLit(books.books(j)(c).toSeq))
+      }: _*)
+    }: _*)
+  }
+
+  /** ADC dot product of a code row against a query's [[adcLut]]:
+    * `Σ_j lut[j][codes[j]]` — m element_at lookups, codegen-friendly,
+    * no reconstruction. Equals the decoded dot up to float-fold
+    * association (per-subspace partials vs one flat fold).
+    */
+  def adcDot(lut: Column, codes: Column, m: Int): Column =
+    (0 until m).map(j =>
+      element_at(element_at(lut, j + 1),
+        element_at(codes, j + 1).cast("int"))).reduce(_ + _)
 }

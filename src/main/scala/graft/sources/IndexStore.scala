@@ -1,0 +1,114 @@
+package graft.sources
+
+import graft.operators.{Ann, KMeansVec, PQ}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-backed IVF-PQ index — the [[SignatureStore]] pattern applied
+  * to ANN serving. Training (coarse k-means + m PQ codebooks) and
+  * encoding happen ONCE in [[build]]; every [[search]] after that is a
+  * partition-pruned read of only the probed lists. This is the piece
+  * that separates a notebook ANN (re-train + full-corpus `cent_id`
+  * shuffle per query batch) from a serving index: at 100 TB the code
+  * table is built by one job, written `partitionBy(cent_id)`, and a
+  * query batch touches nprobe/nlist of the storage — no assignment
+  * recompute, no exchange of the corpus, ever.
+  *
+  * Layout under `path/` (all parquet):
+  *  - `lists/`     — `(vec_id, codes, rec_nrm)` partitioned by `cent_id`:
+  *                   the resident set, 8 bytes of codes + one double per
+  *                   vector instead of d floats
+  *  - `centroids/` — `(cent_id, c_emb, c_nrm)`: nlist rows, the coarse
+  *                   quantizer (driver-resident at probe time, the
+  *                   [[graft.functions.NearestCentroids]] contract)
+  *  - `codebooks/` — `(sub, cent_id, c_emb)`: m·k subspace centroids
+  *                   feeding the per-query ADC lookup tables
+  *  - `meta/`      — one row `(dim, nlist, m, kcode)`
+  *
+  * Mirrors the reference's persistent-store contract (the vector store
+  * the ETL upserts into, Notion_openai_vector_etl.py:329-344) — built
+  * incrementally, served repeatedly.
+  */
+object IndexStore {
+
+  /** Train coarse + PQ quantizers on `vectors` `(vec_id, embedding)`
+    * and write the index. One narrow encode pass over the corpus: list
+    * id, all m codes, and the reconstruction norm are per-row
+    * expressions over the same scan; the only wide operation in the
+    * whole build is the k-means re-centering groupBy (k·dim groups).
+    */
+  def build(vectors: DataFrame, path: String, dim: Int,
+    nlist: Int = 16, m: Int = 8, kcode: Int = 16, iters: Int = 3): Unit = {
+    val spark = vectors.sparkSession
+    val v = vectors.select(col("vec_id"), col("embedding"))
+    val e = v.withColumn("nrm", Ann.norm(col("embedding")))
+    val cents = KMeansVec.fit(v, nlist, iters)
+    val bookFrames = PQ.fit(v, dim, m, kcode)
+    val books = PQ.collectBooks(bookFrames)
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    bookFrames.zipWithIndex
+      .map { case (b, j) =>
+        b.select(lit(j).as("sub"), col("cent_id"), col("c_emb"))
+      }
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    spark.range(1)
+      .select(lit(dim).as("dim"), lit(nlist).as("nlist"),
+        lit(m).as("m"), lit(kcode).as("kcode"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    PQ.encode(
+      KMeansVec.assign(e, cents)
+        .select(col("vec_id"), col("cent_id"), col("embedding")),
+      bookFrames, dim, passthrough = Seq("cent_id"))
+      .withColumn("rec_nrm", PQ.recNorm(col("codes"), books))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cent_id").parquet(s"$path/lists")
+  }
+
+  /** The stored coarse quantizer. */
+  def centroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/centroids")
+
+  /** The stored PQ codebooks as driver-resident [[PQ.PqBooks]]. */
+  def books(spark: SparkSession, path: String): PQ.PqBooks = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("sub"), col("cent_id"), col("c_emb")).collect()
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    PQ.collectBooksFromRows((0 until m).map { j =>
+      rows.filter(_.getInt(0) == j)
+        .map(r => r.getLong(1) -> r.getSeq[Float](2).toArray).toSeq
+    })
+  }
+
+  /** Top-k ADC search of a `(vec_id, embedding)` query frame against
+    * the stored index — identical output to the self-contained
+    * [[Ann.ivfPqSearch]] built with the same parameters, but the only
+    * corpus-sized work is a PARTITION-PRUNED scan of the probed lists:
+    * the probe set is at most nlist ids (the coarse quantizer is
+    * driver-resident by contract, so deriving it ships nothing new),
+    * the `IN` filter lands in the scan's PartitionFilters, and the
+    * probe⋈lists join broadcasts the |Q|·nprobe probe rows past the
+    * pruned scan — the stored side is never shuffled.
+    */
+  def search(spark: SparkSession, queries: DataFrame, path: String,
+    k: Int = Ann.TopK, nprobe: Int = Ann.NProbe): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val dim = meta.getAs[Int]("dim")
+    val cents = centroids(spark, path)
+    val bks = books(spark, path)
+    val q = queries.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Ann.norm(col("embedding")))
+    val probes = Ann.adcProbes(q, cents, bks, dim, nprobe)
+    val probed = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // Int literals on purpose: partition-type inference reads cent_id
+    // as int, and a cast around the partition attribute would keep the
+    // IN out of PartitionFilters (post-scan filtering instead of
+    // directory pruning).
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cent_id").isin(probed.map(_.toInt): _*))
+      .select(col("cent_id").cast("long").as("cent_id"),
+        col("vec_id"), col("codes"), col("rec_nrm"))
+    Ann.rankCodes(spark, lists, probes, bks, k)
+  }
+}

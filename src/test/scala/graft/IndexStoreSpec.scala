@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Ann
+import graft.sources.IndexStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndexStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+  private val Dim = 64
+
+  private lazy val vecs =
+    Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+  private lazy val queries = vecs.filter(col("vec_id") % 100 === 0)
+
+  // build ONCE, shared by both tests — that's the point of the store
+  private lazy val path: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    IndexStore.build(vecs, p, Dim, nlist = 8, m = 8, kcode = 16, iters = 3)
+    p
+  }
+
+  test("stored-index search equals the self-contained ivfPqSearch") {
+    val direct = Ann.ivfPqSearch(spark, vecs, queries, Dim,
+      nlist = 8, m = 8, kcode = 16, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val stored = IndexStore.search(spark, queries, path, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(direct.nonEmpty)
+    assert(stored == direct,
+      s"stored-index search must reproduce the direct path exactly " +
+        s"(first diff: ${stored.zip(direct).find(p => p._1 != p._2)})")
+  }
+
+  test("probe is a partition-pruned read; the stored side is never shuffled") {
+    val sdf = IndexStore.search(spark, queries, path, k = 10, nprobe = 2)
+    val plan = sdf.queryExecution.executedPlan.toString
+    // the lists scan carries the probed-cent IN filter as a PARTITION
+    // filter (directory pruning, not post-scan filtering)
+    val pf = "PartitionFilters: \\[[^\\]]*cent_id".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"lists scan must partition-prune on cent_id:\n$plan")
+    // probes broadcast past the pruned scan: exactly one join, and it's
+    // a broadcast — no exchange of the stored code table
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1,
+      s"expected exactly one broadcast join (probes past lists):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the stored side must never shuffle:\n$plan")
+  }
+
+  test("pruning width follows the probe width: narrow probes read fewer lists") {
+    val nlists = IndexStore.centroids(spark, path).count().toInt
+    assert(nlists >= 3, s"degenerate training: $nlists lists")
+    val one = queries.orderBy(col("vec_id")).limit(1)
+    val narrow = probedInFilterWidth(one, nprobe = 2)
+    val full = probedInFilterWidth(one, nprobe = nlists)
+    assert(narrow == 2, s"one query at nprobe=2 must pin 2 partitions, got $narrow")
+    assert(full == nlists,
+      s"full probe must enumerate all $nlists partitions, got $full")
+  }
+
+  /** Width of the cent_id IN(...) partition filter in the search plan. */
+  private def probedInFilterWidth(q: org.apache.spark.sql.DataFrame,
+    nprobe: Int): Int = {
+    val plan = IndexStore.search(spark, q, path, k = 10, nprobe = nprobe)
+      .queryExecution.executedPlan.toString
+    val m = "PartitionFilters: \\[[^\\]]*IN \\(([^)]+)\\)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no partition IN filter in plan:\n$plan")
+    m.get.group(1).split(",").length
+  }
+}

@@ -71,4 +71,70 @@ class PQSpec extends AnyFunSuite {
     assert(narrow > 0.1, s"narrow recall $narrow")
     assert(full > 0.25, s"full recall $full")
   }
+
+  test("ADC scoring ranks like decode-reconstruct, with no decode join in the plan") {
+    import graft.operators.KMeansVec
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    // ADC path at FULL probe = every encoded vector is a candidate, so
+    // any ranking difference vs the decode path is scoring-only
+    val adcDf = Ann.ivfPqSearch(spark, vecs, queries, Dim,
+      nlist = 4, m = 8, kcode = 16, k = 10, nprobe = 4)
+    val plan = adcDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("__c0") && !plan.contains("__e0"),
+      s"ADC plan must not contain the m-way decode join:\n$plan")
+    val adc = adcDf.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // decode path replicated with the same deterministic training: the
+    // shape ivfPqSearch had before ADC (reconstruct + exact cosine)
+    val cents = KMeansVec.fit(vecs, 4, 3)
+    val books = PQ.fit(vecs, Dim, m = 8, k = 16)
+    val e = vecs.withColumn("nrm", Ann.norm(col("embedding")))
+    val indexed = PQ.encode(
+      KMeansVec.assign(e, cents).select(col("vec_id"), col("cent_id"), col("embedding")),
+      books, Dim, passthrough = Seq("cent_id"))
+    val resident = PQ.decode(indexed, books)
+      .withColumn("nrm", Ann.norm(col("embedding")))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val dec = resident.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Ann.cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // ADC sums per-subspace partials where decode folds one flat dot —
+    // equal values up to float association, so after round-6 the top-k
+    // sets agree except possibly at a rounding-boundary tie
+    val overlap = (adc & dec).size.toDouble / dec.size
+    assert(overlap >= 0.95, s"ADC vs decode top-k overlap $overlap")
+  }
+
+  test("exact re-rank of the PQ shortlist recovers recall lost to quantization") {
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val truth = Ann.topKNeighbors(spark, vecs, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    // FULL probe isolates what re-ranking can fix: every miss is PQ
+    // distortion (a narrow probe's misses live in unprobed lists, which
+    // no amount of re-scoring can recover)
+    val plain = recallOf(Ann.ivfPqSearch(spark, vecs, queries, Dim,
+      nlist = 8, m = 8, kcode = 16, k = 10, nprobe = 8))
+    // 10× shortlist from the same probes, re-scored exactly by id (the
+    // production ratio: the shortlist costs code lookups, the re-rank
+    // costs |shortlist| exact dots — two orders below a full scan)
+    val shortlist = Ann.ivfPqSearch(spark, vecs, queries, Dim,
+      nlist = 8, m = 8, kcode = 16, k = 100, nprobe = 8)
+    val reranked = recallOf(Ann.rerank(spark, vecs, queries, shortlist, k = 10))
+    assert(reranked >= plain,
+      s"re-rank recall $reranked must be >= plain PQ recall $plain")
+    assert(reranked > 0.5, s"re-rank recall $reranked too low to be useful")
+  }
 }
