@@ -57,6 +57,62 @@ object Components {
     labels
   }
 
+  /** Incremental label maintenance — merge a BATCH of new pairs into a
+    * stored fixpoint label table (`(id, lbl)`, e.g. last week's
+    * `q_dedup_keep` output) without re-iterating old×old: the
+    * continuation of [[graft.sources.SignatureStore.incrementalPairs]],
+    * which emits exactly such a batch.
+    *
+    * Shape: the stored graph is already CONTRACTED by its labels (every
+    * old component is one representative = its min id), so the merge
+    * reduces to CC over `new pairs mapped through the stored labels` —
+    * a graph bounded by 2·|batch|, never the corpus. The stored table
+    * is touched by exactly two broadcast joins (endpoint lookup, label
+    * rewrite): streamed, never shuffled, never iterated. Min-label
+    * semantics are preserved: the min id of a merged component is the
+    * min over its old components' mins and the new ids.
+    */
+  def mergePairs(labels: DataFrame, newPairs: DataFrame,
+    checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    // self-pairs carry no edge information but would leak their endpoint
+    // into the new-node set below — drop them at the door
+    val pairs = newPairs.select(col("a_id"), col("b_id"))
+      .filter(col("a_id") =!= col("b_id")).persist()
+    // endpoint → stored representative (itself if unseen). right_outer
+    // with the bounded batch as build side: the stored table streams.
+    val la = labels.select(col("id").as("a_id"), col("lbl").as("a_lbl"))
+    val lb = labels.select(col("id").as("b_id"), col("lbl").as("b_lbl"))
+    val looked = lb.join(
+      broadcast(la.join(broadcast(pairs), Seq("a_id"), "right_outer")),
+      Seq("b_id"), "right_outer").persist()
+    val contracted = looked.select(
+      coalesce(col("a_lbl"), col("a_id")).as("a_id"),
+      coalesce(col("b_lbl"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    // CC over representatives + new ids only
+    val rep = fromPairs(contracted, checkpointDir)
+    // ids the store has never seen (they were their own contraction)
+    val newIds = looked.select(
+      when(col("a_lbl").isNull, col("a_id")).as("na"),
+      when(col("b_lbl").isNull, col("b_id")).as("nb"))
+    val newNodes = newIds.select(col("na").as("id")).filter(col("na").isNotNull)
+      .unionAll(newIds.select(col("nb").as("id")).filter(col("nb").isNotNull))
+      .distinct()
+    val moved = rep.select(col("id").as("rep"), col("lbl").as("new_lbl"))
+    // rewrite stored rows whose representative merged (one broadcast
+    // join over the stored table), and label the new ids
+    val updated = labels.join(broadcast(moved),
+      labels("lbl") === col("rep"), "left_outer")
+      .select(labels("id"), coalesce(col("new_lbl"), labels("lbl")).as("lbl"))
+    val newLabeled = newNodes.join(moved, newNodes("id") === col("rep"), "left_outer")
+      .select(newNodes("id"), coalesce(col("new_lbl"), newNodes("id")).as("lbl"))
+    val out = updated.unionAll(newLabeled)
+    pairs.unpersist()
+    looked.unpersist()
+    out
+  }
+
   private def symmetric(pairs: DataFrame): DataFrame =
     pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))

@@ -58,6 +58,10 @@ object SignatureStore {
       .join(broadcast(Dedup.bandsOf(newSig).as("n")), Seq("band", "bsig"))
       .select(least(col("o.doc_id"), col("n.doc_id")).as("a_id"),
         greatest(col("o.doc_id"), col("n.doc_id")).as("b_id"))
+      // a doc present on BOTH sides (the caller broke the ids-must-be-new
+      // contract, or read this frame lazily after its own append) would
+      // otherwise emit a degenerate (x, x) self-pair
+      .filter(col("a_id") =!= col("b_id"))
       .distinct()
     val newOld = Dedup.verifyJaccard(cand,
       oldSig.select(col("doc_id"), col("sh"))

@@ -136,6 +136,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(full == direct)
   }
 
+  test("incremental connected components: merged labels equal full recompute over appended batches") {
+    // the weekly-ingest story end to end: a base corpus's labels are
+    // maintained under TWO appended batches via incrementalPairs +
+    // mergePairs — old x old is never rescanned and never re-iterated —
+    // and the final labels equal a from-scratch recompute
+    val docs = Tables.docsAug(spark, sf)
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    graft.sources.SignatureStore.build(b0, "sig_store_cc", buckets = 8)
+    var labels = operators.Components.fromPairs(
+      operators.Dedup.minhashPairs(b0).select("a_id", "b_id"))
+    for (r <- Seq(1, 2)) {
+      val batch = docs.filter(col("doc_id") % 3 === r)
+      val np = graft.sources.SignatureStore
+        .incrementalPairs(spark, batch, "sig_store_cc")
+        .select("a_id", "b_id")
+      // materialize the merged labels BEFORE appending: np reads the
+      // store lazily, and a stored-label table is written out between
+      // batches in the real workflow anyway
+      labels = operators.Components.mergePairs(labels, np).localCheckpoint()
+      graft.sources.SignatureStore.append(batch, "sig_store_cc")
+    }
+    val incr = labels.as[(Long, Long)].collect().toMap
+    val full = operators.Components.fromPairs(
+      operators.Dedup.minhashPairs(docs).select("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(full.nonEmpty)
+    assert(incr == full,
+      s"incremental labels diverge: ${incr.toSet.diff(full.toSet).take(5)} / " +
+        s"${full.toSet.diff(incr.toSet).take(5)}")
+  }
+
   test("survivor set composes across detector families (minhash + simhash + embed)") {
     // the production dedup shape: several near-dup detectors, ONE
     // survivor materialization over the union of their pair sets
