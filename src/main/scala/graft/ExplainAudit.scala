@@ -73,6 +73,27 @@ object ExplainAudit {
       quantPlan.contains("BroadcastNestedLoopJoin") &&
         !quantPlan.contains("SortMergeJoin") && !quantPlan.contains("HashJoin"))
 
+    // round-4 invariants
+    val vocabPlan = operators.Corpus.vocab(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("vocab head is a partial top-k merge (TakeOrderedAndProject)",
+      vocabPlan.contains("TakeOrderedAndProject"))
+
+    val fdPlan = operators.TextAnalysis.filterDomain(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("per-domain thresholds broadcast into the fused keep decision",
+      fdPlan.contains("BroadcastHashJoin") && !fdPlan.contains("SortMergeJoin"))
+
+    val idxDir = java.nio.file.Files.createTempDirectory("audit_ivfpq_").toString
+    val vecs = Tables.embeddings(spark, d).selectExpr("vec_id", "embedding")
+    graft.sources.IndexStore.build(vecs, idxDir, 64, nlist = 8)
+    val idxPlan = graft.sources.IndexStore.search(spark,
+      vecs.filter(col("vec_id") % 100 === 0), idxDir, 10, 2)
+      .queryExecution.executedPlan.toString
+    flag("IVF-PQ probe partition-pruned + stored side unshuffled",
+      "PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(idxPlan).isDefined &&
+        !idxPlan.contains("SortMergeJoin") && !idxPlan.contains("ShuffledHashJoin"))
+
     spark.stop()
   }
 }

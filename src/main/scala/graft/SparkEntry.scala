@@ -59,6 +59,7 @@ object SparkEntry {
     "q_quality" -> (TextAnalysis.quality _),
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_filter" -> (TextAnalysis.filterMask _),
+    "q_filter_domain" -> (TextAnalysis.filterDomain _),
     "q_tokens" -> (TextAnalysis.tokens _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_vocab" -> (Corpus.vocab _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "q_quality" -> TextAnalysis.qualitySql,
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_filter" -> TextAnalysis.filterMaskSql,
+    "q_filter_domain" -> TextAnalysis.filterDomainSql,
     "q_tokens" -> TextAnalysis.tokensSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_vocab" -> Corpus.vocabSql,

@@ -324,10 +324,11 @@ object Corpus {
     *
     * Scale: explode → ONE partial-agg groupBy on the term key (tf is
     * map-side combined; df's distinct carries (term, doc_id) — the
-    * standard price). The final sort ranks |vocab| aggregated rows,
-    * not the corpus; vocab grows sub-linearly (Heaps' law), and the
-    * true-scale variant swaps the global sort for a per-partition
-    * top-k merge ([[graft.functions.TopKByScore]] pattern).
+    * standard price). The head cut IS a per-partition top-k merge:
+    * Spark compiles `orderBy.limit` over the aggregated rows to
+    * `TakeOrderedAndProject` — each partition keeps its own top-50 and
+    * the driver merges k·partitions rows; no global sort, no exchange
+    * of the vocabulary (plan-asserted in ScaleSpec/ExplainAudit).
     */
   def vocab(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

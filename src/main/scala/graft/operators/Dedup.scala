@@ -27,9 +27,9 @@ object Dedup {
     *
     * The `all_ids` enumeration is the REPORT form — a viral cluster
     * (millions of copies of one document) would make its collect_list
-    * cell unbounded. At that scale emit `(keep_id, doc_id)` rows
-    * instead: exactly what [[keepFrom]] produces, with `min(doc_id)`
-    * as the keeper — same keep semantics, no per-group materialization.
+    * cell unbounded. At that scale use [[exactKeepRows]]: the same keep
+    * semantics as `(keep_id, doc_id)` rows, no per-group
+    * materialization (parity asserted in ScaleSpec).
     */
   def exactGroups(docs: DataFrame): DataFrame =
     docs
@@ -42,6 +42,26 @@ object Dedup {
       .select(col("content_hash"), col("keep_id"), col("n_copies"),
         concat_ws(",", transform(col("all_ids"), x => x.cast("string"))).as("all_ids"))
       .orderBy(col("keep_id"))
+
+  /** The 100 TB keeper form of [[exactGroups]]: one
+    * `(content_hash, keep_id, doc_id, is_kept, n_copies)` ROW per
+    * document instead of a per-group id list — a viral cluster
+    * (millions of copies of one document) costs rows spread across
+    * partitions, never an unbounded `collect_list` cell on one reducer.
+    * The min-keeper groupBy and the member re-join share the
+    * content_hash partitioning (the second exchange is co-partitioned
+    * with the first; locally AQE broadcasts the tiny keeper side).
+    * `filter(is_kept)` is the deduplicated corpus; `filter(!is_kept)`
+    * the drop list.
+    */
+  def exactKeepRows(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val keepers = hashed.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(keepers, "content_hash")
+      .select(col("content_hash"), col("keep_id"), col("doc_id"),
+        (col("doc_id") === col("keep_id")).as("is_kept"), col("n_copies"))
+  }
 
   /** q_dedup_exact — [[exactGroups]] on the dup-injected corpus. */
   def exact(s: SparkSession, d: String): DataFrame =

@@ -300,6 +300,53 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** q_filter_domain — the CONSUMER of [[qualityDomain]]'s calibration,
+    * closing the adaptive-curation loop: a doc is kept against its OWN
+    * source's quality median instead of the global 0.5 cutoff (a single
+    * global threshold over-prunes clean domains and under-prunes noisy
+    * ones — the exact failure q_quality_domain was built to expose).
+    *
+    * Scale shape: ONE signals projection (persisted barrier, read
+    * twice), one window shuffle on source to take the exact per-source
+    * median, and the resulting ≤|domains| threshold frame is BROADCAST
+    * back into the fused keep decision — the corpus is never joined to
+    * itself and never shuffled on doc_id.
+    */
+  def filterDomain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = filterSignals(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+      passthrough = Seq("source")).persist()
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    val thresholds = sig
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("quality"))).as("q50"))
+    sig.join(broadcast(thresholds), "source")
+      .select(col("doc_id"), col("source"), col("quality"), col("q50"),
+        (col("quality") >= col("q50") && col("is_en") &&
+          col("dup_fraction") <= 0.2).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val filterDomainSql: String =
+    s"""WITH ${signalsSqlCte(", source")},
+       |ranked AS (
+       |  SELECT source, quality,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY quality, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY source) AS n
+       |  FROM scored
+       |), thresholds AS (
+       |  SELECT source, max(CASE WHEN rn = ceil(n * 0.5) THEN quality END) AS q50
+       |  FROM ranked GROUP BY source
+       |)
+       |SELECT s.doc_id, s.source, s.quality, t.q50,
+       |       (s.quality >= t.q50 AND s.is_en AND s.dup_fraction <= 0.2) AS keep
+       |FROM scored s JOIN thresholds t ON s.source = t.source
+       |ORDER BY s.doc_id""".stripMargin
+
   /** q_tokens — token counting three ways: whitespace tokens, regex
     * word/number/symbol tokens, and a BPE-ish subword estimate
     * (ceil(len/4) pieces per word — long words split into 4-char units).

@@ -136,6 +136,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(full == direct)
   }
 
+  test("vocab head cut compiles to a partial top-k merge, not a global sort") {
+    val plan = operators.Corpus.vocab(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab limit must be TakeOrderedAndProject (per-partition top-k + merge):\n$plan")
+  }
+
+  test("exact-dedup keeper rows equal the report form without per-group lists") {
+    val docs = Tables.docsAug(spark, sf)
+    val rows = operators.Dedup.exactKeepRows(docs)
+    assert(rows.count() == docs.count(), "every doc labeled exactly once")
+    val dupRows = rows.filter(col("n_copies") > 1)
+      .select("content_hash", "keep_id", "doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    val report = operators.Dedup.exact(spark, sf)
+      .select("content_hash", "keep_id", "all_ids")
+      .as[(String, Long, String)].collect()
+      .flatMap { case (h, k, ids) => ids.split(",").map(i => (h, k, i.toLong)) }
+      .toSet
+    assert(report.nonEmpty)
+    assert(dupRows == report,
+      s"keeper rows diverge from the report form: ${dupRows.diff(report).take(3)}")
+  }
+
   test("incremental connected components: merged labels equal full recompute over appended batches") {
     // the weekly-ingest story end to end: a base corpus's labels are
     // maintained under TWO appended batches via incrementalPairs +
