@@ -50,18 +50,36 @@ object Bench {
     }
     spark.catalog.clearCache()
     var errors = List.empty[(String, String)]
+    // Each query is timed as the MIN of two isolated executions, cache
+    // cleared after each so run 2 cannot read run 1's persisted
+    // intermediates (both runs do the full work at the target SF).
+    // Why min-of-2: the r3 driver bench showed one CONTIGUOUS stretch
+    // of queries (Map-order positions 15-22) inflated 2.7-6x vs both
+    // r2 and every local rerun, with identical plans — a transient
+    // external CPU-contention window during the run, not a regression.
+    // A single-shot timer lets one such blip write a false regression
+    // into whichever queries it lands on; the min of two runs taken
+    // seconds apart does not, and stays an honest full execution.
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          errors ::= (name -> e.toString.take(200)); false
-        }
-      // operators persist intermediates (signature tables); isolate
-      // queries so one query's cache doesn't evict another's
-      spark.catalog.clearCache()
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      def timeOnce(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            errors ::= (name -> e.toString.take(200)); false
+          }
+        // operators persist intermediates (signature tables); isolate
+        // runs and queries so no execution reads another's cache
+        spark.catalog.clearCache()
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (t1, ok1) = timeOnce()
+      if (!ok1) (name, -1.0, false)
+      else {
+        val (t2, ok2) = timeOnce()
+        if (!ok2) (name, -1.0, false) else (name, math.min(t1, t2), true)
+      }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
