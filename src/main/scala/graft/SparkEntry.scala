@@ -48,6 +48,7 @@ object SparkEntry {
     "q_dedup_embed" -> (Ann.embedDedup _),
     "q_ann_brute" -> (Ann.bruteForce _),
     "q_ann_ivf" -> (Ann.ivf _),
+    "q_ann_rerank" -> (Ann.annRerank _),
     "q_quantiles" -> (Analytics.quantiles _),
     "q_histogram" -> (Corpus.histogram _),
     "q_split" -> (Corpus.split _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "q_dedup_embed" -> Ann.embedDedupSql,
     "q_ann_brute" -> Ann.bruteForceSql,
     "q_ann_ivf" -> Ann.ivfSql,
+    "q_ann_rerank" -> Ann.annRerankSql,
     "q_quantiles" -> Analytics.quantilesSql,
     "q_histogram" -> Corpus.histogramSql,
     "q_split" -> Corpus.splitSql,

@@ -308,6 +308,93 @@ object Ann {
     rankTopK(s, scored, k)
   }
 
+  val RerankShortlist = 30
+
+  /** q_ann_rerank — the int8-serving composition, oracle-verified end
+    * to end: the resident corpus is scalar-quantized ([[Quantize]]'s
+    * exact per-dimension codes, dequantized for scoring), queries stay
+    * EXACT (the asymmetric principle), a 3k shortlist is ranked on the
+    * lossy scores, and [[rerank]] re-scores the shortlist against the
+    * true vectors fetched by id. This is the SQL-expressible twin of
+    * the PQ+rerank path (k-means has no tractable DuckDB mirror; the
+    * int8 codec does — q_vec_quant already proves code parity), so the
+    * re-rank SEMANTICS — approximate shortlist, exact final ranks —
+    * get a DuckDB hash check, not just a recall assertion.
+    */
+  def annRerank(s: SparkSession, d: String): DataFrame = {
+    val vectors = Tables.embeddings(s, d)
+    val stats = Quantize.dimStats(vectors)
+    // dequantized corpus: mn + code/254*(mx-mn) per dim, stored float
+    val dq = vectors.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          when(mx > mn,
+            mn + floor((x.cast("double") - mn) / (mx - mn) * lit(254.0) + lit(0.5)) /
+              lit(254.0) * (mx - mn))
+            .otherwise(mn).cast("float")
+        }).as("embedding"))
+    val dqn = withNorm(dq)
+    val q = withNorm(vectors.filter(col("vec_id") % 100 === 0))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val shortlist = rankTopK(s,
+      dqn.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm"))
+            .as("cos_sim")),
+      RerankShortlist)
+    rerank(s, vectors, vectors.filter(col("vec_id") % 100 === 0), shortlist, TopK)
+  }
+
+  val annRerankSql: String = {
+    val dqCell =
+      """CASE WHEN mxs[i] > mns[i]
+        |THEN (mns[i] + floor((embedding[i]::DOUBLE - mns[i]) / (mxs[i] - mns[i]) * 254.0 + 0.5) / 254.0 * (mxs[i] - mns[i]))::FLOAT
+        |ELSE mns[i]::FLOAT END""".stripMargin.replace("\n", " ")
+    s"""WITH dims AS (
+       |  SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i)
+       |  GROUP BY i
+       |), stats AS (
+       |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+       |), e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+       |), dq AS (
+       |  SELECT vec_id, [$dqCell for i in range(1, ${Dim + 1})] AS demb
+       |  FROM embeddings CROSS JOIN stats
+       |), dqn AS (
+       |  SELECT vec_id, demb, sqrt(${dotSql("demb", "demb")}) AS dnrm FROM dq
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM e WHERE vec_id % 100 = 0
+       |), sl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, d.vec_id,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             ${cosineSql("q.q_emb", "q.q_nrm", "d.demb", "d.dnrm")} DESC,
+       |             d.vec_id) AS rk
+       |    FROM dqn d CROSS JOIN q WHERE d.vec_id <> q.query_id)
+       |  WHERE rk <= $RerankShortlist
+       |), rescored AS (
+       |  SELECT s.query_id, s.vec_id,
+       |         ${cosineSql("q.q_emb", "q.q_nrm", "e.embedding", "e.nrm")} AS cos_sim
+       |  FROM sl s
+       |  JOIN e ON e.vec_id = s.vec_id
+       |  JOIN q ON q.query_id = s.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM rescored
+       |)
+       |SELECT query_id, rank::BIGINT AS rank, vec_id, cos_sim
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Auto-tune nprobe: the smallest probe width whose recall@k against
     * the brute-force ground truth meets `targetRecall`, plus the recall
     * it achieved. The operational question every IVF deployment answers

@@ -224,13 +224,21 @@ object Dedup {
     // over a few percent and iterating over everything.
     val labels = Components.fromPairs(pairs)
     pairs.unpersist()
+    keepFromLabels(nodes, labels)
+  }
+
+  /** Survivor frame from an already-computed (or incrementally
+    * MAINTAINED, [[Components.mergePairs]]) label table — the last mile
+    * of the weekly-ingest story: stored labels + this one left join =
+    * the deduplicated corpus, with no pair recompute and no iteration.
+    */
+  def keepFromLabels(nodes: DataFrame, labels: DataFrame): DataFrame =
     nodes
       .join(labels, col("doc_id") === labels("id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("keep_id"),
         (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("is_kept"))
       .orderBy(col("doc_id"))
-  }
 
   val keepSql: String =
     s"""WITH RECURSIVE $minhashCandSql,

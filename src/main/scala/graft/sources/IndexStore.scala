@@ -69,6 +69,46 @@ object IndexStore {
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")
 
+  /** The stored PQ codebooks as `(cent_id, c_emb, c_nrm)` frames, one
+    * per subspace — the shape [[PQ.encode]] consumes. `c_nrm` is
+    * recomputed from the stored floats with the same fold
+    * ([[Ann.norm]]) that produced it at fit time, so it is bit-equal.
+    */
+  def bookFrames(spark: SparkSession, path: String): Seq[DataFrame] = {
+    val all = spark.read.parquet(s"$path/codebooks")
+    val m = all.agg(max(col("sub"))).head().getInt(0) + 1
+    (0 until m).map(j =>
+      all.filter(col("sub") === j)
+        .select(col("cent_id"), col("c_emb"),
+          Ann.norm(col("c_emb")).as("c_nrm")))
+  }
+
+  /** Append a new vector batch to the stored index, encoded with the
+    * STORED quantizers — no retraining: the index geometry is fixed at
+    * build time and refreshed by periodic rebuilds, exactly the
+    * reference manifest's incremental contract (process only what's
+    * new, Notion_openai_vector_etl.py:678-739) applied to vectors. One
+    * narrow pass over the batch (assignment, m codes, rec norm in one
+    * projection); rows land in their `cent_id` partitions, so the next
+    * [[search]] prunes over old and new alike. Ids must be new — the
+    * store is the identity authority, like [[SignatureStore.append]].
+    */
+  def append(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
+    val cents = centroids(spark, path)
+    val bks = books(spark, path)
+    val e = newVectors.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Ann.norm(col("embedding")))
+    PQ.encode(
+      KMeansVec.assign(e, cents)
+        .select(col("vec_id"), col("cent_id"), col("embedding")),
+      bookFrames(spark, path), dim, passthrough = Seq("cent_id"))
+      .withColumn("rec_nrm", PQ.recNorm(col("codes"), bks))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cent_id").parquet(s"$path/lists")
+  }
+
   /** The stored PQ codebooks as driver-resident [[PQ.PqBooks]]. */
   def books(spark: SparkSession, path: String): PQ.PqBooks = {
     val rows = spark.read.parquet(s"$path/codebooks")

@@ -62,6 +62,37 @@ class IndexStoreSpec extends AnyFunSuite {
       s"full probe must enumerate all $nlists partitions, got $full")
   }
 
+  test("append encodes with the stored quantizers; search covers old and new") {
+    import graft.operators.{KMeansVec, PQ}
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_app_").toString
+    val oldV = vecs.filter(col("vec_id") % 5 =!= 0)
+    val newV = vecs.filter(col("vec_id") % 5 === 0)
+    IndexStore.build(oldV, p, Dim, nlist = 8, m = 8, kcode = 16, iters = 3)
+    IndexStore.append(newV, p)
+    // every query id is % 100 == 0, i.e. part of the APPENDED batch:
+    // new vectors probing a store trained only on the old corpus
+    val got = IndexStore.search(spark, queries, p, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // reference: the whole corpus encoded in memory with the SAME
+    // stored quantizers, scored through the same ADC kernels
+    val cents = IndexStore.centroids(spark, p)
+    val bks = IndexStore.books(spark, p)
+    val e = vecs.withColumn("nrm", Ann.norm(col("embedding")))
+    val resident = PQ.encode(
+      KMeansVec.assign(e, cents)
+        .select(col("vec_id"), col("cent_id"), col("embedding")),
+      IndexStore.bookFrames(spark, p), Dim, passthrough = Seq("cent_id"))
+      .withColumn("rec_nrm", PQ.recNorm(col("codes"), bks))
+    val q = queries.withColumn("nrm", Ann.norm(col("embedding")))
+    val want = Ann.rankCodes(spark, resident,
+      Ann.adcProbes(q, cents, bks, Dim, 2), bks, 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want,
+      s"append+search must equal one-pass encoding of the union " +
+        s"(first diff: ${got.zip(want).find(x => x._1 != x._2)})")
+  }
+
   /** Width of the cent_id IN(...) partition filter in the search plan. */
   private def probedInFilterWidth(q: org.apache.spark.sql.DataFrame,
     nprobe: Int): Int = {

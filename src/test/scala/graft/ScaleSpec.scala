@@ -188,6 +188,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(incr == full,
       s"incremental labels diverge: ${incr.toSet.diff(full.toSet).take(5)} / " +
         s"${full.toSet.diff(incr.toSet).take(5)}")
+    // last mile: maintained labels + one left join = the survivor frame
+    val viaLabels = operators.Dedup
+      .keepFromLabels(docs.select(col("doc_id")), labels)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val direct = operators.Dedup
+      .keepFrom(docs.select(col("doc_id")),
+        operators.Dedup.minhashPairs(docs).select("a_id", "b_id"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viaLabels == direct)
   }
 
   test("survivor set composes across detector families (minhash + simhash + embed)") {
