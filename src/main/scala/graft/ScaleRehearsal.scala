@@ -75,6 +75,25 @@ object ScaleRehearsal {
     t("vec_quant") {
       operators.Quantize.quantize(vecs).count()
     }
+    // the ANN serving path under the same multiplicative stress:
+    // build once (train + one-pass encode of the replicated corpus),
+    // append a same-sized new batch with the STORED quantizers, then
+    // probe the grown index — search cost must track the probed lists,
+    // not the corpus
+    val idxDir = java.nio.file.Files.createTempDirectory("rehearsal_idx_").toString
+    t("index_build") {
+      sources.IndexStore.build(vecs, idxDir, 64, nlist = 16)
+      spark.read.parquet(s"$idxDir/lists").count()
+    }
+    t("index_append") {
+      sources.IndexStore.append(
+        vecs.withColumn("vec_id", col("vec_id") + lit(900000000L)), idxDir)
+      spark.read.parquet(s"$idxDir/lists").count()
+    }
+    t("index_search") {
+      sources.IndexStore.search(spark,
+        vecs.filter(col("vec_id") % 400 === 0), idxDir, 10, 2).count()
+    }
 
     val qs = stages.reverse.map { case (k, v, n) =>
       s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")

@@ -93,6 +93,37 @@ class IndexStoreSpec extends AnyFunSuite {
         s"(first diff: ${got.zip(want).find(x => x._1 != x._2)})")
   }
 
+  test("streaming ingest appends micro-batches identically to batch append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val oldV = vecs.filter(col("vec_id") % 5 =!= 0)
+    val newV = vecs.filter(col("vec_id") % 5 === 0)
+    // two stores trained identically on the old corpus
+    val pStream = java.nio.file.Files.createTempDirectory("graft_ivfpq_s_").toString
+    val pBatch = java.nio.file.Files.createTempDirectory("graft_ivfpq_b_").toString
+    IndexStore.build(oldV, pStream, Dim, nlist = 8, m = 8, kcode = 16, iters = 3)
+    IndexStore.build(oldV, pBatch, Dim, nlist = 8, m = 8, kcode = 16, iters = 3)
+    IndexStore.append(newV, pBatch)
+    // stream the new batch in two micro-batches
+    val rows = newV.as[(Long, Array[Float])].collect()
+    val (m1, m2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingIndexIngest.ingest(
+      mem.toDF().toDF("vec_id", "embedding"), pStream)
+    try {
+      mem.addData(m1.toSeq)
+      q.processAllAvailable()
+      mem.addData(m2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = IndexStore.search(spark, queries, pStream, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = IndexStore.search(spark, queries, pBatch, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want, "streamed store must search identically to batch append")
+  }
+
   /** Width of the cent_id IN(...) partition filter in the search plan. */
   private def probedInFilterWidth(q: org.apache.spark.sql.DataFrame,
     nprobe: Int): Int = {
