@@ -120,6 +120,58 @@ object IndexStore {
     })
   }
 
+  /** A SERVED index, opened once: layout, coarse centroids, and PQ
+    * codebooks are read and collected a single time (they are index
+    * metadata — nlist + m·k small rows), so EVERY query batch after
+    * `open` pays only its own probe assignment and the pruned list
+    * scan. The centroid set lives in a driver-local relation: probe
+    * assignment builds its task reference object without re-reading
+    * storage. This is the steady-state serving shape — `search(path)`
+    * below is the one-shot convenience that opens per call.
+    */
+  final class Handle private[IndexStore] (spark: SparkSession, path: String,
+    val dim: Int, centRows: Array[org.apache.spark.sql.Row],
+    val books: PQ.PqBooks) {
+
+    /** Driver-local centroid frame (no storage read, no job). */
+    private val centsLocal: DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("c_emb",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("c_nrm",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+
+    def search(queries: DataFrame, k: Int = Ann.TopK,
+      nprobe: Int = Ann.NProbe): DataFrame = {
+      val q = queries.select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", Ann.norm(col("embedding")))
+      val probes = Ann.adcProbes(q, centsLocal, books, dim, nprobe)
+      val probed = probes.select(col("cent_id")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      // Int literals on purpose: partition-type inference reads cent_id
+      // as int, and a cast around the partition attribute would keep
+      // the IN out of PartitionFilters (post-scan filtering instead of
+      // directory pruning).
+      val lists = spark.read.parquet(s"$path/lists")
+        .filter(col("cent_id").isin(probed.map(_.toInt): _*))
+        .select(col("cent_id").cast("long").as("cent_id"),
+          col("vec_id"), col("codes"), col("rec_nrm"))
+      Ann.rankCodes(spark, lists, probes, books, k)
+    }
+  }
+
+  /** Open a stored index for repeated serving. */
+  def open(spark: SparkSession, path: String): Handle = {
+    val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
+    val centRows = centroids(spark, path)
+      .select(col("cent_id"), col("c_emb"), col("c_nrm")).collect()
+    new Handle(spark, path, dim, centRows, books(spark, path))
+  }
+
   /** Top-k ADC search of a `(vec_id, embedding)` query frame against
     * the stored index — identical output to the self-contained
     * [[Ann.ivfPqSearch]] built with the same parameters, but the only
@@ -128,27 +180,10 @@ object IndexStore {
     * driver-resident by contract, so deriving it ships nothing new),
     * the `IN` filter lands in the scan's PartitionFilters, and the
     * probe⋈lists join broadcasts the |Q|·nprobe probe rows past the
-    * pruned scan — the stored side is never shuffled.
+    * pruned scan — the stored side is never shuffled. One-shot form;
+    * a serving loop uses [[open]] once and `Handle.search` per batch.
     */
   def search(spark: SparkSession, queries: DataFrame, path: String,
-    k: Int = Ann.TopK, nprobe: Int = Ann.NProbe): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val dim = meta.getAs[Int]("dim")
-    val cents = centroids(spark, path)
-    val bks = books(spark, path)
-    val q = queries.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", Ann.norm(col("embedding")))
-    val probes = Ann.adcProbes(q, cents, bks, dim, nprobe)
-    val probed = probes.select(col("cent_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    // Int literals on purpose: partition-type inference reads cent_id
-    // as int, and a cast around the partition attribute would keep the
-    // IN out of PartitionFilters (post-scan filtering instead of
-    // directory pruning).
-    val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("cent_id").isin(probed.map(_.toInt): _*))
-      .select(col("cent_id").cast("long").as("cent_id"),
-        col("vec_id"), col("codes"), col("rec_nrm"))
-    Ann.rankCodes(spark, lists, probes, bks, k)
-  }
+    k: Int = Ann.TopK, nprobe: Int = Ann.NProbe): DataFrame =
+    open(spark, path).search(queries, k, nprobe)
 }

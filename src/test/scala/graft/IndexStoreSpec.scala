@@ -93,6 +93,17 @@ class IndexStoreSpec extends AnyFunSuite {
         s"(first diff: ${got.zip(want).find(x => x._1 != x._2)})")
   }
 
+  test("an opened Handle serves repeated query batches identically to one-shot search") {
+    val h = IndexStore.open(spark, path)
+    for (np <- Seq(2, 4)) {
+      val viaHandle = h.search(queries, k = 10, nprobe = np)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val oneShot = IndexStore.search(spark, queries, path, k = 10, nprobe = np)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(viaHandle.nonEmpty && viaHandle == oneShot)
+    }
+  }
+
   test("streaming ingest appends micro-batches identically to batch append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
