@@ -69,6 +69,29 @@ object IndexStore {
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")
 
+  /** Current list-table generation. Generation 0 is the `lists/` dir
+    * written by [[build]]; each [[compact]] writes a fresh
+    * `lists_g<n>/` dir and flips the `gen/` pointer. The pointer is
+    * the ONLY object ever mutated after a generation is sealed — no
+    * renames, no in-place rewrites — so the scheme survives object
+    * stores where directory renames are neither atomic nor cheap.
+    * A missing pointer table means a never-compacted index.
+    */
+  def currentGen(spark: SparkSession, path: String): Long = {
+    val genPath = new org.apache.hadoop.fs.Path(s"$path/gen")
+    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(genPath))
+      spark.read.parquet(s"$path/gen").head().getAs[Long]("gen")
+    else 0L
+  }
+
+  private def listsDir(path: String, gen: Long): String =
+    if (gen == 0L) s"$path/lists" else s"$path/lists_g$gen"
+
+  /** The current generation's list-table directory. */
+  def listsPath(spark: SparkSession, path: String): String =
+    listsDir(path, currentGen(spark, path))
+
   /** The stored PQ codebooks as `(cent_id, c_emb, c_nrm)` frames, one
     * per subspace — the shape [[PQ.encode]] consumes. `c_nrm` is
     * recomputed from the stored floats with the same fold
@@ -106,7 +129,50 @@ object IndexStore {
       bookFrames(spark, path), dim, passthrough = Seq("cent_id"))
       .withColumn("rec_nrm", PQ.recNorm(col("codes"), bks))
       .write.mode(SaveMode.Append)
-      .partitionBy("cent_id").parquet(s"$path/lists")
+      .partitionBy("cent_id").parquet(listsPath(spark, path))
+  }
+
+  /** Rewrite the list table so each `cent_id` partition holds ONE file.
+    * Every [[append]] lands at least one new file per touched
+    * partition; after a week of micro-batch ingest a probe pays
+    * per-file open cost hundreds of times per list. Compaction is the
+    * offline maintenance job of the index lifecycle: one shuffle of the
+    * CODE rows (8 code bytes + a norm per vector — the point of PQ is
+    * that this is ~30× narrower than the corpus) into exactly one task
+    * per list, written as generation `n+1`, then the pointer flip.
+    * Serving is never interrupted: an open [[Handle]] keeps reading its
+    * pinned generation; the next [[open]]/[[search]]/[[append]] sees
+    * the compacted one. Old generations are reclaimed by [[vacuum]].
+    *
+    * Returns the new generation number.
+    */
+  def compact(spark: SparkSession, path: String): Long = {
+    val next = currentGen(spark, path) + 1L
+    spark.read.parquet(listsDir(path, next - 1))
+      .select(col("cent_id"), col("vec_id"), col("codes"), col("rec_nrm"))
+      .repartition(col("cent_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cent_id").parquet(listsDir(path, next))
+    spark.range(1).select(lit(next).as("gen"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/gen")
+    next
+  }
+
+  /** Delete list generations older than the current one. Separate from
+    * [[compact]] so operators control the grace window for readers
+    * still pinned (via an open [[Handle]]) to a sealed generation.
+    */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    val cur = currentGen(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(base).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val stale = (n == "lists" && cur > 0L) ||
+        (n.startsWith("lists_g") &&
+          n.stripPrefix("lists_g").toLongOption.exists(_ < cur))
+      if (stale) fs.delete(p, true)
+    }
   }
 
   /** The stored PQ codebooks as driver-resident [[PQ.PqBooks]]. */
@@ -128,10 +194,14 @@ object IndexStore {
     * assignment builds its task reference object without re-reading
     * storage. This is the steady-state serving shape — `search(path)`
     * below is the one-shot convenience that opens per call.
+    *
+    * The handle pins the list-table GENERATION current at open time:
+    * a concurrent [[compact]] never changes (or breaks) an open
+    * handle's reads; re-[[open]] to serve from the compacted table.
     */
-  final class Handle private[IndexStore] (spark: SparkSession, path: String,
-    val dim: Int, centRows: Array[org.apache.spark.sql.Row],
-    val books: PQ.PqBooks) {
+  final class Handle private[IndexStore] (spark: SparkSession,
+    listsLocation: String, val dim: Int,
+    centRows: Array[org.apache.spark.sql.Row], val books: PQ.PqBooks) {
 
     /** Driver-local centroid frame (no storage read, no job). */
     private val centsLocal: DataFrame = spark.createDataFrame(
@@ -156,7 +226,7 @@ object IndexStore {
       // as int, and a cast around the partition attribute would keep
       // the IN out of PartitionFilters (post-scan filtering instead of
       // directory pruning).
-      val lists = spark.read.parquet(s"$path/lists")
+      val lists = spark.read.parquet(listsLocation)
         .filter(col("cent_id").isin(probed.map(_.toInt): _*))
         .select(col("cent_id").cast("long").as("cent_id"),
           col("vec_id"), col("codes"), col("rec_nrm"))
@@ -164,12 +234,15 @@ object IndexStore {
     }
   }
 
-  /** Open a stored index for repeated serving. */
+  /** Open a stored index for repeated serving (pins the current list
+    * generation — see [[Handle]]).
+    */
   def open(spark: SparkSession, path: String): Handle = {
     val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
     val centRows = centroids(spark, path)
       .select(col("cent_id"), col("c_emb"), col("c_nrm")).collect()
-    new Handle(spark, path, dim, centRows, books(spark, path))
+    new Handle(spark, listsPath(spark, path), dim, centRows,
+      books(spark, path))
   }
 
   /** Top-k ADC search of a `(vec_id, embedding)` query frame against

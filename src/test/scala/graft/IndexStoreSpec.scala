@@ -104,6 +104,48 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("compact collapses append debris into one file per list; search is unchanged") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp_").toString
+    IndexStore.build(vecs.filter(col("vec_id") % 5 < 3), p, Dim,
+      nlist = 8, m = 8, kcode = 16, iters = 3)
+    IndexStore.append(vecs.filter(col("vec_id") % 5 === 3), p)
+    IndexStore.append(vecs.filter(col("vec_id") % 5 === 4), p)
+
+    def filesPerList(dir: String): Seq[Int] = {
+      val base = new java.io.File(dir)
+      base.listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+        .map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+    }
+    assert(filesPerList(s"$p/lists").exists(_ > 1),
+      "appends must have left multiple files in at least one list")
+    val before = IndexStore.search(spark, queries, p, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(before.nonEmpty)
+
+    val gen = IndexStore.compact(spark, p)
+    assert(gen == 1L && IndexStore.currentGen(spark, p) == 1L)
+    val perList = filesPerList(s"$p/lists_g1")
+    assert(perList.nonEmpty && perList.forall(_ == 1),
+      s"compaction must leave exactly one file per list, got $perList")
+    val after = IndexStore.search(spark, queries, p, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(after == before, "compaction must not change search results")
+
+    // a handle opened BEFORE vacuum pins gen 1 and survives the next compact
+    IndexStore.vacuum(spark, p)
+    assert(!new java.io.File(s"$p/lists").exists(), "vacuum must reclaim gen 0")
+    // post-compact appends land in the current generation and are served
+    val extra = queries.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    IndexStore.append(extra, p)
+    assert(filesPerList(s"$p/lists_g1").exists(_ > 1),
+      "post-compact append must land in the current generation")
+    val withExtra = IndexStore.search(spark, queries, p, k = 10, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(withExtra.exists(_._3 >= 1000000L),
+      "full-probe search must surface the vector appended after compaction")
+  }
+
   test("streaming ingest appends micro-batches identically to batch append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
