@@ -313,21 +313,30 @@ object TextAnalysis {
     * itself and never shuffled on doc_id.
     */
   def filterDomain(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sig = filterSignals(
       Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
       passthrough = Seq("source")).persist()
-    val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
-    val thresholds = sig
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
-      .groupBy(col("source"))
-      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("quality"))).as("q50"))
-    sig.join(broadcast(thresholds), "source")
+    sig.join(broadcast(domainThresholds(sig)), "source")
       .select(col("doc_id"), col("source"), col("quality"), col("q50"),
         (col("quality") >= col("q50") && col("is_en") &&
           col("dup_fraction") <= 0.2).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-source median-quality thresholds from a [[filterSignals]]
+    * frame — the ≤|domains| calibration table [[filterDomain]] (batch)
+    * and [[graft.streaming.StreamingFilterDomain]] (stream-static
+    * broadcast) both consume. Exact p50 via the ranked-window order
+    * statistic; one window shuffle on source, output rows ≤ |domains|.
+    */
+  def domainThresholds(sig: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    sig
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("quality"))).as("q50"))
   }
 
   val filterDomainSql: String =
