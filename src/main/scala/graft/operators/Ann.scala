@@ -520,4 +520,106 @@ object Ann {
        |FROM cand c JOIN e x ON x.vec_id = c.a_id JOIN e y ON y.vec_id = c.b_id
        |WHERE ${cosineSql("x.embedding", "x.nrm", "y.embedding", "y.nrm")} >= 0.95
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** Near-duplicate vector pairs via MULTI-PROBE hyperplane LSH
+    * (Lv et al., VLDB'07): like [[nearDups]], but each vector also
+    * probes `probes` perturbed buckets per band — the home value with
+    * one least-|margin| bit flipped ([[graft.functions.HyperplaneProbes]]).
+    * A true near-dup pair split by one low-confidence hyperplane now
+    * collides, so recall rises WITHOUT adding bands: the indexed
+    * (home) table stays the same size, only the probe stream grows
+    * `probes+1`×. That is the scale trade multi-probe exists for — at
+    * a fixed recall target it cuts the stored band table (the shuffled
+    * and persisted asset) versus adding bands, at the cost of more
+    * candidate lookups, which are cheap id-only join rows.
+    *
+    * Shape: one codegen'd pass emits all `bands·(probes+1)` combined
+    * keys; the probe→home join ships bare `(vec_id, bkey)` rows with
+    * the home side salted `LshSalt` ways (the probe stream is the big
+    * side); pairs dedup before the exact-cosine verify, which runs
+    * once per unique candidate. `probes = 0` is exactly [[nearDups]]'
+    * candidate set (asserted in AnnSpec).
+    */
+  def nearDupsMultiProbe(vectors: DataFrame, threshold: Double = 0.95,
+    probes: Int = 2): DataFrame = {
+    val e = vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val keys = graft.functions.HyperplaneProbes(
+      col("embedding"), Coefs, PlanesPerBand, probes)
+    val withKeys = e.withColumn("keys", keys).persist()
+    val exploded = withKeys.select(col("vec_id"),
+      posexplode(col("keys")).as(Seq("pos", "bkey")))
+    val probe = exploded.select(col("vec_id"), col("bkey"))
+      .withColumn("__salt", pmod(hash(col("vec_id")), lit(Dedup.LshSalt)))
+      .as("a")
+    val home = exploded.filter(col("pos") % (probes + 1) === 0)
+      .select(col("vec_id"), col("bkey"))
+      .withColumn("__salt", explode(sequence(lit(0), lit(Dedup.LshSalt - 1))))
+      .as("b")
+    val cand = probe.join(home,
+      col("a.bkey") === col("b.bkey") && col("a.__salt") === col("b.__salt") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"))
+      .distinct()
+    val ea = withKeys.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val eb = withKeys.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    cand.join(ea, "a_id").join(eb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_emb"), col("a_nrm"), col("b_emb"), col("b_nrm")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** q_dedup_embed_mp — [[nearDupsMultiProbe]] (probes = 2) on the
+    * dup-injected vector corpus.
+    */
+  def embedDedupMp(s: SparkSession, d: String): DataFrame =
+    nearDupsMultiProbe(Tables.embAug(s, d), 0.95, probes = 2)
+
+  val embedDedupMpSql: String =
+    s"""WITH ${Tables.embAugSql},
+       |e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM emb_aug
+       |), cm AS (
+       |  SELECT $coefsSqlLit AS m
+       |), sig AS (
+       |  SELECT vec_id, embedding, nrm,
+       |         [ list_sum([ embedding[i+1]::DOUBLE * m[p+1][i+1]
+       |                      for i in range(0, $Dim) ])
+       |           for p in range(0, $Planes) ] AS sv
+       |  FROM e, cm
+       |), bands AS (
+       |  SELECT vec_id, b,
+       |         ${(0 until PlanesPerBand).map(j =>
+             s"(CASE WHEN sv[b*$PlanesPerBand+${j + 1}] >= 0 THEN 1 ELSE 0 END)" +
+               s"*${1L << (PlanesPerBand - 1 - j)}").mkString(" + ")} AS home,
+       |         list_sort([ {m: abs(sv[b*$PlanesPerBand+j+1]), i: j}
+       |                     for j in range(0, $PlanesPerBand) ]) AS mm
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $PlaneBands)) AS b)
+       |), homekeys AS (
+       |  SELECT vec_id, b * ${1L << PlanesPerBand} + home AS bkey FROM bands
+       |), probekeys AS (
+       |  SELECT vec_id, bkey FROM homekeys
+       |  UNION ALL
+       |  SELECT vec_id, b * ${1L << PlanesPerBand} +
+       |         xor(home, 1 << ($PlanesPerBand - 1 - mm[1].i)) AS bkey
+       |  FROM bands
+       |  UNION ALL
+       |  SELECT vec_id, b * ${1L << PlanesPerBand} +
+       |         xor(home, 1 << ($PlanesPerBand - 1 - mm[2].i)) AS bkey
+       |  FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT least(p.vec_id, h.vec_id) AS a_id,
+       |         greatest(p.vec_id, h.vec_id) AS b_id
+       |  FROM probekeys p JOIN homekeys h
+       |    ON p.bkey = h.bkey AND p.vec_id <> h.vec_id
+       |)
+       |SELECT c.a_id, c.b_id,
+       |       ${cosineSql("x.embedding", "x.nrm", "y.embedding", "y.nrm")} AS cos_sim
+       |FROM cand c JOIN e x ON x.vec_id = c.a_id JOIN e y ON y.vec_id = c.b_id
+       |WHERE ${cosineSql("x.embedding", "x.nrm", "y.embedding", "y.nrm")} >= 0.95
+       |ORDER BY a_id, b_id""".stripMargin
 }
