@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.operators.{Ann, KMeansVec, PQ}
+import graft.operators.{Ann, KMeansVec, OPQ, PQ}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,9 +38,17 @@ object IndexStore {
     * whole build is the k-means re-centering groupBy (k·dim groups).
     */
   def build(vectors: DataFrame, path: String, dim: Int,
-    nlist: Int = 16, m: Int = 8, kcode: Int = 16, iters: Int = 3): Unit = {
+    nlist: Int = 16, m: Int = 8, kcode: Int = 16, iters: Int = 3,
+    opq: Boolean = false): Unit = {
     val spark = vectors.sparkSession
-    val v = vectors.select(col("vec_id"), col("embedding"))
+    val v0 = vectors.select(col("vec_id"), col("embedding"))
+    // OPQ is an index-build property: the learned permutation is
+    // stored in meta and applied transparently to every append batch
+    // and query from then on — callers never permute by hand. Cosine
+    // ranks are permutation-invariant; per-code distortion drops.
+    val perm: Array[Int] =
+      if (opq) OPQ.fitPermutation(v0, dim, m) else Array.tabulate(dim)(identity)
+    val v = maybePermute(v0, normalizePerm(perm))
     val e = v.withColumn("nrm", Ann.norm(col("embedding")))
     val cents = KMeansVec.fit(v, nlist, iters)
     val bookFrames = PQ.fit(v, dim, m, kcode)
@@ -54,7 +62,8 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
     spark.range(1)
       .select(lit(dim).as("dim"), lit(nlist).as("nlist"),
-        lit(m).as("m"), lit(kcode).as("kcode"))
+        lit(m).as("m"), lit(kcode).as("kcode"),
+        typedLit(perm.toSeq).as("perm"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     PQ.encode(
       KMeansVec.assign(e, cents)
@@ -68,6 +77,28 @@ object IndexStore {
   /** The stored coarse quantizer. */
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")
+
+  /** The stored OPQ permutation (empty = identity, incl. pre-OPQ
+    * stores whose meta lacks the column).
+    */
+  def permutation(spark: SparkSession, path: String): Array[Int] = {
+    val meta = spark.read.parquet(s"$path/meta")
+    if (!meta.columns.contains("perm")) Array.empty
+    else normalizePerm(meta.head().getSeq[Int](
+      meta.columns.indexOf("perm")).toArray)
+  }
+
+  /** Identity permutations collapse to empty so the no-OPQ path never
+    * pays a reorder projection.
+    */
+  private def normalizePerm(perm: Array[Int]): Array[Int] =
+    if (perm.zipWithIndex.forall { case (v, i) => v == i }) Array.empty
+    else perm
+
+  private def maybePermute(v: DataFrame, perm: Array[Int]): DataFrame =
+    if (perm.isEmpty) v
+    else v.select(col("vec_id"),
+      OPQ.permute(col("embedding"), perm).as("embedding"))
 
   /** Current list-table generation. Generation 0 is the `lists/` dir
     * written by [[build]]; each [[compact]] writes a fresh
@@ -121,7 +152,9 @@ object IndexStore {
     val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
     val cents = centroids(spark, path)
     val bks = books(spark, path)
-    val e = newVectors.select(col("vec_id"), col("embedding"))
+    val e = maybePermute(
+      newVectors.select(col("vec_id"), col("embedding")),
+      permutation(spark, path))
       .withColumn("nrm", Ann.norm(col("embedding")))
     PQ.encode(
       KMeansVec.assign(e, cents)
@@ -156,6 +189,25 @@ object IndexStore {
     spark.range(1).select(lit(next).as("gen"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/gen")
     next
+  }
+
+  /** Compact iff any list of the current generation has accumulated
+    * more than `maxFilesPerList` files — the policy loop a scheduled
+    * maintenance job runs after ingest: file counts come straight from
+    * a directory listing (no data read), so the check is free and the
+    * expensive rewrite happens only when append debris actually
+    * threatens probe latency. Returns the new generation if one was
+    * written.
+    */
+  def maintain(spark: SparkSession, path: String,
+    maxFilesPerList: Int = 8): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(listsPath(spark, path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val over = fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cent_id="))
+      .exists(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerList)
+    if (over) Some(compact(spark, path)) else None
   }
 
   /** Delete list generations older than the current one. Separate from
@@ -201,7 +253,8 @@ object IndexStore {
     */
   final class Handle private[IndexStore] (spark: SparkSession,
     listsLocation: String, val dim: Int,
-    centRows: Array[org.apache.spark.sql.Row], val books: PQ.PqBooks) {
+    centRows: Array[org.apache.spark.sql.Row], val books: PQ.PqBooks,
+    perm: Array[Int]) {
 
     /** Driver-local centroid frame (no storage read, no job). */
     private val centsLocal: DataFrame = spark.createDataFrame(
@@ -217,7 +270,8 @@ object IndexStore {
 
     def search(queries: DataFrame, k: Int = Ann.TopK,
       nprobe: Int = Ann.NProbe): DataFrame = {
-      val q = queries.select(col("vec_id"), col("embedding"))
+      val q = maybePermute(
+        queries.select(col("vec_id"), col("embedding")), perm)
         .withColumn("nrm", Ann.norm(col("embedding")))
       val probes = Ann.adcProbes(q, centsLocal, books, dim, nprobe)
       val probed = probes.select(col("cent_id")).distinct()
@@ -242,7 +296,7 @@ object IndexStore {
     val centRows = centroids(spark, path)
       .select(col("cent_id"), col("c_emb"), col("c_nrm")).collect()
     new Handle(spark, listsPath(spark, path), dim, centRows,
-      books(spark, path))
+      books(spark, path), permutation(spark, path))
   }
 
   /** Top-k ADC search of a `(vec_id, embedding)` query frame against

@@ -146,6 +146,49 @@ class IndexStoreSpec extends AnyFunSuite {
       "full-probe search must surface the vector appended after compaction")
   }
 
+  test("maintain compacts only when a list exceeds the file budget") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_mnt_").toString
+    IndexStore.build(vecs.filter(col("vec_id") % 2 === 0), p, Dim,
+      nlist = 8, m = 8, kcode = 16, iters = 3)
+    IndexStore.append(vecs.filter(col("vec_id") % 2 === 1), p)
+    assert(IndexStore.maintain(spark, p, maxFilesPerList = 1).contains(1L),
+      "build + append debris must trigger compaction at budget 1")
+    assert(IndexStore.maintain(spark, p, maxFilesPerList = 1).isEmpty,
+      "a freshly compacted index must not re-compact")
+    assert(IndexStore.currentGen(spark, p) == 1L)
+  }
+
+  test("an OPQ store permutes transparently across build, search, and append") {
+    import graft.operators.OPQ
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_opq_").toString
+    IndexStore.build(vecs, p, Dim, nlist = 8, m = 8, kcode = 16, iters = 3,
+      opq = true)
+    val perm = IndexStore.permutation(spark, p)
+    assert(perm.isEmpty || perm.sorted.toSeq == (0 until Dim),
+      "stored permutation must be a bijection")
+    def permuted(df: org.apache.spark.sql.DataFrame) =
+      if (perm.isEmpty) df
+      else df.select(col("vec_id"),
+        OPQ.permute(col("embedding"), perm).as("embedding"))
+    // callers pass RAW vectors; the store owns the reorder — results
+    // must equal the direct pipeline run in permuted space
+    val direct = Ann.ivfPqSearch(spark, permuted(vecs), permuted(queries),
+      Dim, nlist = 8, m = 8, kcode = 16, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val stored = IndexStore.search(spark, queries, p, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(stored.nonEmpty && stored == direct)
+    // appends are permuted by the store too: an appended copy of a
+    // query vector must surface under full probing
+    val extra = queries.limit(1)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    IndexStore.append(extra, p)
+    val got = IndexStore.search(spark, queries, p, k = 10, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.exists(_._3 >= 2000000L),
+      "appended vector must be searchable through the stored permutation")
+  }
+
   test("streaming ingest appends micro-batches identically to batch append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
