@@ -331,12 +331,35 @@ object Corpus {
     * of the vocabulary (plan-asserted in ScaleSpec/ExplainAudit).
     */
   def vocab(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    vocabHead(vocabCounts(Tables.documents(s, d)))
+
+  /** Full `(term, tf, df)` vocabulary table of a document batch — the
+    * INCREMENTAL unit of vocab maintenance: `tf` is a plain sum and
+    * `df` counts distinct docs WITHIN the batch, so under the
+    * append-only ingest contract (batches carry disjoint, new doc_ids
+    * — the `SignatureStore.append` identity authority) both merge by
+    * addition and [[mergeVocab]] never rescans old documents. One
+    * map-side-combined groupBy per batch; the stored table is
+    * vocabulary-sized data, never driver state.
+    */
+  def vocabCounts(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(TextSim.tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
-      .orderBy(desc("tf"), col("term"))
-      .limit(VocabTopK)
+
+  /** Merge vocabulary tables of DISJOINT document batches (counts
+    * add; associative and order-insensitive — asserted in CorpusSpec).
+    */
+  def mergeVocab(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("term"))
+      .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+
+  /** Top-`k` head of a vocabulary table by tf (term tiebreak) — a
+    * TakeOrdered partial top-k merge, never a full sort.
+    */
+  def vocabHead(counts: DataFrame, k: Int = VocabTopK): DataFrame =
+    counts.orderBy(desc("tf"), col("term")).limit(k)
 
   val vocabSql: String =
     s"""WITH terms AS (

@@ -46,4 +46,28 @@ class CorpusSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("vocab counts of disjoint batches merge to the whole-corpus table, any order") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val parts = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    def m(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.select(col("term"), col("tf"), col("df"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val whole = m(Corpus.vocabCounts(docs))
+    val merged = m(parts.map(Corpus.vocabCounts).reduce(Corpus.mergeVocab))
+    val mergedRev = m(parts.reverse.map(Corpus.vocabCounts).reduce(Corpus.mergeVocab))
+    assert(whole.nonEmpty && merged == whole && mergedRev == whole)
+    // the q_vocab head read from the merged table matches the one-shot query
+    val headMerged = Corpus.vocabHead(
+      parts.map(Corpus.vocabCounts).reduce(Corpus.mergeVocab))
+      .as[(String, Long, Long)].collect().toSeq
+    val headWhole = Corpus.vocab(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(headMerged == headWhole)
+  }
 }
