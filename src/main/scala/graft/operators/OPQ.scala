@@ -76,4 +76,173 @@ object OPQ {
     perm.zipWithIndex.foreach { case (src, dst) => inv(src) = dst }
     inv
   }
+
+  /** A permutation as its rotation matrix (`out = R·x` reads input dim
+    * `perm(t)` into output dim `t`) — the non-parametric OPQ init.
+    */
+  def permMatrix(perm: Array[Int]): Array[Array[Double]] =
+    Array.tabulate(perm.length, perm.length)((t, i) =>
+      if (perm(t) == i) 1.0 else 0.0)
+
+  /** FULL non-parametric OPQ (Ge et al., CVPR'13 alg. 2): alternate
+    * (a) fit PQ codebooks on the rotated corpus, (b) solve the
+    * orthogonal-Procrustes problem `min_R ‖R·x − rec(R·x)‖²` in closed
+    * form — `R = V·Uᵀ` from the SVD of the d×d cross-covariance
+    * `A = Σ_n x_n·y_nᵀ` ([[graft.functions.CrossCovSum]]: map-side
+    * partial buffers, the corpus never shuffles). Both half-steps are
+    * non-increasing in the quantization objective, so distortion only
+    * falls from the [[fitPermutation]] init (asserted in OPQSpec).
+    *
+    * The SVD runs driver-side on the d×d covariance via cyclic Jacobi
+    * eigendecomposition of AᵀA — 64×64 is index metadata, the same
+    * size class as the centroid set, and keeping it off the cluster
+    * avoids shipping a linear-algebra dependency into tasks.
+    *
+    * Per-iteration cluster cost: one rotated-projection pass +
+    * [[PQ.fit]] + the covariance aggregate. Returns the dense rotation
+    * (row-major, `out = R·x`); apply with [[rotate]] to the corpus
+    * before [[PQ.fit]]/encode and to every query batch.
+    */
+  def fitRotation(vectors: DataFrame, dim: Int, m: Int, kcode: Int,
+    opqIters: Int = 3, pqIters: Int = 3): Array[Array[Double]] = {
+    import org.apache.spark.sql.Encoders
+    val v0 = vectors.select(col("vec_id"), col("embedding"))
+    var r = permMatrix(fitPermutation(v0, dim, m))
+    var it = 0
+    while (it < opqIters) {
+      val rot = v0.select(col("vec_id"), rotate(col("embedding"), r).as("embedding"))
+      val books = PQ.fit(rot, dim, m, kcode, pqIters)
+      val rec = PQ.decode(PQ.encode(rot, books, dim), books)
+        .withColumnRenamed("embedding", "rec")
+      val pairs = v0.join(rec, "vec_id")
+        .select(col("embedding").as("x"), col("rec").as("y"))
+        .as(Encoders.product[graft.functions.VecPair])
+      val flat = pairs.select(new graft.functions.CrossCovSum(dim).toColumn)
+        .head()
+      val a = Array.tabulate(dim, dim)((i, j) => flat(i * dim + j))
+      r = procrustes(a)
+      it += 1
+    }
+    r
+  }
+
+  /** Apply a [[fitRotation]] matrix — a codegen'd per-row mat-vec
+    * ([[graft.functions.RotateVec]]).
+    */
+  def rotate(emb: Column, r: Array[Array[Double]]): Column =
+    graft.functions.RotateVec(emb, r)
+
+  /** `argmax_{R orthogonal} tr(R·A)` = `V·Uᵀ` for `A = U·Σ·Vᵀ`. */
+  private def procrustes(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = a.length
+    val (u, v) = svd(a)
+    Array.tabulate(d, d)((i, j) => {
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += v(i)(k) * u(j)(k); k += 1 }
+      s
+    })
+  }
+
+  /** SVD `A = U·Σ·Vᵀ` of a square matrix via Jacobi eigendecomposition
+    * of the symmetric AᵀA (V, Σ²), with `u_k = A·v_k/σ_k`; a
+    * numerically-zero σ keeps the (already orthogonal) eigenvector
+    * direction as its U column, which leaves tr(R·A) untouched.
+    * Returns (U, V) as column matrices `u(i)(k) = U_{ik}`.
+    */
+  private def svd(a: Array[Array[Double]]): (Array[Array[Double]], Array[Array[Double]]) = {
+    val d = a.length
+    val ata = Array.tabulate(d, d)((i, j) => {
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += a(k)(i) * a(k)(j); k += 1 }
+      s
+    })
+    val (evals, v) = eigSym(ata)
+    val u = Array.ofDim[Double](d, d)
+    var k = 0
+    while (k < d) {
+      val sigma = math.sqrt(math.max(evals(k), 0.0))
+      var i = 0
+      if (sigma > 1e-10) {
+        while (i < d) {
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += a(i)(j) * v(j)(k); j += 1 }
+          u(i)(k) = s / sigma
+          i += 1
+        }
+      } else {
+        while (i < d) { u(i)(k) = v(i)(k); i += 1 }
+      }
+      k += 1
+    }
+    (u, v)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * deterministic sweep order, converges quadratically; 64×64 runs in
+    * microseconds. Returns (eigenvalues, eigenvector columns).
+    */
+  private def eigSym(sIn: Array[Array[Double]],
+    maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val n = sIn.length
+    val s = sIn.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(s)
+    while (sweep < maxSweeps && off > 1e-11) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = s(p)(q)
+          if (math.abs(apq) > 1e-15) {
+            val theta = (s(q)(q) - s(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var i = 0
+            while (i < n) {
+              val sip = s(i)(p); val siq = s(i)(q)
+              s(i)(p) = c * sip - sn * siq
+              s(i)(q) = sn * sip + c * siq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val spi = s(p)(i); val sqi = s(q)(i)
+              s(p)(i) = c * spi - sn * sqi
+              s(q)(i) = sn * spi + c * sqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - sn * viq
+              v(i)(q) = sn * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(s)
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => s(i)(i)), v)
+  }
+
+  private def offDiag(s: Array[Array[Double]]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < s.length) {
+      var j = 0
+      while (j < s.length) {
+        if (i != j) acc += s(i)(j) * s(i)(j)
+        j += 1
+      }
+      i += 1
+    }
+    math.sqrt(acc)
+  }
 }

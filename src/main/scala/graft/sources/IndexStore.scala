@@ -39,16 +39,28 @@ object IndexStore {
     */
   def build(vectors: DataFrame, path: String, dim: Int,
     nlist: Int = 16, m: Int = 8, kcode: Int = 16, iters: Int = 3,
-    opq: Boolean = false): Unit = {
+    opq: Boolean = false, fullOpq: Boolean = false): Unit = {
     val spark = vectors.sparkSession
     val v0 = vectors.select(col("vec_id"), col("embedding"))
-    // OPQ is an index-build property: the learned permutation is
-    // stored in meta and applied transparently to every append batch
-    // and query from then on — callers never permute by hand. Cosine
-    // ranks are permutation-invariant; per-code distortion drops.
+    // OPQ is an index-build property: the learned reorder (`opq` — the
+    // balanced permutation) or dense rotation (`fullOpq` — alternating
+    // Procrustes) is stored with the index and applied transparently
+    // to every append batch and query from then on — callers never
+    // transform by hand. Cosine ranks are rotation-invariant; per-code
+    // distortion drops.
+    val rot: Array[Array[Double]] =
+      if (fullOpq) OPQ.fitRotation(v0, dim, m, kcode, opqIters = 2,
+        pqIters = iters)
+      else Array.empty
     val perm: Array[Int] =
-      if (opq) OPQ.fitPermutation(v0, dim, m) else Array.tabulate(dim)(identity)
-    val v = maybePermute(v0, normalizePerm(perm))
+      if (opq && !fullOpq) OPQ.fitPermutation(v0, dim, m)
+      else Array.tabulate(dim)(identity)
+    if (rot.nonEmpty)
+      spark.createDataFrame(
+        rot.toSeq.zipWithIndex.map { case (row, j) => (j, row.toSeq) })
+        .toDF("j", "r")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/rot")
+    val v = transformIn(v0, normalizePerm(perm), rot)
     val e = v.withColumn("nrm", Ann.norm(col("embedding")))
     val cents = KMeansVec.fit(v, nlist, iters)
     val bookFrames = PQ.fit(v, dim, m, kcode)
@@ -99,6 +111,26 @@ object IndexStore {
     if (perm.isEmpty) v
     else v.select(col("vec_id"),
       OPQ.permute(col("embedding"), perm).as("embedding"))
+
+  /** The stored full-OPQ rotation (empty = none). */
+  def rotation(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val rotPath = new org.apache.hadoop.fs.Path(s"$path/rot")
+    val fs = rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rotPath)) Array.empty
+    else spark.read.parquet(s"$path/rot")
+      .orderBy(col("j")).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+  }
+
+  /** Apply the stored input transform: dense rotation wins over the
+    * cheaper permutation reorder (they are never both stored).
+    */
+  private def transformIn(v: DataFrame, perm: Array[Int],
+    rot: Array[Array[Double]]): DataFrame =
+    if (rot.nonEmpty)
+      v.select(col("vec_id"),
+        OPQ.rotate(col("embedding"), rot).as("embedding"))
+    else maybePermute(v, perm)
 
   /** Current list-table generation. Generation 0 is the `lists/` dir
     * written by [[build]]; each [[compact]] writes a fresh
@@ -152,9 +184,9 @@ object IndexStore {
     val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
     val cents = centroids(spark, path)
     val bks = books(spark, path)
-    val e = maybePermute(
+    val e = transformIn(
       newVectors.select(col("vec_id"), col("embedding")),
-      permutation(spark, path))
+      permutation(spark, path), rotation(spark, path))
       .withColumn("nrm", Ann.norm(col("embedding")))
     PQ.encode(
       KMeansVec.assign(e, cents)
@@ -254,7 +286,7 @@ object IndexStore {
   final class Handle private[IndexStore] (spark: SparkSession,
     listsLocation: String, val dim: Int,
     centRows: Array[org.apache.spark.sql.Row], val books: PQ.PqBooks,
-    perm: Array[Int]) {
+    perm: Array[Int], rot: Array[Array[Double]]) {
 
     /** Driver-local centroid frame (no storage read, no job). */
     private val centsLocal: DataFrame = spark.createDataFrame(
@@ -270,8 +302,8 @@ object IndexStore {
 
     def search(queries: DataFrame, k: Int = Ann.TopK,
       nprobe: Int = Ann.NProbe): DataFrame = {
-      val q = maybePermute(
-        queries.select(col("vec_id"), col("embedding")), perm)
+      val q = transformIn(
+        queries.select(col("vec_id"), col("embedding")), perm, rot)
         .withColumn("nrm", Ann.norm(col("embedding")))
       val probes = Ann.adcProbes(q, centsLocal, books, dim, nprobe)
       val probed = probes.select(col("cent_id")).distinct()
@@ -296,7 +328,7 @@ object IndexStore {
     val centRows = centroids(spark, path)
       .select(col("cent_id"), col("c_emb"), col("c_nrm")).collect()
     new Handle(spark, listsPath(spark, path), dim, centRows,
-      books(spark, path), permutation(spark, path))
+      books(spark, path), permutation(spark, path), rotation(spark, path))
   }
 
   /** Top-k ADC search of a `(vec_id, embedding)` query frame against

@@ -189,6 +189,32 @@ class IndexStoreSpec extends AnyFunSuite {
       "appended vector must be searchable through the stored permutation")
   }
 
+  test("a full-OPQ store rotates transparently across build, search, and append") {
+    import graft.operators.OPQ
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_rot_").toString
+    IndexStore.build(vecs, p, Dim, nlist = 8, m = 8, kcode = 16, iters = 3,
+      fullOpq = true)
+    val rot = IndexStore.rotation(spark, p)
+    assert(rot.length == Dim, "rotation must be stored")
+    def rotated(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), OPQ.rotate(col("embedding"), rot).as("embedding"))
+    val direct = Ann.ivfPqSearch(spark, rotated(vecs), rotated(queries),
+      Dim, nlist = 8, m = 8, kcode = 16, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val stored = IndexStore.search(spark, queries, p, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(stored.nonEmpty && stored == direct,
+      "raw queries against the rotated store must equal the direct " +
+        "pipeline in rotated space")
+    val extra = queries.limit(1)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    IndexStore.append(extra, p)
+    val got = IndexStore.search(spark, queries, p, k = 10, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.exists(_._3 >= 3000000L),
+      "appended vector must be searchable through the stored rotation")
+  }
+
   test("streaming ingest appends micro-batches identically to batch append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -76,4 +76,30 @@ class OPQSpec extends AnyFunSuite {
     assert(opq < plain * 0.9,
       s"balanced assignment must cut distortion >10%: plain=$plain opq=$opq")
   }
+
+  test("full OPQ rotation is orthogonal and at least matches the permutation init") {
+    val r = OPQ.fitRotation(skewed, Dim, M, kcode = 16, opqIters = 2)
+    // orthogonality: R·Rᵀ = I (every Procrustes solution is a product
+    // of orthogonal factors)
+    for (i <- 0 until Dim; j <- 0 until Dim) {
+      val dot = (0 until Dim).map(k => r(i)(k) * r(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8,
+        s"R·Rᵀ[$i][$j] = $dot, want $want")
+    }
+    // deterministic fit
+    val r2 = OPQ.fitRotation(skewed, Dim, M, kcode = 16, opqIters = 2)
+    assert(r.flatten.toSeq == r2.flatten.toSeq, "rotation must be deterministic")
+
+    val perm = OPQ.fitPermutation(skewed, Dim, M)
+    val permD = distortion(skewed.select(col("vec_id"),
+      OPQ.permute(col("embedding"), perm).as("embedding")))
+    val rotD = distortion(skewed.select(col("vec_id"),
+      OPQ.rotate(col("embedding"), r).as("embedding")))
+    val plainD = distortion(skewed)
+    // alternation only descends from the permutation init (small slack
+    // for the fresh k-means re-init in the measurement refit)
+    assert(rotD < permD * 1.02 && rotD < plainD * 0.9,
+      s"full OPQ must not regress: plain=$plainD perm=$permD rot=$rotD")
+  }
 }
