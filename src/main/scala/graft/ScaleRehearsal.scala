@@ -60,6 +60,11 @@ object ScaleRehearsal {
     t("embed_neardups") {
       operators.Ann.nearDups(vecs, 0.95).count()
     }
+    t("embed_mp") {
+      // multi-probe triples the probe stream over already-viral
+      // buckets — the worst case for candidate growth
+      operators.Ann.nearDupsMultiProbe(vecs, 0.95, probes = 2).count()
+    }
     t("ann_topk") {
       operators.Ann.topKNeighbors(spark, vecs,
         vecs.filter(col("vec_id") % 400 === 0), 10).count()
@@ -91,6 +96,17 @@ object ScaleRehearsal {
       spark.read.parquet(s"$idxDir/lists").count()
     }
     t("index_search") {
+      sources.IndexStore.search(spark,
+        vecs.filter(col("vec_id") % 400 === 0), idxDir, 10, 2).count()
+    }
+    // lifecycle maintenance under the same stress: compaction rewrites
+    // build+append debris into one file per list; the compacted
+    // generation must serve the identical row count
+    t("index_compact") {
+      sources.IndexStore.compact(spark, idxDir)
+      spark.read.parquet(sources.IndexStore.listsPath(spark, idxDir)).count()
+    }
+    t("index_search_compacted") {
       sources.IndexStore.search(spark,
         vecs.filter(col("vec_id") % 400 === 0), idxDir, 10, 2).count()
     }
