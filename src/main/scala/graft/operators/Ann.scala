@@ -162,6 +162,41 @@ object Ann {
     rankTopK(s, scored, k)
   }
 
+  /** IVF search with PER-QUERY ADAPTIVE probe widths: a fixed nprobe
+    * wastes reads on easy queries (one dominant list) and starves hard
+    * ones (several near-tied lists — the boundary case where fixed-
+    * width IVF loses recall). Here each query probes its best list
+    * plus every list whose coarse similarity sits within `margin` of
+    * the best, capped at `nprobeMax` — the standard distance-gap rule
+    * of practical IVF serving. The width decision is computed INSIDE
+    * the same shuffle-free [[graft.functions.NearestCentroids]] pass
+    * (the ranked centroid array already carries `c_sim`; adaptivity is
+    * one filter on the exploded probes), so easy queries ship fewer
+    * probe rows through the join — the cost tracks the query's actual
+    * difficulty, not the worst case.
+    */
+  def ivfSearchAdaptive(s: SparkSession, vectorsWithNorm: DataFrame,
+    queriesWithNorm: DataFrame, cents: DataFrame, k: Int = TopK,
+    nprobeMax: Int = NProbe, margin: Double = 0.05): DataFrame = {
+    val assigned = KMeansVec.assign(vectorsWithNorm, cents)
+    val probes = queriesWithNorm
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        graft.functions.NearestCentroids.fromFrame(
+          col("embedding"), cents, nprobeMax).as("nc"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        element_at(col("nc"), 1).getField("c_sim").as("best"),
+        explode(col("nc")).as("p"))
+      .filter(col("p.c_sim") >= col("best") - margin)
+      .select(col("query_id"), col("p.cent_id").as("cent_id"),
+        col("q_emb"), col("q_nrm"))
+    val scored = probes.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as("cos_sim"))
+    rankTopK(s, scored, k)
+  }
+
   /** q_ann_ivf — [[ivfSearch]] with deterministic coarse centroids
     * (vec_id % 25 = 0) and the % 100 query set.
     */

@@ -97,6 +97,52 @@ class AnnSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("adaptive nprobe: wide margin = full probing, narrow margin probes fewer lists, never below rank-1") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Ann.norm(col("embedding")))
+    val cents = KMeansVec.fit(vecs.select(col("vec_id"), col("embedding")), 8, 2)
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+
+    // a margin admitting every list is exactly fixed full probing
+    val full = Ann.ivfSearch(spark, vecs, queries, cents, k = 10, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val wide = Ann.ivfSearchAdaptive(spark, vecs, queries, cents, k = 10,
+      nprobeMax = 8, margin = 2.0)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(wide.nonEmpty && wide == full)
+
+    // narrow margin: candidates ⊇ the rank-1 list, so recall (vs the
+    // full-probe reference) is at least nprobe=1's. The margin is the
+    // median rank1→rank2 coarse gap, so by construction some queries
+    // widen and the rest stay narrow — data-independent of how
+    // separated this corpus's lists happen to be.
+    val nc0 = graft.functions.NearestCentroids.fromFrame(col("embedding"), cents, 8)
+    val gaps = queries.select((element_at(nc0, 1).getField("c_sim") -
+      element_at(nc0, 2).getField("c_sim")).as("g")).as[Double].collect().sorted
+    val margin = gaps(gaps.length / 2) + 1e-9
+    val one = hits(Ann.ivfSearch(spark, vecs, queries, cents, k = 10, nprobe = 1))
+    val narrow = hits(Ann.ivfSearchAdaptive(spark, vecs, queries, cents,
+      k = 10, nprobeMax = 8, margin = margin))
+    val ref = hits(Ann.ivfSearch(spark, vecs, queries, cents, k = 10, nprobe = 8))
+    assert((narrow & ref).size >= (one & ref).size,
+      "adaptive recall must be at least the single-probe recall")
+
+    // per-query width evidence: every query probes >= 1 list, and the
+    // average width is strictly below the cap (easy queries narrow)
+    val nc = graft.functions.NearestCentroids.fromFrame(col("embedding"), cents, 8)
+    val widths = queries
+      .select(size(filter(nc,
+        p => p.getField("c_sim") >=
+          element_at(nc, 1).getField("c_sim") - margin)).as("w"))
+      .as[Int].collect()
+    assert(widths.forall(_ >= 1) && widths.exists(_ > 1))
+    assert(widths.sum.toDouble / widths.length < 8.0,
+      s"average adaptive width ${widths.sum.toDouble / widths.length} must narrow below the cap")
+  }
+
   test("nprobe auto-tuning reaches the recall target with a minimal probe width") {
     import org.apache.spark.sql.functions._
     val vecs = Tables.embeddings(spark, sf)
