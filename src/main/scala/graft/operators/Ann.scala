@@ -134,13 +134,19 @@ object Ann {
     * per query before the explode) ride along.
     */
   private def probeLists(q: DataFrame, cents: DataFrame, n: Int,
-    extra: Seq[String] = Nil): DataFrame =
-    q.select(Seq(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm")) ++ extra.map(col) :+
-      explode(graft.functions.NearestCentroids.fromFrame(
-        col("embedding"), cents, n)).as("p"): _*)
-      .select(Seq(col("query_id"), col("p.cent_id").as("cent_id"),
-        col("q_emb"), col("q_nrm")) ++ extra.map(col): _*)
+    extra: Seq[String] = Nil, margin: Option[Double] = None): DataFrame = {
+    val nc = graft.functions.NearestCentroids.fromFrame(col("embedding"), cents, n)
+    val exploded = q.select(Seq(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm")) ++ extra.map(col) :+
+      element_at(nc, 1).getField("c_sim").as("__best") :+
+      explode(nc).as("p"): _*)
+    // adaptive width (the coarse distance-gap rule): drop probes whose
+    // list similarity trails the query's best by more than the margin
+    val kept = margin.fold(exploded)(m =>
+      exploded.filter(col("p.c_sim") >= col("__best") - m))
+    kept.select(Seq(col("query_id"), col("p.cent_id").as("cent_id"),
+      col("q_emb"), col("q_nrm")) ++ extra.map(col): _*)
+  }
 
   /** IVF search over pre-normed vectors and a `(cent_id, c_emb, c_nrm)`
     * centroid frame: shuffle-free nearest-centroid assignment (the
@@ -179,18 +185,9 @@ object Ann {
     queriesWithNorm: DataFrame, cents: DataFrame, k: Int = TopK,
     nprobeMax: Int = NProbe, margin: Double = 0.05): DataFrame = {
     val assigned = KMeansVec.assign(vectorsWithNorm, cents)
-    val probes = queriesWithNorm
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"),
-        graft.functions.NearestCentroids.fromFrame(
-          col("embedding"), cents, nprobeMax).as("nc"))
-      .select(col("query_id"), col("q_emb"), col("q_nrm"),
-        element_at(col("nc"), 1).getField("c_sim").as("best"),
-        explode(col("nc")).as("p"))
-      .filter(col("p.c_sim") >= col("best") - margin)
-      .select(col("query_id"), col("p.cent_id").as("cent_id"),
-        col("q_emb"), col("q_nrm"))
-    val scored = probes.join(assigned, "cent_id")
+    val scored = probeLists(queriesWithNorm, cents, nprobeMax,
+      margin = Some(margin))
+      .join(assigned, "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("q_nrm"), col("embedding"), col("nrm")).as("cos_sim"))
@@ -265,10 +262,11 @@ object Ann {
     * rows, broadcast-small by the ANN contract.
     */
   private[graft] def adcProbes(queriesWithNorm: DataFrame, cents: DataFrame,
-    books: PQ.PqBooks, dim: Int, nprobe: Int): DataFrame =
+    books: PQ.PqBooks, dim: Int, nprobe: Int,
+    margin: Option[Double] = None): DataFrame =
     probeLists(
       queriesWithNorm.withColumn("lut", PQ.adcLut(col("embedding"), books, dim)),
-      cents, nprobe, extra = Seq("lut"))
+      cents, nprobe, extra = Seq("lut"), margin = margin)
 
   /** Rank a `(cent_id, vec_id, codes, rec_nrm)` resident code table
     * against ADC probe rows: broadcast the probes past the code table

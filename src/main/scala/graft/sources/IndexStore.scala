@@ -300,12 +300,19 @@ object IndexStore {
         org.apache.spark.sql.types.StructField("c_nrm",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
 
+    /** `margin` switches to per-query ADAPTIVE probe widths
+      * ([[Ann.ivfSearchAdaptive]]'s distance-gap rule): `nprobe`
+      * becomes the cap, and each query prunes to the lists within
+      * `margin` coarse similarity of its best — the partition filter
+      * then covers only the UNION of lists any query actually probes,
+      * so easy query batches read less storage, not just score less.
+      */
     def search(queries: DataFrame, k: Int = Ann.TopK,
-      nprobe: Int = Ann.NProbe): DataFrame = {
+      nprobe: Int = Ann.NProbe, margin: Option[Double] = None): DataFrame = {
       val q = transformIn(
         queries.select(col("vec_id"), col("embedding")), perm, rot)
         .withColumn("nrm", Ann.norm(col("embedding")))
-      val probes = Ann.adcProbes(q, centsLocal, books, dim, nprobe)
+      val probes = Ann.adcProbes(q, centsLocal, books, dim, nprobe, margin)
       val probed = probes.select(col("cent_id")).distinct()
         .collect().map(_.getLong(0)).sorted
       // Int literals on purpose: partition-type inference reads cent_id

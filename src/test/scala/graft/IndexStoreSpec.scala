@@ -146,6 +146,29 @@ class IndexStoreSpec extends AnyFunSuite {
       "full-probe search must surface the vector appended after compaction")
   }
 
+  test("Handle.search with a margin serves adaptive probe widths from the stored index") {
+    val h = IndexStore.open(spark, path)
+    // a margin admitting every list is exactly fixed full probing
+    val fixed = h.search(queries, k = 10, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val wide = h.search(queries, k = 10, nprobe = 8, margin = Some(2.0))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(wide.nonEmpty && wide == fixed)
+    // a tight margin narrows the union of probed lists — the scan's
+    // partition filter covers fewer directories than the fixed probe
+    def prunedWidth(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      val m = "PartitionFilters: \\[[^\\]]*IN \\(([^)]+)\\)".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"no partition IN filter:\n$plan")
+      m.get.group(1).split(",").length
+    }
+    val narrow = h.search(queries, k = 10, nprobe = 8, margin = Some(1e-9))
+    assert(narrow.count() > 0)
+    assert(prunedWidth(narrow) <= prunedWidth(
+      h.search(queries, k = 10, nprobe = 8)),
+      "adaptive probing must never read more lists than the fixed cap")
+  }
+
   test("maintain compacts only when a list exceeds the file budget") {
     val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_mnt_").toString
     IndexStore.build(vecs.filter(col("vec_id") % 2 === 0), p, Dim,
