@@ -75,9 +75,15 @@ case class HyperplaneProbesExpr(child: Expression,
           if (!used(k) && m < bm) { bm = m; best = k }
           k += 1
         }
-        used(best) = true
-        out(b * (probes + 1) + t) =
-          base + (home ^ (1L << (planesPerBand - 1 - best)))
+        // NaN projections (degenerate vector) compare false against
+        // everything: no selectable bit -> re-emit the home key (a
+        // harmless duplicate the candidate-join dedups) instead of
+        // crashing the task
+        if (best >= 0) {
+          used(best) = true
+          out(b * (probes + 1) + t) =
+            base + (home ^ (1L << (planesPerBand - 1 - best)))
+        } else out(b * (probes + 1) + t) = base + home
         t += 1
       }
       b += 1
@@ -134,8 +140,12 @@ case class HyperplaneProbesExpr(child: Expression,
          |      double $m = java.lang.Math.abs($s[$b * $ppb + $k]);
          |      if (!$used[$k] && $m < $bm) { $bm = $m; $best = $k; }
          |    }
-         |    $used[$best] = true;
-         |    $out[$b * ${pr + 1} + $t] = $base + ($home ^ (1L << ($ppb - 1 - $best)));
+         |    if ($best >= 0) {
+         |      $used[$best] = true;
+         |      $out[$b * ${pr + 1} + $t] = $base + ($home ^ (1L << ($ppb - 1 - $best)));
+         |    } else {
+         |      $out[$b * ${pr + 1} + $t] = $base + $home;
+         |    }
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

@@ -136,14 +136,27 @@ object Ann {
   private def probeLists(q: DataFrame, cents: DataFrame, n: Int,
     extra: Seq[String] = Nil, margin: Option[Double] = None): DataFrame = {
     val nc = graft.functions.NearestCentroids.fromFrame(col("embedding"), cents, n)
-    val exploded = q.select(Seq(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), col("nrm").as("q_nrm")) ++ extra.map(col) :+
-      element_at(nc, 1).getField("c_sim").as("__best") :+
-      explode(nc).as("p"): _*)
+    // the fixed-width path references the ranked array exactly once
+    // (no __best column), so project-collapse cannot duplicate the
+    // O(nlist·dim) NearestCentroids evaluation; the adaptive path may
+    // pay a second evaluation for __best, but only over the |Q| query
+    // rows, never the corpus
+    val base = q.select(Seq(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm")) ++
+      extra.map(col) :+ nc.as("__nc"): _*)
     // adaptive width (the coarse distance-gap rule): drop probes whose
     // list similarity trails the query's best by more than the margin
-    val kept = margin.fold(exploded)(m =>
-      exploded.filter(col("p.c_sim") >= col("__best") - m))
+    val kept = margin match {
+      case None =>
+        base.select(Seq(col("query_id"), col("q_emb"), col("q_nrm")) ++
+          extra.map(col) :+ explode(col("__nc")).as("p"): _*)
+      case Some(m) =>
+        base.select(Seq(col("query_id"), col("q_emb"), col("q_nrm")) ++
+          extra.map(col) :+
+          element_at(col("__nc"), 1).getField("c_sim").as("__best") :+
+          explode(col("__nc")).as("p"): _*)
+          .filter(col("p.c_sim") >= col("__best") - m)
+    }
     kept.select(Seq(col("query_id"), col("p.cent_id").as("cent_id"),
       col("q_emb"), col("q_nrm")) ++ extra.map(col): _*)
   }

@@ -55,6 +55,12 @@ object IndexStore {
     val perm: Array[Int] =
       if (opq && !fullOpq) OPQ.fitPermutation(v0, dim, m)
       else Array.tabulate(dim)(identity)
+    // a REBUILD at a previously-used path must not inherit stale
+    // layout state: without this, an old gen/ pointer would keep
+    // serving a compacted generation encoded by the OLD quantizers,
+    // and a leftover rot/ would rotate queries the new codes were
+    // never encoded under
+    resetLayout(spark, path)
     if (rot.nonEmpty)
       spark.createDataFrame(
         rot.toSeq.zipWithIndex.map { case (row, j) => (j, row.toSeq) })
@@ -95,10 +101,13 @@ object IndexStore {
     */
   def permutation(spark: SparkSession, path: String): Array[Int] = {
     val meta = spark.read.parquet(s"$path/meta")
-    if (!meta.columns.contains("perm")) Array.empty
-    else normalizePerm(meta.head().getSeq[Int](
-      meta.columns.indexOf("perm")).toArray)
+    permFromMeta(meta.head(), meta.columns)
   }
+
+  private def permFromMeta(row: org.apache.spark.sql.Row,
+    cols: Array[String]): Array[Int] =
+    if (!cols.contains("perm")) Array.empty
+    else normalizePerm(row.getSeq[Int](cols.indexOf("perm")).toArray)
 
   /** Identity permutations collapse to empty so the no-OPQ path never
     * pays a reorder projection.
@@ -151,6 +160,22 @@ object IndexStore {
   private def listsDir(path: String, gen: Long): String =
     if (gen == 0L) s"$path/lists" else s"$path/lists_g$gen"
 
+  /** Remove generation pointer, sealed generations, and any stored
+    * input transform — everything [[build]] does not itself rewrite.
+    * The fresh build then starts at generation 0 with only its own
+    * geometry on disk.
+    */
+  private def resetLayout(spark: SparkSession, path: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base))
+      fs.listStatus(base).map(_.getPath).foreach { p =>
+        val n = p.getName
+        if (n == "gen" || n == "rot" || n.startsWith("lists_g"))
+          fs.delete(p, true)
+      }
+  }
+
   /** The current generation's list-table directory. */
   def listsPath(spark: SparkSession, path: String): String =
     listsDir(path, currentGen(spark, path))
@@ -181,12 +206,16 @@ object IndexStore {
     */
   def append(newVectors: DataFrame, path: String): Unit = {
     val spark = newVectors.sparkSession
-    val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
+    // one meta read serves dim AND the stored transform — append runs
+    // per micro-batch, so every avoided round-trip counts
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val metaRow = metaDf.head()
+    val dim = metaRow.getAs[Int]("dim")
     val cents = centroids(spark, path)
     val bks = books(spark, path)
     val e = transformIn(
       newVectors.select(col("vec_id"), col("embedding")),
-      permutation(spark, path), rotation(spark, path))
+      permFromMeta(metaRow, metaDf.columns), rotation(spark, path))
       .withColumn("nrm", Ann.norm(col("embedding")))
     PQ.encode(
       KMeansVec.assign(e, cents)
@@ -208,6 +237,14 @@ object IndexStore {
     * Serving is never interrupted: an open [[Handle]] keeps reading its
     * pinned generation; the next [[open]]/[[search]]/[[append]] sees
     * the compacted one. Old generations are reclaimed by [[vacuum]].
+    *
+    * WRITER CONTRACT: compaction and ingest must be serialized by the
+    * caller (pause the append/streaming job, or run [[maintain]] from
+    * the same scheduler slot that owns ingest). A batch appended to
+    * generation n after the rewrite's snapshot but before the pointer
+    * flip would be absent from n+1 and lost once n is vacuumed —
+    * the standard single-writer rule of every external-compaction
+    * store; readers need no coordination.
     *
     * Returns the new generation number.
     */
@@ -331,11 +368,14 @@ object IndexStore {
     * generation — see [[Handle]]).
     */
   def open(spark: SparkSession, path: String): Handle = {
-    val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val metaRow = metaDf.head()
+    val dim = metaRow.getAs[Int]("dim")
     val centRows = centroids(spark, path)
       .select(col("cent_id"), col("c_emb"), col("c_nrm")).collect()
     new Handle(spark, listsPath(spark, path), dim, centRows,
-      books(spark, path), permutation(spark, path), rotation(spark, path))
+      books(spark, path), permFromMeta(metaRow, metaDf.columns),
+      rotation(spark, path))
   }
 
   /** Top-k ADC search of a `(vec_id, embedding)` query frame against

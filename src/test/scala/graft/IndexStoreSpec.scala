@@ -131,7 +131,6 @@ class IndexStoreSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(after == before, "compaction must not change search results")
 
-    // a handle opened BEFORE vacuum pins gen 1 and survives the next compact
     IndexStore.vacuum(spark, p)
     assert(!new java.io.File(s"$p/lists").exists(), "vacuum must reclaim gen 0")
     // post-compact appends land in the current generation and are served
@@ -144,6 +143,54 @@ class IndexStoreSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(withExtra.exists(_._3 >= 1000000L),
       "full-probe search must surface the vector appended after compaction")
+  }
+
+  test("an open Handle stays pinned to its generation across a concurrent compact") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_pin_").toString
+    IndexStore.build(vecs.filter(col("vec_id") % 2 === 0), p, Dim,
+      nlist = 8, m = 8, kcode = 16, iters = 3)
+    IndexStore.append(vecs.filter(col("vec_id") % 2 === 1), p)
+    val pinned = IndexStore.open(spark, p)
+    val before = pinned.search(queries, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(before.nonEmpty)
+    // compact flips the pointer; the pinned handle must keep serving
+    // its sealed generation byte-identically (gen 0 still on disk —
+    // vacuum's grace window is what makes this safe)
+    assert(IndexStore.compact(spark, p) == 1L)
+    val after = pinned.search(queries, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(after == before, "a pinned handle must not see the pointer flip")
+    // a handle opened after the flip serves the compacted generation
+    // with the same results
+    val fresh = IndexStore.open(spark, p).search(queries, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(fresh == before)
+  }
+
+  test("rebuilding at a compacted path resets generations and stale transforms") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_rb_").toString
+    IndexStore.build(vecs, p, Dim, nlist = 8, m = 8, kcode = 16, iters = 3,
+      fullOpq = true)
+    IndexStore.append(queries.limit(1)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding")), p)
+    IndexStore.compact(spark, p)
+    assert(IndexStore.currentGen(spark, p) == 1L)
+    assert(IndexStore.rotation(spark, p).nonEmpty)
+    // rebuild WITHOUT fullOpq: the old pointer and rotation must not
+    // leak into the new index
+    IndexStore.build(vecs, p, Dim, nlist = 8, m = 8, kcode = 16, iters = 3)
+    assert(IndexStore.currentGen(spark, p) == 0L,
+      "rebuild must serve its own generation, not the stale compacted one")
+    assert(IndexStore.rotation(spark, p).isEmpty,
+      "rebuild must not inherit a stale rotation")
+    val rebuilt = IndexStore.search(spark, queries, p, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val direct = Ann.ivfPqSearch(spark, vecs, queries, Dim,
+      nlist = 8, m = 8, kcode = 16, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rebuilt == direct,
+      "the rebuilt store must search exactly like a fresh one")
   }
 
   test("Handle.search with a margin serves adaptive probe widths from the stored index") {

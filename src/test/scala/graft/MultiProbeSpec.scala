@@ -48,6 +48,20 @@ class MultiProbeSpec extends AnyFunSuite {
         s"(first diff: ${zero.zip(single).find(p => p._1 != p._2)})")
   }
 
+  test("a degenerate (NaN) embedding degrades gracefully instead of crashing") {
+    val withNaN = corpus.unionAll(
+      corpus.sparkSession.createDataFrame(Seq(
+        (9999999L, Array(Float.NaN) ++ Array.fill(Ann.Dim - 1)(0.0f))))
+        .toDF("vec_id", "embedding"))
+    val clean = Ann.nearDupsMultiProbe(corpus, 0.95, probes = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // the NaN row's cosine is NaN -> filtered; the probe expression
+    // must not throw while computing its perturbations
+    val dirty = Ann.nearDupsMultiProbe(withNaN, 0.95, probes = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(dirty == clean, "a NaN vector must not change (or crash) the pair set")
+  }
+
   test("multi-probe recall is monotone in probes and bounded by brute force") {
     val e = corpus.withColumn("nrm", Ann.norm(col("embedding")))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
