@@ -47,6 +47,7 @@ object SparkEntry {
     "q_dedup_keep" -> (Dedup.keep _),
     "q_dedup_embed" -> (Ann.embedDedup _),
     "q_dedup_embed_mp" -> (Ann.embedDedupMp _),
+    "q_ann_adaptive" -> (Ann.ivfAdaptive _),
     "q_ann_brute" -> (Ann.bruteForce _),
     "q_ann_ivf" -> (Ann.ivf _),
     "q_ann_rerank" -> (Ann.annRerank _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "q_dedup_keep" -> Dedup.keepSql,
     "q_dedup_embed" -> Ann.embedDedupSql,
     "q_dedup_embed_mp" -> Ann.embedDedupMpSql,
+    "q_ann_adaptive" -> Ann.ivfAdaptiveSql,
     "q_ann_brute" -> Ann.bruteForceSql,
     "q_ann_ivf" -> Ann.ivfSql,
     "q_ann_rerank" -> Ann.annRerankSql,

@@ -255,6 +255,65 @@ object Ann {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Margin for [[ivfAdaptive]]: wide enough that near-tied lists are
+    * probed, tight enough that well-separated queries stay narrow.
+    */
+  val AdaptiveMargin = 0.1
+
+  /** q_ann_adaptive — [[ivfSearchAdaptive]] with the same
+    * deterministic centroids/queries as [[ivf]]: nprobeMax = 4 with
+    * the distance-gap margin deciding each query's actual width.
+    */
+  def ivfAdaptive(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cents = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    ivfSearchAdaptive(s, e, e.filter(col("vec_id") % 100 === 0), cents,
+      k = TopK, nprobeMax = 4, margin = AdaptiveMargin)
+  }
+
+  val ivfAdaptiveSql: String = {
+    val cSim = cosineSql("q.embedding", "q.nrm", "c.c_emb", "c.c_nrm")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM e WHERE vec_id % 25 = 0
+       |), assigned AS (
+       |  SELECT cent_id, vec_id, embedding, nrm FROM (
+       |    SELECT c.cent_id, e.vec_id, e.embedding, e.nrm,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${cosineSql("e.embedding", "e.nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |             c.cent_id) AS c_rank
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE c_rank = 1
+       |), probes AS (
+       |  SELECT query_id, cent_id, q_emb, q_nrm FROM (
+       |    SELECT q.vec_id AS query_id, c.cent_id,
+       |           q.embedding AS q_emb, q.nrm AS q_nrm,
+       |           $cSim AS c_sim,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             $cSim DESC, c.cent_id) AS c_rank,
+       |           max($cSim) OVER (PARTITION BY q.vec_id) AS best
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id % 100 = 0)
+       |  WHERE c_rank <= 4 AND c_sim >= best - $AdaptiveMargin
+       |), scored AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id,
+       |         ${cosineSql("p.q_emb", "p.q_nrm", "a.embedding", "a.nrm")} AS cos_sim
+       |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank::BIGINT AS rank, vec_id, cos_sim
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF with a TRAINED coarse quantizer ([[KMeansVec]] Lloyd rounds)
     * instead of [[ivf]]'s modulo-sampled centroids — the production
     * 100 TB path: train on a sample, broadcast k centroids, one
