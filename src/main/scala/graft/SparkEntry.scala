@@ -63,6 +63,7 @@ object SparkEntry {
     "q_repetition" -> (TextAnalysis.repetition _),
     "q_filter" -> (TextAnalysis.filterMask _),
     "q_filter_domain" -> (TextAnalysis.filterDomain _),
+    "q_quality_sketch" -> (QualitySketch.qualitySketch _),
     "q_tokens" -> (TextAnalysis.tokens _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_vocab" -> (Corpus.vocab _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_filter" -> TextAnalysis.filterMaskSql,
     "q_filter_domain" -> TextAnalysis.filterDomainSql,
+    "q_quality_sketch" -> QualitySketch.qualitySketchSql,
     "q_tokens" -> TextAnalysis.tokensSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_vocab" -> Corpus.vocabSql,

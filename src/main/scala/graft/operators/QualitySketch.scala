@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,4 +68,32 @@ object QualitySketch {
       .agg(min(col("bin")).as("qbin"))
       .select(col("source"), ((col("qbin") + 0.5) / Bins).as("q50"))
   }
+
+  /** q_quality_sketch — the sketch-derived per-domain calibration as a
+    * query: bin counts → crossing-bin median estimate. All arithmetic
+    * is binary-exact on both engines (r6-rounded quality, power-of-two
+    * bin width), so the DuckDB mirror hash-matches bit for bit.
+    */
+  def qualitySketch(s: SparkSession, d: String): DataFrame =
+    threshold(fromSignals(TextAnalysis.filterSignals(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+      passthrough = Seq("source"))))
+      .orderBy(col("source"))
+
+  val qualitySketchSql: String =
+    s"""WITH ${TextAnalysis.signalsSqlCteFor(", source")},
+       |binned AS (
+       |  SELECT source, least(floor(quality * $Bins), ${Bins - 1})::INT AS bin,
+       |         count(*)::BIGINT AS cnt
+       |  FROM scored GROUP BY source, bin
+       |), cum AS (
+       |  SELECT source, bin,
+       |         sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+       |         sum(cnt) OVER (PARTITION BY source) AS n
+       |  FROM binned
+       |)
+       |SELECT source, (min(bin) + 0.5) / $Bins AS q50
+       |FROM cum WHERE cum >= ceil(n * 0.5)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 }

@@ -223,6 +223,10 @@ object TextAnalysis {
     * ", col"-style passthrough fragment carried through both CTEs
     * (the SQL mirror of [[filterSignals]]'s `passthrough`).
     */
+  /** [[signalsSqlCte]] for sibling operators' oracle SQL. */
+  private[operators] def signalsSqlCteFor(pt: String): String =
+    signalsSqlCte(pt)
+
   private def signalsSqlCte(pt: String): String = {
     val en = hitsSql("t", Profiles.head._2)
     val de = hitsSql("t", Profiles(1)._2)
