@@ -390,6 +390,7 @@ object IndexStore {
     * a serving loop uses [[open]] once and `Handle.search` per batch.
     */
   def search(spark: SparkSession, queries: DataFrame, path: String,
-    k: Int = Ann.TopK, nprobe: Int = Ann.NProbe): DataFrame =
-    open(spark, path).search(queries, k, nprobe)
+    k: Int = Ann.TopK, nprobe: Int = Ann.NProbe,
+    margin: Option[Double] = None): DataFrame =
+    open(spark, path).search(queries, k, nprobe, margin)
 }
