@@ -94,6 +94,27 @@ object ExplainAudit {
       "PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(idxPlan).isDefined &&
         !idxPlan.contains("SortMergeJoin") && !idxPlan.contains("ShuffledHashJoin"))
 
+    // round-4 late invariants: the new operators keep the same shapes
+    val mpPlan = operators.Ann.embedDedupMp(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("multi-probe candidate join salted, id-only (no vector exchange)",
+      mpPlan.contains("__salt") &&
+        !mpPlan.linesIterator.exists(l =>
+          l.contains("Exchange") && l.contains("embedding")))
+
+    val adPlan = graft.sources.IndexStore.search(spark,
+      vecs.filter(col("vec_id") % 100 === 0), idxDir, 10, 8,
+      margin = Some(0.05))
+      .queryExecution.executedPlan.toString
+    flag("adaptive stored probe still partition-pruned + unshuffled",
+      "PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(adPlan).isDefined &&
+        !adPlan.contains("SortMergeJoin") && !adPlan.contains("ShuffledHashJoin"))
+
+    val skPlan = operators.QualitySketch.qualitySketch(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("sketch calibration is one partial-agg groupBy over the scan",
+      skPlan.contains("partial_count") && !skPlan.contains("Join"))
+
     spark.stop()
   }
 }
