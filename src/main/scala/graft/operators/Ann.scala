@@ -68,7 +68,7 @@ object Ann {
     * Ordering matches the oracle's row_number: cos_sim desc, vec_id asc;
     * duplicate candidates collapse on insert (= SELECT DISTINCT).
     */
-  private def rankTopK(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     val agg = new graft.functions.TopKByScore(k)
     scored.select(col("query_id"), col("vec_id"), col("cos_sim"))

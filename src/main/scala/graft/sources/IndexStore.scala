@@ -171,7 +171,7 @@ object IndexStore {
     if (fs.exists(base))
       fs.listStatus(base).map(_.getPath).foreach { p =>
         val n = p.getName
-        if (n == "gen" || n == "rot" || n.startsWith("lists_g"))
+        if (n == "gen" || n == "rot" || n == "nbrs" || n.startsWith("lists_g"))
           fs.delete(p, true)
       }
   }
@@ -296,6 +296,52 @@ object IndexStore {
     }
   }
 
+  /** Materialize the scan-shaped "graph-lite" side table: each
+    * vector's top-`r` ADC neighbors ACROSS lists, as
+    * `(src_id, nbr_id, nbr_cent)` rows. This is the SURVEY position on
+    * graph ANN made concrete — the one benefit of a neighbor graph
+    * that survives Spark's execution model is one-hop candidate
+    * expansion by JOIN (never traversal), reaching lists a narrow
+    * probe missed.
+    *
+    * Build cost (offline, like [[build]] itself): the corpus probes
+    * its own index at `nprobe` width through a SHUFFLED cent_id join —
+    * the one corpus×corpus shuffle in the index lifecycle, paid once;
+    * serving reads the result table. Takes the original vectors
+    * because probing needs full embeddings (the store keeps only
+    * codes); they are transformed by the stored OPQ geometry exactly
+    * as [[build]] did.
+    */
+  def buildNeighbors(vectors: DataFrame, path: String, r: Int = 8,
+    nprobe: Int = 8): Unit = {
+    val spark = vectors.sparkSession
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val metaRow = metaDf.head()
+    val dim = metaRow.getAs[Int]("dim")
+    val bks = books(spark, path)
+    val e = transformIn(vectors.select(col("vec_id"), col("embedding")),
+      permFromMeta(metaRow, metaDf.columns), rotation(spark, path))
+      .withColumn("nrm", Ann.norm(col("embedding")))
+    val cents = centroids(spark, path)
+    val lists = spark.read.parquet(listsPath(spark, path))
+      .select(col("cent_id").cast("long").as("cent_id"),
+        col("vec_id"), col("codes"), col("rec_nrm"))
+    // corpus-sized probe side: hint the shuffle join (a broadcast here
+    // would ship the whole corpus's LUTs to every task)
+    val scored = lists.hint("shuffle_hash")
+      .join(Ann.adcProbes(e, cents, bks, dim, nprobe), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.TextSim.r6(
+          PQ.adcDot(col("lut"), col("codes"), bks.m) /
+            (col("q_nrm") * col("rec_nrm"))).as("cos_sim"))
+    Ann.rankTopK(spark, scored, r)
+      .join(lists.select(col("vec_id"), col("cent_id").as("nbr_cent")), "vec_id")
+      .select(col("query_id").as("src_id"), col("vec_id").as("nbr_id"),
+        col("nbr_cent"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/nbrs")
+  }
+
   /** The stored PQ codebooks as driver-resident [[PQ.PqBooks]]. */
   def books(spark: SparkSession, path: String): PQ.PqBooks = {
     val rows = spark.read.parquet(s"$path/codebooks")
@@ -321,7 +367,7 @@ object IndexStore {
     * handle's reads; re-[[open]] to serve from the compacted table.
     */
   final class Handle private[IndexStore] (spark: SparkSession,
-    listsLocation: String, val dim: Int,
+    path: String, listsLocation: String, val dim: Int,
     centRows: Array[org.apache.spark.sql.Row], val books: PQ.PqBooks,
     perm: Array[Int], rot: Array[Array[Double]]) {
 
@@ -362,6 +408,53 @@ object IndexStore {
           col("vec_id"), col("codes"), col("rec_nrm"))
       Ann.rankCodes(spark, lists, probes, books, k)
     }
+
+    /** [[search]] plus ONE hop of [[buildNeighbors]] expansion: the
+      * shortlist's stored neighbors (a broadcast join of the |Q|·k
+      * shortlist against the neighbor table) become extra candidates,
+      * ADC-scored against a read pruned to THEIR lists — recall
+      * reaches lists the probe skipped while every join stays
+      * broadcast-or-pruned (no traversal, no corpus shuffle). Exact
+      * re-rank downstream ([[Ann.rerank]]) converts the candidate
+      * coverage into exact recall.
+      */
+    def searchExpanded(queries: DataFrame, k: Int = Ann.TopK,
+      nprobe: Int = Ann.NProbe, margin: Option[Double] = None): DataFrame = {
+      val shortlist = search(queries, k, nprobe, margin).persist()
+      val nbrs = spark.read.parquet(s"$path/nbrs")
+      val expansion = broadcast(shortlist.select(
+        col("query_id"), col("vec_id").as("src_id")))
+        .join(nbrs, "src_id")
+        .select(col("query_id"), col("nbr_id").as("vec_id"), col("nbr_cent"))
+        // the query itself can be its neighbor's neighbor
+        .filter(col("vec_id") =!= col("query_id"))
+        // a neighbor already in the shortlist is already scored
+        .join(shortlist.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .distinct()
+      val cents = expansion.select(col("nbr_cent")).distinct()
+        .collect().map(_.getLong(0)).map(_.toInt).sorted
+      if (cents.isEmpty) { shortlist.unpersist(); return shortlist }
+      val q = transformIn(
+        queries.select(col("vec_id"), col("embedding")), perm, rot)
+        .withColumn("nrm", Ann.norm(col("embedding")))
+      val qlut = q.select(col("vec_id").as("query_id"),
+        PQ.adcLut(col("embedding"), books, dim).as("lut"),
+        col("nrm").as("q_nrm"))
+      val lists = spark.read.parquet(listsLocation)
+        .filter(col("cent_id").isin(cents: _*))
+        .select(col("vec_id"), col("codes"), col("rec_nrm"))
+      val expScored = lists
+        .join(broadcast(expansion.join(qlut, "query_id")), "vec_id")
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.TextSim.r6(
+            PQ.adcDot(col("lut"), col("codes"), books.m) /
+              (col("q_nrm") * col("rec_nrm"))).as("cos_sim"))
+      val out = Ann.rankTopK(spark,
+        shortlist.select(col("query_id"), col("vec_id"), col("cos_sim"))
+          .unionByName(expScored), k)
+      out
+    }
   }
 
   /** Open a stored index for repeated serving (pins the current list
@@ -373,7 +466,7 @@ object IndexStore {
     val dim = metaRow.getAs[Int]("dim")
     val centRows = centroids(spark, path)
       .select(col("cent_id"), col("c_emb"), col("c_nrm")).collect()
-    new Handle(spark, listsPath(spark, path), dim, centRows,
+    new Handle(spark, path, listsPath(spark, path), dim, centRows,
       books(spark, path), permFromMeta(metaRow, metaDf.columns),
       rotation(spark, path))
   }

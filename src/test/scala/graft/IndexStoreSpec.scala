@@ -316,6 +316,68 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(got == want, "streamed store must search identically to batch append")
   }
 
+  test("streaming query serving equals batch search over the union of micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val h = IndexStore.open(spark, path)
+    val out = java.nio.file.Files.createTempDirectory("graft_serve_").toString + "/hits"
+    val qRows = queries.as[(Long, Array[Float])].collect()
+    val (m1, m2) = qRows.splitAt(qRows.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingAnnServe.serve(
+      mem.toDF().toDF("vec_id", "embedding"), h, out, k = 10, nprobe = 2)
+    try {
+      mem.addData(m1.toSeq)
+      q.processAllAvailable()
+      mem.addData(m2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val batch = h.search(queries, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batch,
+      "per-micro-batch serving must union to the one-shot batch result")
+  }
+
+  test("graph-lite expansion reaches lists a narrow probe missed and never hurts exact recall") {
+    IndexStore.buildNeighbors(vecs, path, r = 8, nprobe = 8)
+    val h = IndexStore.open(spark, path)
+    val plain = h.search(queries, k = 10, nprobe = 1).persist()
+    val expanded = h.searchExpanded(queries, k = 10, nprobe = 1).persist()
+    assert(expanded.count() > 0)
+
+    // coverage: expansion must surface candidates from lists outside
+    // each query's single probed list
+    val lists = spark.read.parquet(IndexStore.listsPath(spark, path))
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+    def centsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.join(lists, "vec_id").select(col("query_id"), col("cent_id"))
+        .as[(Long, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+    val plainCents = centsOf(plain)
+    val expCents = centsOf(expanded)
+    assert(plainCents.forall(_._2.size == 1), "nprobe=1 hits live in one list")
+    assert(expCents.exists { case (q, cs) => cs.size > plainCents(q).size },
+      "expansion must cross list boundaries for at least one query")
+
+    // exact recall: re-ranking the expanded candidates never does worse
+    // than re-ranking the plain candidates (superset + exact scoring)
+    val truth = Ann.topKNeighbors(spark, vecs, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(short: org.apache.spark.sql.DataFrame): Double = {
+      val got = Ann.rerank(spark, vecs, queries,
+        short.select(col("query_id"), col("vec_id")), k = 10)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val rPlain = recall(plain)
+    val rExp = recall(expanded)
+    assert(rExp >= rPlain,
+      s"expansion recall $rExp must not trail plain recall $rPlain")
+    plain.unpersist(); expanded.unpersist()
+  }
+
   /** Width of the cent_id IN(...) partition filter in the search plan. */
   private def probedInFilterWidth(q: org.apache.spark.sql.DataFrame,
     nprobe: Int): Int = {
