@@ -45,6 +45,51 @@ class StreamingFilterDomainSpec extends AnyFunSuite {
       s"stream/batch keep decisions diverge (e.g. ${(streamed -- batch).take(3)})")
   }
 
+  test("sketch-derived calibration drives the stream: the full incremental loop composes") {
+    import graft.operators.QualitySketch
+    implicit val sqlCtx = spark.sqlContext
+    // calibration refreshed the INCREMENTAL way: batch sketches merged,
+    // thresholds read from the merged sketch (never rescanning old docs)
+    val sig = TextAnalysis.filterSignals(
+      Tables.documents(spark, sf).select(col("doc_id"), col("source"), col("text")),
+      passthrough = Seq("source"))
+    val sketch = Seq(
+      sig.filter(col("doc_id") % 2 === 0),
+      sig.filter(col("doc_id") % 2 === 1))
+      .map(QualitySketch.fromSignals).reduce(QualitySketch.merge)
+    val thresholds = QualitySketch.threshold(sketch).cache()
+
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingFilterDomain(
+      mem.toDF().toDF("doc_id", "source", "text"), thresholds)
+      .writeStream.format("memory").queryName("sfd_sk")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sfd_sk")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    // reference: the same decision rule against the sketch thresholds
+    // in batch — stream and batch must agree exactly under the SAME
+    // calibration table
+    val batch = sig.join(broadcast(thresholds), "source")
+      .select(col("doc_id"),
+        (col("quality") >= col("q50") && col("is_en") &&
+          col("dup_fraction") <= 0.2).as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // and the sketch calibration stays close to the exact one end-to-end
+    val exactKeep = TextAnalysis.filterDomain(spark, sf)
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    val agree = streamed.count { case (id, kp) => exactKeep(id) == kp }
+    assert(agree.toDouble / streamed.size >= 0.95,
+      s"sketch-calibrated stream agrees with exact calibration on $agree/${streamed.size}")
+  }
+
   test("a source unseen at calibration time falls back to the global cutoff") {
     implicit val sqlCtx = spark.sqlContext
     val thresholds = Seq(("known", 0.9)).toDF("source", "q50")
