@@ -75,10 +75,11 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val (t1, ok1) = timeOnce()
-      if (!ok1) (name, -1.0, false)
+      if (!ok1) (name, -1.0, -1.0, false)
       else {
         val (t2, ok2) = timeOnce()
-        if (!ok2) (name, -1.0, false) else (name, math.min(t1, t2), true)
+        if (!ok2) (name, -1.0, -1.0, false)
+        else (name, math.min(t1, t2), math.abs(t1 - t2), true)
       }
     }
     def jstr(s: String): String =
@@ -87,14 +88,21 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, _, ok) =>
       jstr(k) + ":" + (if (ok) v else -1)
+    }.mkString("{", ",", "}")
+    // per-query |t1 - t2| alongside the min: a noisy environment shows
+    // up as spread, so a driver-side inflation (the r3 contention
+    // window) is distinguishable from a real plan regression in the
+    // artifact itself, not just in a rerun
+    val spreadJson = results.map { case (k, _, s, ok) =>
+      jstr(k) + ":" + (if (ok) s else -1)
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, _, true) => v }.sum
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -3,13 +3,41 @@ package graft
 import java.nio.file.Files
 
 import graft.operators.{Crawl, Etl, IncrementalRunner}
-import graft.sources.{MediaExtract, VectorStoreWriter}
+import graft.sources.{MediaExtract, ShardWriter, VectorStoreWriter}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class SinksSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
+
+  test("shard writer bounds every file and lays shards out deterministically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("source"), col("text"))
+    val total = docs.count()
+    def shardFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+    def perFileRows(dir: String): Seq[(String, Long)] =
+      shardFiles(dir).sortBy(_.getName).map(f =>
+        f.getName -> spark.read.parquet(f.getAbsolutePath).count())
+
+    val out1 = Files.createTempDirectory("graft_shards1_").toString + "/c"
+    ShardWriter.write(docs, out1, col("doc_id"), rowsPerShard = 100)
+    val rows1 = perFileRows(out1)
+    assert(rows1.map(_._2).sum == total, "export must preserve every row")
+    assert(rows1.forall(_._2 <= 100), s"every shard capped at 100: $rows1")
+    assert(rows1.size >= (total / 100).toInt, "enough shards to hold the corpus")
+    // deterministic layout: a re-export produces the same shard contents
+    val out2 = Files.createTempDirectory("graft_shards2_").toString + "/c"
+    ShardWriter.write(docs, out2, col("doc_id"), rowsPerShard = 100)
+    def contents(dir: String): Seq[Seq[Long]] =
+      shardFiles(dir).sortBy(_.getName).map(f =>
+        spark.read.parquet(f.getAbsolutePath)
+          .select("doc_id").as[Long].collect().toSeq)
+    assert(contents(out1) == contents(out2),
+      "re-export must be shard-for-shard identical")
+  }
 
   test("vector store upsert replaces only delta partitions") {
     val dir = Files.createTempDirectory("vstore").toString + "/store"
