@@ -159,4 +159,22 @@ object PQ {
     (0 until m).map(j =>
       element_at(element_at(lut, j + 1),
         element_at(codes, j + 1).cast("int"))).reduce(_ + _)
+
+  /** All k×k subspace-codebook dot products — the driver-side half of
+    * SDC scoring ([[graft.functions.SdcDot]]): code-pair similarity
+    * with no vectors and no decode. Folded in [[graft.functions.VecDot]]
+    * order for parity with reconstructed dots.
+    */
+  def sdcTables(books: PqBooks): Array[Array[Array[Double]]] =
+    Array.tabulate(books.m) { j =>
+      Array.tabulate(books.codeSlots, books.codeSlots) { (a, b) =>
+        val va = books.books(j)(a)
+        val vb = books.books(j)(b)
+        var s = 0.0
+        var i = 0
+        val n = math.min(va.length, vb.length)
+        while (i < n) { s += va(i).toDouble * vb(i).toDouble; i += 1 }
+        s
+      }
+    }
 }

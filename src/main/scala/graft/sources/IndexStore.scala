@@ -342,6 +342,89 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/nbrs")
   }
 
+  /** Rebuild the neighbor table from STORED CODES ALONE — no original
+    * vectors: NN-descent (Dong et al., WWW'11) over SDC similarity
+    * ([[PQ.sdcTables]]/[[graft.functions.SdcDot]]). Init is the
+    * intra-list code self-join (same-list rows are the coarse
+    * quantizer's own "probably close" candidates); each iteration
+    * promotes neighbors-of-neighbors (both directions) as candidates
+    * and keeps the top `r` by SDC cosine — the classic descent step,
+    * expressed as id-keyed joins + the partial top-k aggregator, never
+    * traversal. Candidate volume per round is ≤ (2r)² per vector and
+    * every join is id- or list-keyed, so the job scales like the other
+    * offline maintenance passes ([[compact]], [[buildNeighbors]]).
+    *
+    * This is the maintenance path after appends: [[buildNeighbors]]
+    * needs the corpus embeddings, which the store deliberately does
+    * not keep; refresh needs only what is already on disk.
+    *
+    * Intra-list init alone would leave the descent CLOSED inside each
+    * list (neighbors-of-neighbors of same-list rows are same-list
+    * rows), so each round also injects the original algorithm's random
+    * candidates — here a DETERMINISTIC hash-bucket sample (rows
+    * sharing `hash(vec_id, round) % B` pair up, ~[[SampleBucketRows]]
+    * candidates per vector per round), which is what lets descent
+    * escape into other lists reproducibly.
+    */
+  val SampleBucketRows = 8
+
+  def refreshNeighbors(spark: SparkSession, path: String, r: Int = 8,
+    iters: Int = 2): Unit = {
+    val bks = books(spark, path)
+    val sdc = PQ.sdcTables(bks)
+    val lists = spark.read.parquet(listsPath(spark, path))
+      .select(col("cent_id").cast("long").as("cent_id"),
+        col("vec_id"), col("codes"), col("rec_nrm"))
+      .persist()
+    val aSide = lists.select(col("vec_id").as("query_id"),
+      col("codes").as("a_codes"), col("rec_nrm").as("a_nrm"))
+    val bSide = lists.select(col("vec_id"),
+      col("codes").as("b_codes"), col("rec_nrm").as("b_nrm"))
+    def topR(cand: DataFrame): DataFrame =
+      Ann.rankTopK(spark,
+        cand.join(aSide, "query_id").join(bSide, "vec_id")
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.TextSim.r6(
+              graft.functions.SdcDot(col("a_codes"), col("b_codes"), sdc) /
+                (col("a_nrm") * col("b_nrm"))).as("cos_sim")), r)
+    val intraList = lists.select(col("cent_id"), col("vec_id").as("query_id"))
+      .join(lists.select(col("cent_id"), col("vec_id")), "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val nBuckets = math.max(1L, lists.count() / SampleBucketRows)
+    def sampled(round: Int): DataFrame = {
+      val b = lists.select(col("vec_id"),
+        pmod(hash(col("vec_id"), lit(round)), lit(nBuckets)).as("bkt"))
+      b.as("x").join(b.as("y"), col("x.bkt") === col("y.bkt"))
+        .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+    }
+    var nbrs = topR(intraList).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val edges = nbrs.select(col("query_id").as("src_id"),
+        col("vec_id").as("nbr_id"))
+      val undirected = edges.unionByName(
+        edges.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id")))
+      val cand = undirected.as("e1")
+        .join(undirected.as("e2"), col("e1.nbr_id") === col("e2.src_id"))
+        .select(col("e1.src_id").as("query_id"), col("e2.nbr_id").as("vec_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .unionByName(edges.select(col("src_id").as("query_id"),
+          col("nbr_id").as("vec_id")))
+        .unionByName(sampled(it))
+        .distinct()
+      nbrs = topR(cand).localCheckpoint()
+      it += 1
+    }
+    nbrs
+      .join(lists.select(col("vec_id"), col("cent_id").as("nbr_cent")), "vec_id")
+      .select(col("query_id").as("src_id"), col("vec_id").as("nbr_id"),
+        col("nbr_cent"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/nbrs")
+    lists.unpersist()
+  }
+
   /** The stored PQ codebooks as driver-resident [[PQ.PqBooks]]. */
   def books(spark: SparkSession, path: String): PQ.PqBooks = {
     val rows = spark.read.parquet(s"$path/codebooks")

@@ -378,6 +378,50 @@ class IndexStoreSpec extends AnyFunSuite {
     plain.unpersist(); expanded.unpersist()
   }
 
+  test("NN-descent refresh maintains neighbors from stored codes alone") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_nnd_").toString
+    IndexStore.build(vecs, p, Dim, nlist = 8, m = 8, kcode = 16, iters = 3)
+    // the descent's monotone invariant: each node keeps the top-r by
+    // SDC of (old neighbors ∪ candidates), so the mean kept SDC
+    // similarity can only rise round over round. (Recall vs EXACT
+    // neighbors is bounded by PQ distortion and not monotone — the
+    // serving path buys that back with Ann.rerank.)
+    def meanKeptSim(): Double = {
+      val bks = IndexStore.books(spark, p)
+      val sdc = graft.operators.PQ.sdcTables(bks)
+      val lists = spark.read.parquet(IndexStore.listsPath(spark, p))
+        .select(col("vec_id"), col("codes"), col("rec_nrm"))
+      spark.read.parquet(s"$p/nbrs")
+        .join(lists.select(col("vec_id").as("src_id"),
+          col("codes").as("a_codes"), col("rec_nrm").as("a_nrm")), "src_id")
+        .join(lists.select(col("vec_id").as("nbr_id"),
+          col("codes").as("b_codes"), col("rec_nrm").as("b_nrm")), "nbr_id")
+        .agg(avg(graft.functions.SdcDot(col("a_codes"), col("b_codes"), sdc) /
+          (col("a_nrm") * col("b_nrm"))))
+        .head().getDouble(0)
+    }
+    IndexStore.refreshNeighbors(spark, p, r = 4, iters = 0)
+    val s0 = meanKeptSim()
+    IndexStore.refreshNeighbors(spark, p, r = 4, iters = 2)
+    val s2 = meanKeptSim()
+    assert(s2 >= s0 - 1e-9,
+      s"descent must not lose SDC objective: init $s0 vs 2 iterations $s2")
+    val nbrs = spark.read.parquet(s"$p/nbrs")
+    assert(nbrs.filter(col("src_id") === col("nbr_id")).count() == 0)
+    val perSrc = nbrs.groupBy("src_id").count().agg(max("count")).head().getLong(0)
+    assert(perSrc <= 4, s"at most r rows per source, got $perSrc")
+    // descent crosses list boundaries: some refreshed neighbor lives in
+    // a different list than its source
+    val lists = spark.read.parquet(IndexStore.listsPath(spark, p))
+      .select(col("vec_id").as("src_id"), col("cent_id").cast("long").as("src_cent"))
+    assert(nbrs.join(lists, "src_id")
+      .filter(col("nbr_cent") =!= col("src_cent")).count() > 0,
+      "NN-descent must discover cross-list neighbors from codes alone")
+    // and the serving-side expansion consumes the refreshed table
+    val h = IndexStore.open(spark, p)
+    assert(h.searchExpanded(queries, k = 10, nprobe = 1).count() > 0)
+  }
+
   /** Width of the cent_id IN(...) partition filter in the search plan. */
   private def probedInFilterWidth(q: org.apache.spark.sql.DataFrame,
     nprobe: Int): Int = {
