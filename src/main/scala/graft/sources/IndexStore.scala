@@ -425,6 +425,81 @@ object IndexStore {
     lists.unpersist()
   }
 
+  /** Scoped neighbor maintenance after [[append]]: touch only what the
+    * appended batch made stale instead of re-running the full descent.
+    * New rows are the list rows with no `src_id` in `nbrs/` yet. One
+    * SDC merge round over the delta:
+    *   - new rows × their own lists (the coarse quantizer's candidate
+    *     set, exactly the full refresh's init restricted to new rows),
+    *     plus the deterministic hash-bucket sample as the cross-list
+    *     escape hatch;
+    *   - the REVERSE of those pairs, so an existing row near an
+    *     appended vector gets the chance to adopt it;
+    *   - every existing edge rescored (an id-keyed join over n·r
+    *     rows — codes only, never vectors), so the merge is top-`r`
+    *     of (old ∪ delta) and the kept objective can only rise.
+    * Cost is O(|new|·listsize + n·r) — proportional to the delta,
+    * never corpus². Returns the number of appended rows folded in
+    * (0 = nothing stale, nothing rewritten).
+    */
+  def refreshNeighborsDelta(spark: SparkSession, path: String,
+    r: Int = 8): Long = {
+    val lists = spark.read.parquet(listsPath(spark, path))
+      .select(col("cent_id").cast("long").as("cent_id"),
+        col("vec_id"), col("codes"), col("rec_nrm"))
+      .persist()
+    val oldEdges = spark.read.parquet(s"$path/nbrs")
+      .select(col("src_id").as("query_id"), col("nbr_id").as("vec_id"))
+      .persist()
+    val newRows = lists
+      .join(oldEdges.select(col("query_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .select(col("cent_id"), col("vec_id"))
+      .persist()
+    val nNew = newRows.count()
+    if (nNew > 0) {
+      val bks = books(spark, path)
+      val sdc = PQ.sdcTables(bks)
+      val aSide = lists.select(col("vec_id").as("query_id"),
+        col("codes").as("a_codes"), col("rec_nrm").as("a_nrm"))
+      val bSide = lists.select(col("vec_id"),
+        col("codes").as("b_codes"), col("rec_nrm").as("b_nrm"))
+      val intraNew = newRows.select(col("cent_id"),
+        col("vec_id").as("query_id"))
+        .join(lists.select(col("cent_id"), col("vec_id")), "cent_id")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"))
+      val nBuckets = math.max(1L, lists.count() / SampleBucketRows)
+      val bkt = lists.select(col("vec_id"),
+        pmod(hash(col("vec_id"), lit(0)), lit(nBuckets)).as("bkt"))
+      val sampledNew = bkt.join(newRows.select(col("vec_id")), "vec_id")
+        .select(col("vec_id").as("query_id"), col("bkt"))
+        .join(bkt, "bkt")
+        .select(col("query_id"), col("vec_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+      val fwd = intraNew.unionByName(sampledNew)
+      val cand = fwd
+        .unionByName(fwd.select(col("vec_id").as("query_id"),
+          col("query_id").as("vec_id")))
+        .unionByName(oldEdges)
+        .distinct()
+      val merged = Ann.rankTopK(spark,
+        cand.join(aSide, "query_id").join(bSide, "vec_id")
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.TextSim.r6(
+              graft.functions.SdcDot(col("a_codes"), col("b_codes"), sdc) /
+                (col("a_nrm") * col("b_nrm"))).as("cos_sim")), r)
+        .join(lists.select(col("vec_id"), col("cent_id").as("nbr_cent")),
+          "vec_id")
+        .select(col("query_id").as("src_id"), col("vec_id").as("nbr_id"),
+          col("nbr_cent"))
+        .localCheckpoint() // sever lineage from nbrs/ before overwriting it
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$path/nbrs")
+    }
+    lists.unpersist(); oldEdges.unpersist(); newRows.unpersist()
+    nNew
+  }
+
   /** The stored PQ codebooks as driver-resident [[PQ.PqBooks]]. */
   def books(spark: SparkSession, path: String): PQ.PqBooks = {
     val rows = spark.read.parquet(s"$path/codebooks")

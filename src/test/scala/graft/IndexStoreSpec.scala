@@ -386,24 +386,10 @@ class IndexStoreSpec extends AnyFunSuite {
     // similarity can only rise round over round. (Recall vs EXACT
     // neighbors is bounded by PQ distortion and not monotone — the
     // serving path buys that back with Ann.rerank.)
-    def meanKeptSim(): Double = {
-      val bks = IndexStore.books(spark, p)
-      val sdc = graft.operators.PQ.sdcTables(bks)
-      val lists = spark.read.parquet(IndexStore.listsPath(spark, p))
-        .select(col("vec_id"), col("codes"), col("rec_nrm"))
-      spark.read.parquet(s"$p/nbrs")
-        .join(lists.select(col("vec_id").as("src_id"),
-          col("codes").as("a_codes"), col("rec_nrm").as("a_nrm")), "src_id")
-        .join(lists.select(col("vec_id").as("nbr_id"),
-          col("codes").as("b_codes"), col("rec_nrm").as("b_nrm")), "nbr_id")
-        .agg(avg(graft.functions.SdcDot(col("a_codes"), col("b_codes"), sdc) /
-          (col("a_nrm") * col("b_nrm"))))
-        .head().getDouble(0)
-    }
     IndexStore.refreshNeighbors(spark, p, r = 4, iters = 0)
-    val s0 = meanKeptSim()
+    val s0 = meanKeptSim(p)
     IndexStore.refreshNeighbors(spark, p, r = 4, iters = 2)
-    val s2 = meanKeptSim()
+    val s2 = meanKeptSim(p)
     assert(s2 >= s0 - 1e-9,
       s"descent must not lose SDC objective: init $s0 vs 2 iterations $s2")
     val nbrs = spark.read.parquet(s"$p/nbrs")
@@ -420,6 +406,59 @@ class IndexStoreSpec extends AnyFunSuite {
     // and the serving-side expansion consumes the refreshed table
     val h = IndexStore.open(spark, p)
     assert(h.searchExpanded(queries, k = 10, nprobe = 1).count() > 0)
+  }
+
+  test("delta neighbor refresh folds appends in without a corpus descent") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_delta_").toString
+    IndexStore.build(vecs, p, Dim, nlist = 8, m = 8, kcode = 16, iters = 3)
+    IndexStore.refreshNeighbors(spark, p, r = 4, iters = 1)
+    // appended batch: exact clones of 20 existing vectors under fresh
+    // ids — each lands in its source's list with identical codes, so
+    // the clone pair's SDC cosine is exactly 1.0 (the max)
+    val cloned = vecs.orderBy(col("vec_id")).limit(20)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      .persist()
+    IndexStore.append(cloned, p)
+    val before = meanKeptSim(p)
+    assert(IndexStore.refreshNeighborsDelta(spark, p, r = 4) == 20)
+    val nbrs = spark.read.parquet(s"$p/nbrs").persist()
+    // every appended row got a neighbor list, bounded by r
+    val newSrc = nbrs.filter(col("src_id") >= 10000000L)
+      .groupBy("src_id").count().persist()
+    assert(newSrc.count() == 20, "all appended rows must appear as sources")
+    assert(newSrc.agg(max("count")).head().getLong(0) <= 4)
+    // reverse adoption: existing sources picked up their clone (SDC
+    // cosine 1.0 beats everything; allow ties with code collisions)
+    val adopted = nbrs.filter(col("nbr_id") === col("src_id") + 10000000L)
+      .count()
+    assert(adopted >= 10, s"clones must displace weaker neighbors, got $adopted")
+    // merge = top-r of (old ∪ delta): each OLD source's candidate set
+    // contains its old edges, so the kept objective over old sources
+    // cannot drop; and a second delta pass with nothing appended is a
+    // no-op
+    assert(meanKeptSim(p, col("src_id") < 10000000L) >= before - 1e-9)
+    assert(IndexStore.refreshNeighborsDelta(spark, p, r = 4) == 0)
+    val h = IndexStore.open(spark, p)
+    assert(h.searchExpanded(queries, k = 10, nprobe = 1).count() > 0)
+    cloned.unpersist(); nbrs.unpersist(); newSrc.unpersist()
+  }
+
+  /** Mean kept SDC cosine over the stored neighbor table — the
+    * descent's objective, computed from codes alone. */
+  private def meanKeptSim(p: String,
+    srcFilter: org.apache.spark.sql.Column = lit(true)): Double = {
+    val bks = IndexStore.books(spark, p)
+    val sdc = graft.operators.PQ.sdcTables(bks)
+    val lists = spark.read.parquet(IndexStore.listsPath(spark, p))
+      .select(col("vec_id"), col("codes"), col("rec_nrm"))
+    spark.read.parquet(s"$p/nbrs").filter(srcFilter)
+      .join(lists.select(col("vec_id").as("src_id"),
+        col("codes").as("a_codes"), col("rec_nrm").as("a_nrm")), "src_id")
+      .join(lists.select(col("vec_id").as("nbr_id"),
+        col("codes").as("b_codes"), col("rec_nrm").as("b_nrm")), "nbr_id")
+      .agg(avg(graft.functions.SdcDot(col("a_codes"), col("b_codes"), sdc) /
+        (col("a_nrm") * col("b_nrm"))))
+      .head().getDouble(0)
   }
 
   /** Width of the cent_id IN(...) partition filter in the search plan. */
