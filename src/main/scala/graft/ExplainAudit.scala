@@ -115,6 +115,18 @@ object ExplainAudit {
     flag("sketch calibration is one partial-agg groupBy over the scan",
       skPlan.contains("partial_count") && !skPlan.contains("Join"))
 
+    val routedDir = java.nio.file.Files.createTempDirectory("audit_routed_")
+      .toString
+    graft.sources.IndexStore.build(vecs, routedDir, 64, nlist = 8,
+      routeTop = 2)
+    val routedPlan = graft.sources.IndexStore.open(spark, routedDir)
+      .search(vecs.filter(col("vec_id") % 100 === 0), 10, 2)
+      .queryExecution.executedPlan.toString
+    flag("routed (two-level) probe partition-pruned + stored side unshuffled",
+      "PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(routedPlan).isDefined &&
+        !routedPlan.contains("SortMergeJoin") &&
+        !routedPlan.contains("ShuffledHashJoin"))
+
     spark.stop()
   }
 }

@@ -64,4 +64,71 @@ object KMeansVec {
     e.unpersist()
     cents
   }
+
+  /** Two-level ROUTED coarse quantizer: [[fit]] trains `kTop` top
+    * cells, then one GROUPED Lloyd pass trains `kSub` leaves inside
+    * every cell simultaneously — assignment is the
+    * [[graft.functions.RoutedNearest]] per-row argmax restricted to
+    * the row's own top cell (kSub dots, broadcast leaf matrix),
+    * recentering is the same leaf-id groupBy [[fit]] uses — so the
+    * whole sub-level trains in `iters` jobs, not kTop·iters. Leaf ids
+    * are `(top_id−1)·kSub + rank` (1-based both levels): the top cell
+    * of any leaf is arithmetic, never a lookup table. Returns
+    * (topCents, leafCents), both `(cent_id, c_emb, c_nrm)`.
+    *
+    * Why routing at all: flat assignment does nlist dot products per
+    * row with the centroid matrix serialized into every task; past a
+    * few thousand lists both stop scaling. Routed assignment is
+    * kTop + kSub dots per row, and the leaf matrix rides a real
+    * `Broadcast` (once per executor).
+    */
+  def fitRouted(vectors: DataFrame, kTop: Int, kSub: Int, iters: Int,
+    checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+    val e = withNorm(vectors.select(col("vec_id"), col("embedding")))
+      .persist()
+    val top = fit(vectors, kTop, iters, checkpointDir)
+    val routed = assign(e, top)
+      .select(col("cent_id").as("top_id"), col("vec_id"),
+        col("embedding"), col("nrm"))
+      .persist()
+    // init: the kSub lowest vec_ids OF EACH CELL (fit's init rule,
+    // applied per group)
+    val wInit = Window.partitionBy(col("top_id")).orderBy(col("vec_id"))
+    var leaves = Iterate.materialize(
+      routed.withColumn("rn", row_number().over(wInit).cast("long"))
+        .filter(col("rn") <= kSub)
+        .select(((col("top_id") - 1) * kSub + col("rn")).as("cent_id"),
+          col("embedding").as("c_emb"), col("nrm").as("c_nrm")),
+      checkpointDir)
+    for (_ <- 1 to iters) {
+      val bc = graft.functions.RoutedNearest.broadcastFrom(leaves, kTop, kSub)
+      val centered = assignRouted(routed, bc)
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s("m").cast("float")).as("c_emb"))
+      leaves = Iterate.materialize(
+        withNorm(centered.withColumnRenamed("c_emb", "embedding"))
+          .select(col("cent_id"), col("embedding").as("c_emb"),
+            col("nrm").as("c_nrm")),
+        checkpointDir)
+      bc.unpersist(blocking = false)
+    }
+    routed.unpersist(); e.unpersist()
+    (top, leaves)
+  }
+
+  /** Nearest-leaf assignment of rows already routed to a `top_id`:
+    * `(cent_id, vec_id, embedding, nrm)` like [[assign]], with the
+    * grouped leaf matrix as a broadcast.
+    */
+  def assignRouted(routed: DataFrame,
+    bc: org.apache.spark.broadcast.Broadcast[graft.functions.RoutedCents]):
+      DataFrame =
+    routed.withColumn("nc", graft.functions.RoutedNearest(
+      array(col("top_id")), col("embedding"), bc, 1))
+      .select(element_at(col("nc"), 1).getField("cent_id").as("cent_id"),
+        col("vec_id"), col("embedding"), col("nrm"))
 }

@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
+  /** Default number of top cells a routed-index query fans to. */
+  val RouteWidth = 2
+
   /** Train coarse + PQ quantizers on `vectors` `(vec_id, embedding)`
     * and write the index. One narrow encode pass over the corpus: list
     * id, all m codes, and the reconstruction norm are per-row
@@ -39,7 +42,10 @@ object IndexStore {
     */
   def build(vectors: DataFrame, path: String, dim: Int,
     nlist: Int = 16, m: Int = 8, kcode: Int = 16, iters: Int = 3,
-    opq: Boolean = false, fullOpq: Boolean = false): Unit = {
+    opq: Boolean = false, fullOpq: Boolean = false,
+    routeTop: Int = 0): Unit = {
+    require(routeTop == 0 || (routeTop > 1 && nlist % routeTop == 0),
+      s"routeTop must divide nlist: $routeTop / $nlist")
     val spark = vectors.sparkSession
     val v0 = vectors.select(col("vec_id"), col("embedding"))
     // OPQ is an index-build property: the learned reorder (`opq` — the
@@ -68,10 +74,22 @@ object IndexStore {
         .write.mode(SaveMode.Overwrite).parquet(s"$path/rot")
     val v = transformIn(v0, normalizePerm(perm), rot)
     val e = v.withColumn("nrm", Ann.norm(col("embedding")))
-    val cents = KMeansVec.fit(v, nlist, iters)
+    // routed (two-level) coarse quantization: a kTop top level routes
+    // each row to one cell and only that cell's nlist/kTop leaves are
+    // scanned for its list — kTop + kSub dot products per row instead
+    // of nlist, with the leaf matrix on a real Broadcast. The leaf
+    // centroid table, list layout, and everything downstream are
+    // identical to a flat build; routing only changes how cent_id is
+    // COMPUTED, so append/search route through the same stored cells.
+    val (cents, topOpt) =
+      if (routeTop > 0) {
+        val (t, l) = KMeansVec.fitRouted(v, routeTop, nlist / routeTop, iters)
+        (l, Some(t))
+      } else (KMeansVec.fit(v, nlist, iters), None)
     val bookFrames = PQ.fit(v, dim, m, kcode)
     val books = PQ.collectBooks(bookFrames)
     cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    topOpt.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$path/topcents"))
     bookFrames.zipWithIndex
       .map { case (b, j) =>
         b.select(lit(j).as("sub"), col("cent_id"), col("c_emb"))
@@ -81,11 +99,18 @@ object IndexStore {
     spark.range(1)
       .select(lit(dim).as("dim"), lit(nlist).as("nlist"),
         lit(m).as("m"), lit(kcode).as("kcode"),
-        typedLit(perm.toSeq).as("perm"))
+        lit(routeTop).as("ktop"), typedLit(perm.toSeq).as("perm"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    val assigned = topOpt match {
+      case Some(t) =>
+        val bc = graft.functions.RoutedNearest.broadcastFrom(
+          cents, routeTop, nlist / routeTop)
+        KMeansVec.assignRouted(
+          KMeansVec.assign(e, t).withColumnRenamed("cent_id", "top_id"), bc)
+      case None => KMeansVec.assign(e, cents)
+    }
     PQ.encode(
-      KMeansVec.assign(e, cents)
-        .select(col("vec_id"), col("cent_id"), col("embedding")),
+      assigned.select(col("vec_id"), col("cent_id"), col("embedding")),
       bookFrames, dim, passthrough = Seq("cent_id"))
       .withColumn("rec_nrm", PQ.recNorm(col("codes"), books))
       .write.mode(SaveMode.Overwrite)
@@ -108,6 +133,13 @@ object IndexStore {
     cols: Array[String]): Array[Int] =
     if (!cols.contains("perm")) Array.empty
     else normalizePerm(row.getSeq[Int](cols.indexOf("perm")).toArray)
+
+  /** Routing width of the stored coarse quantizer (0 = flat, incl.
+    * pre-routing stores whose meta lacks the column).
+    */
+  private def ktopFromMeta(row: org.apache.spark.sql.Row,
+    cols: Array[String]): Int =
+    if (!cols.contains("ktop")) 0 else row.getInt(cols.indexOf("ktop"))
 
   /** Identity permutations collapse to empty so the no-OPQ path never
     * pays a reorder projection.
@@ -171,7 +203,8 @@ object IndexStore {
     if (fs.exists(base))
       fs.listStatus(base).map(_.getPath).foreach { p =>
         val n = p.getName
-        if (n == "gen" || n == "rot" || n == "nbrs" || n.startsWith("lists_g"))
+        if (n == "gen" || n == "rot" || n == "nbrs" || n == "topcents" ||
+          n.startsWith("lists_g"))
           fs.delete(p, true)
       }
   }
@@ -217,9 +250,18 @@ object IndexStore {
       newVectors.select(col("vec_id"), col("embedding")),
       permFromMeta(metaRow, metaDf.columns), rotation(spark, path))
       .withColumn("nrm", Ann.norm(col("embedding")))
+    // assignment must match how build computed cent_id: routed stores
+    // route the batch through the stored top level
+    val ktop = ktopFromMeta(metaRow, metaDf.columns)
+    val assigned =
+      if (ktop == 0) KMeansVec.assign(e, cents)
+      else KMeansVec.assignRouted(
+        KMeansVec.assign(e, spark.read.parquet(s"$path/topcents"))
+          .withColumnRenamed("cent_id", "top_id"),
+        graft.functions.RoutedNearest.broadcastFrom(cents, ktop,
+          metaRow.getAs[Int]("nlist") / ktop))
     PQ.encode(
-      KMeansVec.assign(e, cents)
-        .select(col("vec_id"), col("cent_id"), col("embedding")),
+      assigned.select(col("vec_id"), col("cent_id"), col("embedding")),
       bookFrames(spark, path), dim, passthrough = Seq("cent_id"))
       .withColumn("rec_nrm", PQ.recNorm(col("codes"), bks))
       .write.mode(SaveMode.Append)
@@ -527,11 +569,12 @@ object IndexStore {
   final class Handle private[IndexStore] (spark: SparkSession,
     path: String, listsLocation: String, val dim: Int,
     centRows: Array[org.apache.spark.sql.Row], val books: PQ.PqBooks,
-    perm: Array[Int], rot: Array[Array[Double]]) {
+    perm: Array[Int], rot: Array[Array[Double]], ktop: Int = 0,
+    nlist: Int = 0, topRows: Array[org.apache.spark.sql.Row] = Array.empty) {
 
-    /** Driver-local centroid frame (no storage read, no job). */
-    private val centsLocal: DataFrame = spark.createDataFrame(
-      java.util.Arrays.asList(centRows: _*),
+    private def localCentFrame(rows: Array[org.apache.spark.sql.Row]):
+        DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("cent_id",
           org.apache.spark.sql.types.LongType, nullable = false),
@@ -541,6 +584,52 @@ object IndexStore {
         org.apache.spark.sql.types.StructField("c_nrm",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
 
+    /** Driver-local centroid frame (no storage read, no job). */
+    private val centsLocal: DataFrame = localCentFrame(centRows)
+
+    /** Routed serving (ktop > 0): top cells as a driver-local frame
+      * for the route argmax, leaves as the grouped Broadcast matrix —
+      * both built once at open, like every other piece of Handle
+      * metadata.
+      */
+    private val topLocal: Option[DataFrame] =
+      if (ktop > 0) Some(localCentFrame(topRows)) else None
+    private val routedBc:
+        Option[org.apache.spark.broadcast.Broadcast[graft.functions.RoutedCents]] =
+      if (ktop > 0) Some(graft.functions.RoutedNearest.broadcastFromRows(
+        spark.sparkContext, centRows, ktop, nlist / ktop))
+      else None
+
+    /** Probe rows for a routed index: route each query to its
+      * `routeWidth` nearest TOP cells (kTop dots), then the
+      * [[graft.functions.RoutedNearest]] argmax picks `nprobe` leaves
+      * among only those cells' leaves — kTop + routeWidth·kSub dots
+      * per query instead of nlist. Same margin gap rule, same probe
+      * row shape as the flat [[Ann.adcProbes]].
+      */
+    private def routedAdcProbes(q: DataFrame, nprobe: Int,
+      margin: Option[Double], routeWidth: Int): DataFrame = {
+      val tc = graft.functions.NearestCentroids.fromFrame(
+        col("embedding"), topLocal.get, routeWidth)
+      val base = q.select(col("vec_id").as("query_id"),
+        PQ.adcLut(col("embedding"), books, dim).as("lut"),
+        col("nrm").as("q_nrm"), col("embedding"), tc.as("__tc"))
+        .withColumn("__nc", graft.functions.RoutedNearest(
+          transform(col("__tc"), s => s("cent_id")), col("embedding"),
+          routedBc.get, nprobe))
+      val kept = margin match {
+        case None => base.select(col("query_id"), col("lut"),
+          col("q_nrm"), explode(col("__nc")).as("p"))
+        case Some(mm) => base.select(col("query_id"), col("lut"),
+          col("q_nrm"),
+          element_at(col("__nc"), 1).getField("c_sim").as("__best"),
+          explode(col("__nc")).as("p"))
+          .filter(col("p.c_sim") >= col("__best") - mm)
+      }
+      kept.select(col("query_id"), col("p.cent_id").as("cent_id"),
+        col("lut"), col("q_nrm"))
+    }
+
     /** `margin` switches to per-query ADAPTIVE probe widths
       * ([[Ann.ivfSearchAdaptive]]'s distance-gap rule): `nprobe`
       * becomes the cap, and each query prunes to the lists within
@@ -549,11 +638,14 @@ object IndexStore {
       * so easy query batches read less storage, not just score less.
       */
     def search(queries: DataFrame, k: Int = Ann.TopK,
-      nprobe: Int = Ann.NProbe, margin: Option[Double] = None): DataFrame = {
+      nprobe: Int = Ann.NProbe, margin: Option[Double] = None,
+      routeWidth: Int = RouteWidth): DataFrame = {
       val q = transformIn(
         queries.select(col("vec_id"), col("embedding")), perm, rot)
         .withColumn("nrm", Ann.norm(col("embedding")))
-      val probes = Ann.adcProbes(q, centsLocal, books, dim, nprobe, margin)
+      val probes =
+        if (ktop > 0) routedAdcProbes(q, nprobe, margin, routeWidth)
+        else Ann.adcProbes(q, centsLocal, books, dim, nprobe, margin)
       val probed = probes.select(col("cent_id")).distinct()
         .collect().map(_.getLong(0)).sorted
       // Int literals on purpose: partition-type inference reads cent_id
@@ -577,8 +669,9 @@ object IndexStore {
       * coverage into exact recall.
       */
     def searchExpanded(queries: DataFrame, k: Int = Ann.TopK,
-      nprobe: Int = Ann.NProbe, margin: Option[Double] = None): DataFrame = {
-      val shortlist = search(queries, k, nprobe, margin).persist()
+      nprobe: Int = Ann.NProbe, margin: Option[Double] = None,
+      routeWidth: Int = RouteWidth): DataFrame = {
+      val shortlist = search(queries, k, nprobe, margin, routeWidth).persist()
       val nbrs = spark.read.parquet(s"$path/nbrs")
       val expansion = broadcast(shortlist.select(
         col("query_id"), col("vec_id").as("src_id")))
@@ -624,9 +717,14 @@ object IndexStore {
     val dim = metaRow.getAs[Int]("dim")
     val centRows = centroids(spark, path)
       .select(col("cent_id"), col("c_emb"), col("c_nrm")).collect()
+    val ktop = ktopFromMeta(metaRow, metaDf.columns)
+    val topRows =
+      if (ktop == 0) Array.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(s"$path/topcents")
+        .select(col("cent_id"), col("c_emb"), col("c_nrm")).collect()
     new Handle(spark, path, listsPath(spark, path), dim, centRows,
       books(spark, path), permFromMeta(metaRow, metaDf.columns),
-      rotation(spark, path))
+      rotation(spark, path), ktop, metaRow.getAs[Int]("nlist"), topRows)
   }
 
   /** Top-k ADC search of a `(vec_id, embedding)` query frame against
