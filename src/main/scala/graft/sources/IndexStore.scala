@@ -542,6 +542,39 @@ object IndexStore {
     nNew
   }
 
+  /** The [[maintain]] pattern applied to the neighbor table: measure
+    * staleness (fraction of list rows with no `src_id` in `nbrs/` —
+    * i.e. appended since the last refresh) and pick the cheapest
+    * sufficient repair. Below `fullAt`, [[refreshNeighborsDelta]]
+    * folds the appends in at O(delta); past it the incremental merge
+    * would churn most of the table through single-round candidates
+    * anyway, so the full descent ([[refreshNeighbors]]) is both better
+    * and simpler. Returns what ran: "noop" | "delta" | "full"
+    * ("full" also covers a missing neighbor table).
+    */
+  def maintainNeighbors(spark: SparkSession, path: String, r: Int = 8,
+    iters: Int = 2, fullAt: Double = 0.25): String = {
+    val nbrsPath = new org.apache.hadoop.fs.Path(s"$path/nbrs")
+    val fs = nbrsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(nbrsPath)) {
+      refreshNeighbors(spark, path, r, iters)
+      return "full"
+    }
+    val ids = spark.read.parquet(listsPath(spark, path)).select("vec_id")
+    val total = ids.count()
+    val fresh = spark.read.parquet(s"$path/nbrs")
+      .select(col("src_id").as("vec_id")).distinct()
+    val stale = ids.join(fresh, Seq("vec_id"), "left_anti").count()
+    if (stale == 0L) "noop"
+    else if (total > 0 && stale.toDouble / total > fullAt) {
+      refreshNeighbors(spark, path, r, iters)
+      "full"
+    } else {
+      refreshNeighborsDelta(spark, path, r)
+      "delta"
+    }
+  }
+
   /** The stored PQ codebooks as driver-resident [[PQ.PqBooks]]. */
   def books(spark: SparkSession, path: String): PQ.PqBooks = {
     val rows = spark.read.parquet(s"$path/codebooks")

@@ -443,6 +443,31 @@ class IndexStoreSpec extends AnyFunSuite {
     cloned.unpersist(); nbrs.unpersist(); newSrc.unpersist()
   }
 
+  test("neighbor staleness policy picks noop/delta/full by append fraction") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_mn_").toString
+    IndexStore.build(vecs, p, Dim, nlist = 8, m = 8, kcode = 16, iters = 3)
+    // no table yet → full build from codes
+    assert(IndexStore.maintainNeighbors(spark, p, r = 4, iters = 1) == "full")
+    // nothing appended → measure, touch nothing
+    assert(IndexStore.maintainNeighbors(spark, p, r = 4, iters = 1) == "noop")
+    // small append (20 / ~620 < 25%) → scoped delta merge
+    IndexStore.append(vecs.orderBy(col("vec_id")).limit(20)
+      .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding")), p)
+    assert(IndexStore.maintainNeighbors(spark, p, r = 4, iters = 1) == "delta")
+    // bulk append (past the threshold) → full descent is cheaper than
+    // churning most of the table through the delta path
+    IndexStore.append(vecs
+      .select((col("vec_id") + 30000000L).as("vec_id"), col("embedding")), p)
+    assert(IndexStore.maintainNeighbors(spark, p, r = 4, iters = 1) == "full")
+    // every row has neighbors afterwards, old and appended alike
+    val lists = spark.read.parquet(IndexStore.listsPath(spark, p))
+      .select("vec_id")
+    val uncovered = lists.join(spark.read.parquet(s"$p/nbrs")
+      .select(col("src_id").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti").count()
+    assert(uncovered == 0, s"$uncovered rows left without neighbor lists")
+  }
+
   /** Mean kept SDC cosine over the stored neighbor table — the
     * descent's objective, computed from codes alone. */
   private def meanKeptSim(p: String,
