@@ -110,6 +110,33 @@ object ScaleRehearsal {
       sources.IndexStore.search(spark,
         vecs.filter(col("vec_id") % 400 === 0), idxDir, 10, 2).count()
     }
+    // neighbor-table maintenance from stored codes alone: one full
+    // descent pass over the doubled corpus, then a 1%-sized append
+    // folded in by the delta path — delta must cost a fraction of full
+    t("nbrs_full") {
+      sources.IndexStore.refreshNeighbors(spark, idxDir, r = 4, iters = 1)
+      spark.read.parquet(s"$idxDir/nbrs").count()
+    }
+    t("nbrs_delta") {
+      sources.IndexStore.append(
+        vecs.filter(col("vec_id") % 100 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(910000000L)), idxDir)
+      sources.IndexStore.refreshNeighborsDelta(spark, idxDir, r = 4)
+    }
+    // two-level routed coarse quantization under the same stress:
+    // grouped sub-training + broadcast-matrix assignment must track
+    // the flat build's cost, and routed serving stays pruned
+    val routedDir = java.nio.file.Files
+      .createTempDirectory("rehearsal_routed_").toString
+    t("routed_build") {
+      sources.IndexStore.build(vecs, routedDir, 64, nlist = 16,
+        routeTop = 4)
+      spark.read.parquet(s"$routedDir/lists").count()
+    }
+    t("routed_search") {
+      sources.IndexStore.open(spark, routedDir).search(
+        vecs.filter(col("vec_id") % 400 === 0), 10, 2).count()
+    }
 
     val qs = stages.reverse.map { case (k, v, n) =>
       s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")

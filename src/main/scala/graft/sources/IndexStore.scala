@@ -386,27 +386,30 @@ object IndexStore {
 
   /** Rebuild the neighbor table from STORED CODES ALONE — no original
     * vectors: NN-descent (Dong et al., WWW'11) over SDC similarity
-    * ([[PQ.sdcTables]]/[[graft.functions.SdcDot]]). Init is the
-    * intra-list code self-join (same-list rows are the coarse
-    * quantizer's own "probably close" candidates); each iteration
-    * promotes neighbors-of-neighbors (both directions) as candidates
-    * and keeps the top `r` by SDC cosine — the classic descent step,
-    * expressed as id-keyed joins + the partial top-k aggregator, never
-    * traversal. Candidate volume per round is ≤ (2r)² per vector and
-    * every join is id- or list-keyed, so the job scales like the other
-    * offline maintenance passes ([[compact]], [[buildNeighbors]]).
+    * ([[PQ.sdcTables]]/[[graft.functions.SdcDot]]). Init pairs each
+    * row with ~[[SampleBucketRows]] same-list rows via a deterministic
+    * hash bucket (same-list rows are the coarse quantizer's own
+    * "probably close" candidates — but the FULL intra-list self-join
+    * would be O(Σ list²), a scale-killer at millions per list; the
+    * classic algorithm inits from random neighbors for exactly this
+    * reason, and the bucket sample is that init made reproducible).
+    * Each iteration promotes neighbors-of-neighbors (both directions)
+    * and keeps the top `r` by SDC cosine — the descent step, expressed
+    * as id-keyed joins + the partial top-k aggregator, never
+    * traversal. Candidate volume is O(n) at init and ≤ (2r)² per
+    * vector per round after, so the job scales like the other offline
+    * maintenance passes ([[compact]]).
     *
     * This is the maintenance path after appends: [[buildNeighbors]]
     * needs the corpus embeddings, which the store deliberately does
     * not keep; refresh needs only what is already on disk.
     *
-    * Intra-list init alone would leave the descent CLOSED inside each
-    * list (neighbors-of-neighbors of same-list rows are same-list
-    * rows), so each round also injects the original algorithm's random
-    * candidates — here a DETERMINISTIC hash-bucket sample (rows
-    * sharing `hash(vec_id, round) % B` pair up, ~[[SampleBucketRows]]
-    * candidates per vector per round), which is what lets descent
-    * escape into other lists reproducibly.
+    * List-local candidates alone would leave the descent CLOSED
+    * inside each list (neighbors-of-neighbors of same-list rows are
+    * same-list rows), so each round also injects a GLOBAL hash-bucket
+    * sample (rows sharing `hash(vec_id, round) % B` pair up across
+    * lists), which is what lets descent escape into other lists
+    * reproducibly.
     */
   val SampleBucketRows = 8
 
@@ -429,11 +432,20 @@ object IndexStore {
             graft.functions.TextSim.r6(
               graft.functions.SdcDot(col("a_codes"), col("b_codes"), sdc) /
                 (col("a_nrm") * col("b_nrm"))).as("cos_sim")), r)
-    val intraList = lists.select(col("cent_id"), col("vec_id").as("query_id"))
-      .join(lists.select(col("cent_id"), col("vec_id")), "cent_id")
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"))
-    val nBuckets = math.max(1L, lists.count() / SampleBucketRows)
+    val n = lists.count()
+    val nBuckets = math.max(1L, n / SampleBucketRows)
+    val nLists = lists.select("cent_id").distinct().count()
+    // ~SampleBucketRows-sized buckets WITHIN each list: O(n) init
+    // candidates (never the O(Σ list²) intra-list self-join)
+    val nListBuckets = math.max(1L, n / math.max(1L, nLists) / SampleBucketRows)
+    val intraSampled = {
+      val b = lists.select(col("cent_id"), col("vec_id"),
+        pmod(hash(col("vec_id"), lit(-1)), lit(nListBuckets)).as("bkt"))
+      b.as("x").join(b.as("y"),
+        col("x.cent_id") === col("y.cent_id") && col("x.bkt") === col("y.bkt"))
+        .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+    }
     def sampled(round: Int): DataFrame = {
       val b = lists.select(col("vec_id"),
         pmod(hash(col("vec_id"), lit(round)), lit(nBuckets)).as("bkt"))
@@ -441,7 +453,8 @@ object IndexStore {
         .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_id"))
         .filter(col("query_id") =!= col("vec_id"))
     }
-    var nbrs = topR(intraList).localCheckpoint()
+    var nbrs = topR(intraSampled.unionByName(sampled(-2)).distinct())
+      .localCheckpoint()
     var it = 0
     while (it < iters) {
       val edges = nbrs.select(col("query_id").as("src_id"),
@@ -639,17 +652,31 @@ object IndexStore {
       * among only those cells' leaves — kTop + routeWidth·kSub dots
       * per query instead of nlist. Same margin gap rule, same probe
       * row shape as the flat [[Ann.adcProbes]].
+      *
+      * `routeMargin` is the adaptive-nprobe distance-gap rule applied
+      * ONE LEVEL UP: `routeWidth` becomes the cap and each query drops
+      * top cells trailing its best by more than the margin — an
+      * unambiguous query routes to one cell and pays kSub leaf dots,
+      * a boundary query keeps its full fan-out. A per-row HOF filter
+      * over the ≤routeWidth ranked cells: no extra pass, no join.
       */
     private def routedAdcProbes(q: DataFrame, nprobe: Int,
-      margin: Option[Double], routeWidth: Int): DataFrame = {
+      margin: Option[Double], routeWidth: Int,
+      routeMargin: Option[Double]): DataFrame = {
       val tc = graft.functions.NearestCentroids.fromFrame(
         col("embedding"), topLocal.get, routeWidth)
+      val groups = routeMargin match {
+        case None => transform(col("__tc"), s => s("cent_id"))
+        case Some(rm) => transform(
+          filter(col("__tc"), s => s("c_sim") >=
+            element_at(col("__tc"), 1).getField("c_sim") - lit(rm)),
+          s => s("cent_id"))
+      }
       val base = q.select(col("vec_id").as("query_id"),
         PQ.adcLut(col("embedding"), books, dim).as("lut"),
         col("nrm").as("q_nrm"), col("embedding"), tc.as("__tc"))
         .withColumn("__nc", graft.functions.RoutedNearest(
-          transform(col("__tc"), s => s("cent_id")), col("embedding"),
-          routedBc.get, nprobe))
+          groups, col("embedding"), routedBc.get, nprobe))
       val kept = margin match {
         case None => base.select(col("query_id"), col("lut"),
           col("q_nrm"), explode(col("__nc")).as("p"))
@@ -672,12 +699,14 @@ object IndexStore {
       */
     def search(queries: DataFrame, k: Int = Ann.TopK,
       nprobe: Int = Ann.NProbe, margin: Option[Double] = None,
-      routeWidth: Int = RouteWidth): DataFrame = {
+      routeWidth: Int = RouteWidth,
+      routeMargin: Option[Double] = None): DataFrame = {
       val q = transformIn(
         queries.select(col("vec_id"), col("embedding")), perm, rot)
         .withColumn("nrm", Ann.norm(col("embedding")))
       val probes =
-        if (ktop > 0) routedAdcProbes(q, nprobe, margin, routeWidth)
+        if (ktop > 0) routedAdcProbes(q, nprobe, margin, routeWidth,
+          routeMargin)
         else Ann.adcProbes(q, centsLocal, books, dim, nprobe, margin)
       val probed = probes.select(col("cent_id")).distinct()
         .collect().map(_.getLong(0)).sorted

@@ -75,6 +75,33 @@ class RoutedIndexSpec extends AnyFunSuite {
     assert(full > 0.25, s"full-probe routed recall $full")
   }
 
+  test("adaptive route fan-out: loose margin equals the fixed cap, tight margin equals single-cell routing") {
+    val h = IndexStore.open(spark, path)
+    // cosines live in [-1, 1], so a margin of 4 can never drop a cell:
+    // the adaptive path must reproduce the fixed fan-out exactly
+    val fixed = h.search(queries, k = 10, nprobe = 4, routeWidth = 2)
+    val loose = h.search(queries, k = 10, nprobe = 4, routeWidth = 2,
+      routeMargin = Some(4.0))
+    assert(loose.as[(Long, Long, Long, Double)].collect().toSeq ==
+      fixed.as[(Long, Long, Long, Double)].collect().toSeq)
+    // margin 0 keeps only cells tied with each query's best — absent
+    // exact r6-rounded top-cell ties (none in this corpus), the kept
+    // group set IS routeWidth = 1, so results must match it exactly.
+    // (Note what margin does NOT shrink: each query still probes up to
+    // nprobe leaves, just all from its kept cells — so the UNION of
+    // probed lists across a batch can differ from the wide fan-out in
+    // either direction; the saving is per-query route compute, kSub
+    // leaf dots instead of routeWidth·kSub.)
+    val tight = h.search(queries, k = 10, nprobe = 4, routeWidth = 2,
+      routeMargin = Some(0.0))
+    val one = h.search(queries, k = 10, nprobe = 4, routeWidth = 1)
+    assert(tight.as[(Long, Long, Long, Double)].collect().toSeq ==
+      one.as[(Long, Long, Long, Double)].collect().toSeq)
+    val plan = tight.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(plan).isDefined,
+      s"adaptive route fan-out must stay partition-pruned:\n$plan")
+  }
+
   test("append routes through the stored top level") {
     // clones of existing vectors route deterministically to their
     // source's leaf — the stored two-level quantizer, not a flat
