@@ -468,6 +468,45 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(uncovered == 0, s"$uncovered rows left without neighbor lists")
   }
 
+  test("lifecycle soak: build, appends, compact, neighbor maintain, expanded serve, rerank") {
+    // the whole index lifecycle composed end to end, the way a weekly
+    // ingest would drive it — each piece is asserted in isolation
+    // above; this asserts the COMPOSITION stays consistent
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_soak_").toString
+    IndexStore.build(vecs, p, Dim, nlist = 8, m = 8, kcode = 16, iters = 3)
+    val batches = (1 to 3).map { i =>
+      vecs.orderBy(col("vec_id")).limit(40)
+        .select((col("vec_id") + i * 40000000L).as("vec_id"),
+          col("embedding"))
+    }
+    batches.take(2).foreach(IndexStore.append(_, p))
+    // append debris → compaction policy fires, serving must not notice
+    assert(IndexStore.maintain(spark, p, maxFilesPerList = 1).isDefined)
+    // neighbor table: first call builds from the compacted codes, the
+    // third batch folds in via the delta path
+    assert(IndexStore.maintainNeighbors(spark, p, r = 4, iters = 1) == "full")
+    IndexStore.append(batches(2), p)
+    assert(IndexStore.maintainNeighbors(spark, p, r = 4, iters = 1) == "delta")
+    val union = (vecs +: batches).reduce(_ unionByName _)
+    val h = IndexStore.open(spark, p)
+    // the documented serving composition: WIDE compressed shortlist,
+    // exact rerank down to the page size
+    val expanded = h.searchExpanded(queries, k = 40, nprobe = 4)
+    val reranked = Ann.rerank(spark, union, queries,
+      expanded.select(col("query_id"), col("vec_id")), k = 10)
+    val truth = Ann.topKNeighbors(spark, union, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = reranked.select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall > 0.25, s"end-state recall $recall vs brute force")
+    // every query served a full page, and the index holds every row
+    val nQ = queries.count()
+    assert(reranked.groupBy("query_id").count().count() == nQ)
+    val rows = spark.read.parquet(IndexStore.listsPath(spark, p)).count()
+    assert(rows == vecs.count() + 120, s"index row count $rows")
+  }
+
   /** Mean kept SDC cosine over the stored neighbor table — the
     * descent's objective, computed from codes alone. */
   private def meanKeptSim(p: String,
