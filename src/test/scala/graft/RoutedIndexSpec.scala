@@ -102,6 +102,40 @@ class RoutedIndexSpec extends AnyFunSuite {
       s"adaptive route fan-out must stay partition-pruned:\n$plan")
   }
 
+  test("streaming ingest into a routed store equals batch append") {
+    // the whole streaming face inherits routing through append: each
+    // micro-batch encodes through the stored two-level quantizer
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val oldV = vecs.filter(col("vec_id") % 5 =!= 0)
+    val newV = vecs.filter(col("vec_id") % 5 === 0)
+    val pStream = java.nio.file.Files.createTempDirectory("graft_routed_s_").toString
+    val pBatch = java.nio.file.Files.createTempDirectory("graft_routed_b_").toString
+    IndexStore.build(oldV, pStream, Dim, nlist = NList, m = 8, kcode = 16,
+      iters = 3, routeTop = KTop)
+    IndexStore.build(oldV, pBatch, Dim, nlist = NList, m = 8, kcode = 16,
+      iters = 3, routeTop = KTop)
+    IndexStore.append(newV, pBatch)
+    val rows = newV.as[(Long, Array[Float])].collect()
+    val (m1, m2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingIndexIngest.ingest(
+      mem.toDF().toDF("vec_id", "embedding"), pStream)
+    try {
+      mem.addData(m1.toSeq)
+      q.processAllAvailable()
+      mem.addData(m2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = IndexStore.search(spark, queries, pStream, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = IndexStore.search(spark, queries, pBatch, k = 10, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want,
+      "a streamed routed store must search identically to batch append")
+  }
+
   test("append routes through the stored top level") {
     // clones of existing vectors route deterministically to their
     // source's leaf — the stored two-level quantizer, not a flat
