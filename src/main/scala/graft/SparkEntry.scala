@@ -45,6 +45,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.simhash _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
     "q_dedup_keep" -> (Dedup.keep _),
+    "q_substr_dedup" -> (Substr.substrDedup _),
     "q_dedup_embed" -> (Ann.embedDedup _),
     "q_dedup_embed_mp" -> (Ann.embedDedupMp _),
     "q_ann_adaptive" -> (Ann.ivfAdaptive _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "q_dedup_simhash" -> Dedup.simhashSql,
     "q_dedup_ngram" -> Dedup.ngramJaccardSql,
     "q_dedup_keep" -> Dedup.keepSql,
+    "q_substr_dedup" -> Substr.substrDedupSql,
     "q_dedup_embed" -> Ann.embedDedupSql,
     "q_dedup_embed_mp" -> Ann.embedDedupMpSql,
     "q_ann_adaptive" -> Ann.ivfAdaptiveSql,
