@@ -44,7 +44,16 @@ object Bench {
     // NonFatal only: swallowing OutOfMemoryError/InterruptedException
     // here would leave a corrupt JVM to poison the timed runs below
     // with no visible cause
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run — a local profiling
+    // knob (isolate one query without paying the full sweep); the
+    // driver never sets it, so official runs always time everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    picked.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
       catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -60,7 +69,7 @@ object Bench {
     // A single-shot timer lets one such blip write a false regression
     // into whichever queries it lands on; the min of two runs taken
     // seconds apart does not, and stays an honest full execution.
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = picked.toSeq.map { case (name, fn) =>
       def timeOnce(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =

@@ -55,17 +55,17 @@ object Substr {
   val GramLen = 40
 
   /** Per-position k-gram hashes: `(doc_id, pos, g)`, one row per
-    * character position with a full gram to its right. `modP > 1`
-    * applies 0-mod-p content sampling (see object doc).
+    * position with a full gram to its right. The hash array is the
+    * one-pass native [[graft.functions.GramHash]] sliding-window
+    * expression — the composable `xxhash64(substring(text, pos+1, k))`
+    * form is quadratic in doc length (each substring call re-scans
+    * for the char boundary and allocates a 40-byte copy per gram).
+    * `modP > 1` applies 0-mod-p content sampling (see object doc).
     */
   def gramHashes(docs: DataFrame, k: Int = GramLen, modP: Int = 1): DataFrame = {
     val g = docs
-      .filter(length(col("text")) >= k)
       .select(col("doc_id"),
-        explode(sequence(lit(0), length(col("text")) - k)).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(col("text").substr(col("pos") + 1, lit(k))).as("g"))
+        posexplode(graft.functions.GramHash(col("text"), k)).as(Seq("pos", "g")))
     if (modP <= 1) g else g.filter(pmod(col("g"), lit(modP.toLong)) === 0)
   }
 
