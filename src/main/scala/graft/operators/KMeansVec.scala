@@ -94,14 +94,110 @@ object KMeansVec {
     // init: the kSub lowest vec_ids OF EACH CELL (fit's init rule,
     // applied per group)
     val wInit = Window.partitionBy(col("top_id")).orderBy(col("vec_id"))
-    var leaves = Iterate.materialize(
+    val init = Iterate.materialize(
       routed.withColumn("rn", row_number().over(wInit).cast("long"))
         .filter(col("rn") <= kSub)
         .select(((col("top_id") - 1) * kSub + col("rn")).as("cent_id"),
           col("embedding").as("c_emb"), col("nrm").as("c_nrm")),
       checkpointDir)
+    val leaves = lloydLeaves(routed, init, kTop, kSub, iters, checkpointDir)
+    routed.unpersist(); e.unpersist()
+    (top, leaves)
+  }
+
+  /** BALANCE-AWARE two-level quantizer: [[fitRouted]] with the leaf
+    * budget allocated to top cells IN PROPORTION TO THEIR MASS instead
+    * of uniformly. Uniform kSub assumes top cells are near-equal; a
+    * skewed corpus (one dominant domain/language/near-dup family)
+    * concentrates most rows in a few hot cells, whose lists then grow
+    * toward mass/kSub while cold cells waste leaves on a handful of
+    * rows. Allocating `k_c ≈ leafBudget·mass_c/n` (clamped to
+    * [1, kSubMax] and to the cell's row count) pins every cell's
+    * EXPECTED list size near n/leafBudget regardless of skew — the
+    * per-cell count is a data statistic, so allocation is one kTop-row
+    * aggregate collected driver-side (the same k-sized collect the
+    * centroid broadcast already does).
+    *
+    * Leaf ids stay on the `(top_id−1)·kSubMax + rank` grid, so the
+    * top cell of any leaf remains arithmetic and every downstream
+    * consumer ([[graft.functions.RoutedNearest]] grouping, IndexStore
+    * list layout, append/search routing) works unchanged with
+    * `kSub = kSubMax`; cells simply own ≤ kSubMax live leaves. Returns
+    * (topCents, leafCents).
+    */
+  def fitRoutedBalanced(vectors: DataFrame, kTop: Int, kSubMax: Int,
+    leafBudget: Int, iters: Int,
+    checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val e = withNorm(vectors.select(col("vec_id"), col("embedding")))
+      .persist()
+    val top = fit(vectors, kTop, iters, checkpointDir)
+    val routed = assign(e, top)
+      .select(col("cent_id").as("top_id"), col("vec_id"),
+        col("embedding"), col("nrm"))
+      .persist()
+    val cnts = routed.groupBy(col("top_id")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val alloc = allocateLeaves(cnts, kSubMax, leafBudget)
+    val allocDf = broadcast(alloc.toSeq.toDF("top_id", "k_c"))
+    val wInit = Window.partitionBy(col("top_id")).orderBy(col("vec_id"))
+    val init = Iterate.materialize(
+      routed.join(allocDf, "top_id")
+        .withColumn("rn", row_number().over(wInit).cast("long"))
+        .filter(col("rn") <= col("k_c"))
+        .select(((col("top_id") - 1) * kSubMax + col("rn")).as("cent_id"),
+          col("embedding").as("c_emb"), col("nrm").as("c_nrm")),
+      checkpointDir)
+    val leaves = lloydLeaves(routed, init, kTop, kSubMax, iters, checkpointDir)
+    routed.unpersist(); e.unpersist()
+    (top, leaves)
+  }
+
+  /** Capped highest-averages leaf allocation: every live cell starts
+    * at one leaf, then each remaining unit of budget goes to the cell
+    * with the highest mass-per-leaf-so-far among cells still under
+    * their cap (min(kSubMax, cell rows)) — the greedy that directly
+    * minimizes the worst expected list size, and unlike one-shot
+    * proportional rounding it RE-SPENDS budget a capped hot cell
+    * can't absorb instead of stranding it. Driver-side over ≤ kTop
+    * cells (the same k-sized statistic the centroid broadcast ships).
+    */
+  private[graft] def allocateLeaves(cellMass: Array[(Long, Long)],
+    kSubMax: Int, leafBudget: Int): Array[(Long, Long)] = {
+    val cap = cellMass.map { case (id, c) =>
+      id -> math.max(1L, math.min(kSubMax.toLong, c))
+    }.toMap
+    val alloc = scala.collection.mutable.Map(cellMass.map(_._1 -> 1L): _*)
+    val mass = cellMass.toMap
+    var left = leafBudget - cellMass.length
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.by(x => (x._1, -x._2))) // mass/leaf desc, low id tie-break
+    cellMass.foreach { case (id, c) =>
+      if (alloc(id) < cap(id)) pq.enqueue((c / 2.0, id))
+    }
+    while (left > 0 && pq.nonEmpty) {
+      val (_, id) = pq.dequeue()
+      alloc(id) += 1
+      left -= 1
+      if (alloc(id) < cap(id))
+        pq.enqueue((mass(id).toDouble / (alloc(id) + 1), id))
+    }
+    alloc.toArray.sortBy(_._1)
+  }
+
+  /** The grouped Lloyd pass shared by [[fitRouted]] and
+    * [[fitRoutedBalanced]]: every cell's leaves recenter
+    * simultaneously — assignment is the broadcast-backed routed argmax
+    * (each row considers only its own top cell's leaves on the `grid`
+    * layout), recentering is one leaf-id groupBy — so the whole
+    * sub-level trains in `iters` jobs, not kTop·iters.
+    */
+  private def lloydLeaves(routed: DataFrame, init: DataFrame, kTop: Int,
+    grid: Int, iters: Int, checkpointDir: Option[String]): DataFrame = {
+    var leaves = init
     for (_ <- 1 to iters) {
-      val bc = graft.functions.RoutedNearest.broadcastFrom(leaves, kTop, kSub)
+      val bc = graft.functions.RoutedNearest.broadcastFrom(leaves, kTop, grid)
       val centered = assignRouted(routed, bc)
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cent_id"), col("dim"))
@@ -116,8 +212,7 @@ object KMeansVec {
         checkpointDir)
       bc.unpersist(blocking = false)
     }
-    routed.unpersist(); e.unpersist()
-    (top, leaves)
+    leaves
   }
 
   /** Nearest-leaf assignment of rows already routed to a `top_id`:

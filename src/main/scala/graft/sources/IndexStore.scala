@@ -43,9 +43,11 @@ object IndexStore {
   def build(vectors: DataFrame, path: String, dim: Int,
     nlist: Int = 16, m: Int = 8, kcode: Int = 16, iters: Int = 3,
     opq: Boolean = false, fullOpq: Boolean = false,
-    routeTop: Int = 0): Unit = {
+    routeTop: Int = 0, routeBudget: Int = 0): Unit = {
     require(routeTop == 0 || (routeTop > 1 && nlist % routeTop == 0),
       s"routeTop must divide nlist: $routeTop / $nlist")
+    require(routeBudget == 0 || (routeTop > 0 && routeBudget <= nlist),
+      s"routeBudget needs a routed build and fits the nlist grid: $routeBudget / $nlist")
     val spark = vectors.sparkSession
     val v0 = vectors.select(col("vec_id"), col("embedding"))
     // OPQ is an index-build property: the learned reorder (`opq` — the
@@ -81,8 +83,17 @@ object IndexStore {
     // centroid table, list layout, and everything downstream are
     // identical to a flat build; routing only changes how cent_id is
     // COMPUTED, so append/search route through the same stored cells.
+    // routeBudget > 0 = BALANCE-AWARE routing: the leaf budget spreads
+    // over top cells in proportion to their mass instead of uniformly,
+    // so a skewed corpus can't grow hot-cell lists toward mass/kSub.
+    // Leaf ids stay on the nlist grid (meta unchanged); cells just own
+    // <= kSub live leaves, which every reader already tolerates.
     val (cents, topOpt) =
-      if (routeTop > 0) {
+      if (routeTop > 0 && routeBudget > 0) {
+        val (t, l) = KMeansVec.fitRoutedBalanced(v, routeTop,
+          nlist / routeTop, routeBudget, iters)
+        (l, Some(t))
+      } else if (routeTop > 0) {
         val (t, l) = KMeansVec.fitRouted(v, routeTop, nlist / routeTop, iters)
         (l, Some(t))
       } else (KMeansVec.fit(v, nlist, iters), None)
