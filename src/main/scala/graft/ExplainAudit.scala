@@ -115,6 +115,13 @@ object ExplainAudit {
     flag("sketch calibration is one partial-agg groupBy over the scan",
       skPlan.contains("partial_count") && !skPlan.contains("Join"))
 
+    val substrPlan = operators.Substr.substrDedup(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("substr dup-set: one-pass gram hashes, partial-agg count, text never a shuffle key",
+      substrPlan.contains("gramhashes") && substrPlan.contains("partial_count") &&
+        !substrPlan.linesIterator.exists(l =>
+          l.contains("Exchange") && l.contains("text#")))
+
     val routedDir = java.nio.file.Files.createTempDirectory("audit_routed_")
       .toString
     graft.sources.IndexStore.build(vecs, routedDir, 64, nlist = 8,

@@ -57,6 +57,16 @@ object ScaleRehearsal {
     t("simhash_pairs") {
       operators.Dedup.simhashPairs(docs).count()
     }
+    // substring dedup under maximal duplication (every doc has mult
+    // clones, so EVERY gram is corpus-duplicated — the worst case for
+    // the dup-set aggregate and the island windows); the sampled drop
+    // pass shows the modP volume knob on the same corpus
+    t("substr_spans") {
+      operators.Substr.substrStats(docs).count()
+    }
+    t("substr_drop_mod8") {
+      operators.Substr.dropDupSpans(docs, modP = 8).count()
+    }
     t("embed_neardups") {
       operators.Ann.nearDups(vecs, 0.95).count()
     }

@@ -86,24 +86,93 @@ object Substr {
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
       .select(col("g"))
     val hits = grams.join(dup, "g").select(col("doc_id"), col("pos"))
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val prevEnd = byDoc.rowsBetween(Window.unboundedPreceding, -1)
-    val runSum = byDoc.rowsBetween(Window.unboundedPreceding, 0)
-    val islands = hits
-      // new island iff this gram starts past every previous gram's end
-      .withColumn("is_new",
-        when(col("pos") > coalesce(max(col("pos") + k).over(prevEnd), lit(-1)), 1L)
-          .otherwise(0L))
-      .withColumn("island", sum(col("is_new")).over(runSum))
-    val spans = islands.groupBy(col("doc_id"), col("island"))
-      .agg((max(col("pos")) + k - min(col("pos"))).cast("long").as("span_chars"))
-    val perDoc = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"), sum(col("span_chars")).as("dup_chars"))
+    val perDoc = mergedSpans(hits, k).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("end") - col("start")).as("dup_chars"))
     perDoc
       .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
       .select(col("doc_id"), col("n_spans"), col("dup_chars"),
         TextSim.r6(col("dup_chars").cast("double") / col("len")).as("dup_frac"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Maximal merged spans from flagged gram positions: `(doc_id,
+    * start, end)` with end exclusive, spans disjoint with ≥ 1
+    * unflagged char between them. Running-max island detection — one
+    * shuffle on doc_id, O(1) window state, per-group width bounded by
+    * document length.
+    */
+  private def mergedSpans(hits: DataFrame, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val runSum = byDoc.rowsBetween(Window.unboundedPreceding, 0)
+    hits
+      // new island iff this gram starts past every previous gram's end
+      .withColumn("is_new",
+        when(col("pos") > coalesce(max(col("pos") + k).over(prevEnd), lit(-1)), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(runSum))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("start"),
+        (max(col("pos")) + k).cast("long").as("end"))
+      .select(col("doc_id"), col("start"), col("end"))
+  }
+
+  /** The Lee et al. TRANSFORMATION the span report feeds: delete every
+    * duplicated run from the corpus, keeping its FIRST occurrence
+    * (minimum `(doc_id, pos)` over the occurrences of each duplicated
+    * gram). Returns every document as `(doc_id, text, removed_chars)`
+    * with the removal spans spliced out — a full clone of an earlier
+    * doc comes back empty, the earliest copy comes back intact, and
+    * non-duplicated docs pass through unchanged.
+    *
+    * Shape on top of [[substrStats]]'s: the keeper is a min_by inside
+    * the same dup-gram aggregate (no extra shuffle); splicing
+    * collects each doc's spans into one row (bounded by doc length /
+    * k — a DOC-bounded list, unlike a corpus-bounded one) and rebuilds
+    * the text with a single `aggregate` HOF pass — per-row, no UDF.
+    *
+    * Seam caveat: deleting a span abuts the text on either side of
+    * it, which can form NEW k-grams across the seam; one pass removes
+    * all pre-existing duplication but is not idempotent in the
+    * pathological case (asserted directionally in SubstrSpec —
+    * corpus-wide dup_chars strictly shrinks).
+    */
+  def dropDupSpans(docs: DataFrame, k: Int = GramLen, modP: Int = 1): DataFrame = {
+    val grams = gramHashes(docs, k, modP)
+    val keepers = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("n") >= 2)
+      .select(col("g"), col("keep.doc_id").as("keep_doc"),
+        col("keep.pos").as("keep_pos"))
+    val removeHits = grams.join(keepers, "g")
+      .filter(!(col("doc_id") === col("keep_doc") && col("pos") === col("keep_pos")))
+      .select(col("doc_id"), col("pos"))
+    val spans = mergedSpans(removeHits, k)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("start"), col("end")))).as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(
+          // splice: carry (text-so-far, cursor); each span appends the
+          // clean stretch before it and jumps the cursor past it
+          concat(
+            aggregate(col("spans"),
+              struct(lit("").as("acc"), lit(0L).as("cur")),
+              (a, s) => struct(
+                concat(a.getField("acc"),
+                  col("text").substr((a.getField("cur") + 1).cast("int"),
+                    (s.getField("start") - a.getField("cur")).cast("int")))
+                  .as("acc"),
+                s.getField("end").as("cur")),
+              a => a.getField("acc")),
+            col("text").substr(
+              (element_at(col("spans"), -1).getField("end") + 1).cast("int"),
+              length(col("text"))))).as("text"),
+        coalesce(aggregate(col("spans"), lit(0L),
+          (a, s) => a + s.getField("end") - s.getField("start")), lit(0L))
+          .as("removed_chars"))
   }
 
   /** q_substr_dedup — [[substrStats]] on the duplicate-injected corpus

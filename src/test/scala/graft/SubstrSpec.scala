@@ -92,6 +92,57 @@ class SubstrSpec extends AnyFunSuite {
     }
   }
 
+  test("dropDupSpans deletes later copies, keeps first occurrences (k=4)") {
+    val docs = Seq(
+      (1L, "xq1 SHARED-RUN zq2w"),
+      (2L, "pe9 SHARED-RUN kr7m"),
+      (3L, "totally unique prose"),
+      (4L, "abcdabcd 0text0")).toDF("doc_id", "text")
+    val out = Substr.dropDupSpans(docs, k = 4)
+      .select("doc_id", "text", "removed_chars")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, t, r) => id -> ((t, r)) }.toMap
+    // doc 1 holds every keeper of the shared run -> intact; doc 2
+    // loses the 12-char run; doc 4 keeps the first "abcd" only
+    assert(out(1L) == (("xq1 SHARED-RUN zq2w", 0L)))
+    assert(out(2L) == (("pe9kr7m", 12L)))
+    assert(out(3L) == (("totally unique prose", 0L)))
+    assert(out(4L) == (("abcd 0text0", 4L)))
+  }
+
+  test("dropDupSpans on real docs_aug: clones vanish, chars conserve, dup mass shrinks") {
+    val aug = graft.Tables.docsAug(spark, sf)
+    val orig = aug.as[(Long, String)].collect().toMap
+    val cleaned = Substr.dropDupSpans(aug)
+    val got = cleaned.select("doc_id", "text", "removed_chars")
+      .as[(Long, String, Long)].collect()
+    assert(got.length == orig.size) // every doc comes back
+    // conservation: cleaned length + removed == original length
+    got.foreach { case (id, t, r) =>
+      assert(t.length + r == orig(id).length, s"doc $id leaks chars")
+    }
+    // an injected full clone's keeper copy is the base doc -> the
+    // clone deletes to empty
+    val clones = got.filter { case (id, _, _) =>
+      id >= 1000000L && id < 2000000L && orig(id).length >= Substr.GramLen
+    }
+    assert(clones.nonEmpty)
+    clones.foreach { case (id, t, r) =>
+      assert(t.isEmpty && r == orig(id).length, s"clone $id not removed: '$t'")
+    }
+    // one pass strictly shrinks corpus-wide duplication (not to zero:
+    // splicing can mint new seam grams)
+    val before = Substr.substrStats(aug)
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("dup_chars"),
+        org.apache.spark.sql.functions.lit(0L))).as[Long].head()
+    val after = Substr.substrStats(cleaned.select("doc_id", "text"))
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("dup_chars"),
+        org.apache.spark.sql.functions.lit(0L))).as[Long].head()
+    assert(after < before, s"dup mass $before -> $after")
+  }
+
   // AQE wraps the plan: descend through AdaptiveSparkPlanExec /
   // materialized query stages to reach the actual exchanges
   private def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
