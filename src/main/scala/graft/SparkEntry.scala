@@ -52,6 +52,10 @@ object SparkEntry {
     "q_ann_brute" -> (Ann.bruteForce _),
     "q_ann_ivf" -> (Ann.ivf _),
     "q_ann_rerank" -> (Ann.annRerank _),
+    "q_ivf_stats" -> (Ann.ivfStats _),
+    "q_bm25" -> (Relevance.bm25 _),
+    "q_fertility" -> (TextAnalysis.fertility _),
+    "q_url_canon" -> (Urls.urlCanon _),
     "q_quantiles" -> (Analytics.quantiles _),
     "q_histogram" -> (Corpus.histogram _),
     "q_split" -> (Corpus.split _),
@@ -113,6 +117,10 @@ object SparkEntry {
     "q_ann_brute" -> Ann.bruteForceSql,
     "q_ann_ivf" -> Ann.ivfSql,
     "q_ann_rerank" -> Ann.annRerankSql,
+    "q_ivf_stats" -> Ann.ivfStatsSql,
+    "q_bm25" -> Relevance.bm25Sql,
+    "q_fertility" -> TextAnalysis.fertilitySql,
+    "q_url_canon" -> Urls.urlCanonSql,
     "q_quantiles" -> Analytics.quantilesSql,
     "q_histogram" -> Corpus.histogramSql,
     "q_split" -> Corpus.splitSql,

@@ -255,6 +255,60 @@ object Ann {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q_ivf_stats — index observability: per-list occupancy of the IVF
+    * assignment (the q_ann_ivf centroids), each list's corpus share and
+    * load factor (occupancy ÷ perfectly-balanced occupancy). This is
+    * the report that decides nlist/routing health — a load factor ≫ 1
+    * is the skewed hot list that motivates balance-aware routing
+    * ([[KMeansVec.fitRoutedBalanced]]) and AQE skew handling; reading
+    * it costs one shuffle-free assignment pass + a ≤nlist-row groupBy.
+    */
+  def ivfStats(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cents = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val sizes = KMeansVec.assign(e, cents)
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    val tot = sizes.agg(sum(col("n_vecs")).cast("long").as("total"),
+      count(lit(1)).cast("long").as("n_lists"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_vecs"),
+        graft.functions.TextSim.r6(
+          col("n_vecs").cast("double") / col("total")).as("share"),
+        graft.functions.TextSim.r6(
+          col("n_vecs").cast("double") * col("n_lists") / col("total"))
+          .as("load_factor"))
+      .orderBy(col("cent_id"))
+  }
+
+  val ivfStatsSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM e WHERE vec_id % 25 = 0
+       |), assigned AS (
+       |  SELECT cent_id, vec_id FROM (
+       |    SELECT c.cent_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${cosineSql("e.embedding", "e.nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |             c.cent_id) AS c_rank
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE c_rank = 1
+       |), sizes AS (
+       |  SELECT cent_id, count(*)::BIGINT AS n_vecs FROM assigned GROUP BY 1
+       |), stats AS (
+       |  SELECT sum(n_vecs)::BIGINT AS total, count(*)::BIGINT AS n_lists
+       |  FROM sizes
+       |)
+       |SELECT cent_id, n_vecs,
+       |       ${graft.functions.TextSim.r6Sql("n_vecs::DOUBLE / total")} AS share,
+       |       ${graft.functions.TextSim.r6Sql("n_vecs::DOUBLE * n_lists / total")} AS load_factor
+       |FROM sizes, stats
+       |ORDER BY cent_id""".stripMargin
+
   /** Margin for [[ivfAdaptive]]: wide enough that near-tied lists are
     * probed, tight enough that well-separated queries stay narrow.
     */

@@ -138,6 +138,37 @@ object Corpus {
        |HAVING count(*) >= $MinSharedShingles
        |ORDER BY train_id, eval_id""".stripMargin
 
+  /** Bloom-screen form of [[contamination]] — the 100 TB shape: the
+    * eval set compresses to an m-bit [[graft.functions.Bloom.Filter]]
+    * (built by one map-side-combined aggregation over eval shingles)
+    * and the corpus is screened by a per-row codegen'd membership probe
+    * riding the scan — NO corpus-shingle shuffle, no join, the exact
+    * screen's broadcast-rows join replaced by m/8 bytes of bits. False
+    * positives are bounded (size mBits ~16× the eval shingle count for
+    * <1%) and land on the exact verify; false negatives are impossible,
+    * so the screen never leaks contamination past itself.
+    *
+    * Returns (doc_id, n_hits, flagged): `n_hits` counts the doc's
+    * distinct shingles present in the eval union; `flagged` applies
+    * `minHits` (the [[MinSharedShingles]] analogue against the union —
+    * a superset screen of the exact per-eval-doc rule at minHits = 1).
+    */
+  def contaminationBloom(docs: DataFrame, evalDocs: DataFrame,
+    mBits: Int = 1 << 17, minHits: Int = 1): DataFrame = {
+    val sh: DataFrame = evalDocs
+      .select(TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(TextSim.shingles3(col("t"))).as("shingle"))
+    val f = graft.functions.Bloom.fit(sh, "shingle", mBits)
+    docs
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.Bloom.hits(TextSim.shingles3(col("t")), f)
+          .cast("long").as("n_hits"))
+      .withColumn("flagged", col("n_hits") >= minHits)
+  }
+
   /** q_domain_cap — per-domain downsampling: keep at most `DomainCap`
     * docs per source, chosen by md5-hash order (an unbiased,
     * deterministic sample — doc_id order would bias toward old

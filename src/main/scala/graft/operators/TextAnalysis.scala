@@ -385,6 +385,52 @@ object TextAnalysis {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** q_fertility — per-source tokenizer-fertility report: how many
+    * subword pieces the BPE-ish tokenizer spends per whitespace word
+    * and per byte, by domain. The signal that decides whether a domain
+    * is cheap or expensive to train on at a fixed token budget (code
+    * and tables tokenize fat; prose tokenizes lean). One partial-agg
+    * groupBy on source — the corpus never shuffles by doc.
+    */
+  def fertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("text"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("t")).cast("long").as("ws_tokens"),
+        aggregate(col("t"), lit(0L), (a, w) =>
+          a + ceil(length(w).cast("double") / 4.0).cast("long")).as("bpe_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("ws_tokens"),
+        sum(col("bpe_tokens")).cast("long").as("bpe_tokens"),
+        TextSim.r6(sum(col("bpe_tokens")).cast("double") /
+          sum(col("ws_tokens"))).as("fertility"),
+        TextSim.r6(sum(col("n_chars")).cast("double") /
+          sum(col("bpe_tokens"))).as("chars_per_tok"))
+      .orderBy(col("source"))
+
+  val fertilitySql: String =
+    s"""WITH base AS (
+       |  SELECT source, len(text)::BIGINT AS n_chars,
+       |         len(t)::BIGINT AS ws_tokens,
+       |         list_sum(list_transform(t,
+       |           w -> ceil(len(w)::DOUBLE / 4.0)::BIGINT))::BIGINT AS bpe_tokens
+       |  FROM (SELECT source, text,
+       |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |        FROM documents)
+       |  WHERE len(t) >= 1
+       |)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       sum(ws_tokens)::BIGINT AS ws_tokens,
+       |       sum(bpe_tokens)::BIGINT AS bpe_tokens,
+       |       ${TextSim.r6Sql("sum(bpe_tokens)::DOUBLE / sum(ws_tokens)")} AS fertility,
+       |       ${TextSim.r6Sql("sum(n_chars)::DOUBLE / sum(bpe_tokens)")} AS chars_per_tok
+       |FROM base
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val K = 8 // fingerprint char k-gram size
   val W = 4 // winnowing window (in k-grams)
 
