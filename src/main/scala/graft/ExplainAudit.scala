@@ -122,6 +122,18 @@ object ExplainAudit {
         !substrPlan.linesIterator.exists(l =>
           l.contains("Exchange") && l.contains("text#")))
 
+    // q_bm25: the corpus path must see only the broadcast stats
+    // exchange — no shuffle keyed on the corpus (tf is per-row, the
+    // stats frame is 1 row, scoring is a broadcast nested loop).
+    val bm25Plan = operators.Relevance.bm25(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("bm25: corpus never shuffles (only the 1-row stats broadcast)",
+      bm25Plan.contains("BroadcastNestedLoopJoin") &&
+        !bm25Plan.contains("SortMergeJoin") &&
+        !bm25Plan.contains("ShuffledHashJoin") &&
+        !bm25Plan.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("doc_id")))
+
     val routedDir = java.nio.file.Files.createTempDirectory("audit_routed_")
       .toString
     graft.sources.IndexStore.build(vecs, routedDir, 64, nlist = 8,

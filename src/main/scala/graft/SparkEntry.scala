@@ -74,6 +74,7 @@ object SparkEntry {
     "q_vocab" -> (Corpus.vocab _),
     "q_quality_domain" -> (TextAnalysis.qualityDomain _),
     "q_mix_sample" -> (Corpus.mixSample _),
+    "q_dsir" -> (Corpus.dsir _),
     "q_boilerplate" -> (Scrub.boilerplate _),
     "q_para_dedup" -> (Scrub.paraDedup _),
     "q_pii_scrub" -> (Scrub.piiScrub _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "q_vocab" -> Corpus.vocabSql,
     "q_quality_domain" -> TextAnalysis.qualityDomainSql,
     "q_mix_sample" -> Corpus.mixSampleSql,
+    "q_dsir" -> Corpus.dsirSql,
     "q_boilerplate" -> Scrub.boilerplateSql,
     "q_para_dedup" -> Scrub.paraDedupSql,
     "q_pii_scrub" -> Scrub.piiScrubSql,

@@ -138,6 +138,97 @@ object Corpus {
        |HAVING count(*) >= $MinSharedShingles
        |ORDER BY train_id, eval_id""".stripMargin
 
+  val DsirBuckets = 512
+
+  /** q_dsir — hashed n-gram importance weights (the DSIR family, Xie
+    * et al. 2023: select pretraining data that LOOKS LIKE a target
+    * distribution by importance resampling over hashed n-gram
+    * features). Feature space: word bigrams hashed to
+    * [[DsirBuckets]] md5 buckets. The target distribution is the
+    * held-out eval-like set (doc_id % [[EvalMod]] = 0), raw is the
+    * rest; per-bucket Laplace-smoothed log-likelihood ratios
+    * λ_b = ln p_target(b) − ln p_raw(b) score each raw doc as
+    * Σ_grams λ_bucket(g) — docs that look like the target float up.
+    *
+    * Scale shape: calibration is ONE explode + partial-agg groupBy to
+    * ≤B rows (collected under the same bounded-statistic contract as
+    * the [[Quantize]] min/max frame and the IVF centroid matrix);
+    * scoring is a pure per-row fold against the B-entry λ table,
+    * constant-folded into the projection — the corpus never shuffles.
+    * λ is fixed to integer micro-units on BOTH engines before the
+    * per-doc sum, so the fold is exact long arithmetic and
+    * order-independent (the decimal-sum rule; a double Σ would differ
+    * between Spark's doc-order fold and the oracle's join order).
+    */
+  def dsir(s: SparkSession, d: String): DataFrame = {
+    val B = DsirBuckets
+    val bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      g => conv(substring(md5(g), 1, 7), 16, 10).cast("long") % B
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1))).as("grams"))
+    val counts = toks
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), bucket(col("g")).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("doc_id") % EvalMod === 0, 1L).otherwise(0L)).as("tc"),
+        sum(when(col("doc_id") % EvalMod =!= 0, 1L).otherwise(0L)).as("rc"))
+      .collect()
+    val tcM = counts.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rcM = counts.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val tt = tcM.values.sum
+    val tr = rcM.values.sum
+    val lam: Array[Long] = Array.tabulate(B) { b =>
+      val l = math.log((tcM.getOrElse(b.toLong, 0L) + 1).toDouble / (tt + B)) -
+        math.log((rcM.getOrElse(b.toLong, 0L) + 1).toDouble / (tr + B))
+      math.floor(l * 1e6 + 0.5).toLong
+    }
+    val lut = array(lam.toSeq.map(lit): _*) // constant-folds to one literal
+    toks.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        aggregate(col("grams"), lit(0L), (acc, g) =>
+          acc + element_at(lut, (bucket(g) + 1).cast("int"))).as("w_micro"))
+      .withColumn("w_per_gram",
+        TextSim.r6((col("w_micro").cast("double") / 1000000.0) / col("n_grams")))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents
+       |), bg AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(g), 1, 7))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT doc_id,
+       |               unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+       |        FROM toks WHERE len(t) >= 2)
+       |), counts AS (
+       |  SELECT b,
+       |         sum(CASE WHEN doc_id % $EvalMod = 0 THEN 1 ELSE 0 END)::BIGINT AS tc,
+       |         sum(CASE WHEN doc_id % $EvalMod <> 0 THEN 1 ELSE 0 END)::BIGINT AS rc
+       |  FROM bg GROUP BY b
+       |), tot AS (
+       |  SELECT sum(tc)::BIGINT AS tt, sum(rc)::BIGINT AS tr FROM counts
+       |), lam AS (
+       |  SELECT b,
+       |         floor((ln((tc + 1)::DOUBLE / (tt + $DsirBuckets))
+       |                - ln((rc + 1)::DOUBLE / (tr + $DsirBuckets)))
+       |               * 1000000.0 + 0.5)::BIGINT AS lam_micro
+       |  FROM counts, tot
+       |)
+       |SELECT doc_id, count(*)::BIGINT AS n_grams,
+       |       sum(lam_micro)::BIGINT AS w_micro,
+       |       ${TextSim.r6Sql("(sum(lam_micro)::DOUBLE / 1000000.0) / count(*)")} AS w_per_gram
+       |FROM bg JOIN lam USING (b)
+       |WHERE doc_id % $EvalMod <> 0
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Bloom-screen form of [[contamination]] — the 100 TB shape: the
     * eval set compresses to an m-bit [[graft.functions.Bloom.Filter]]
     * (built by one map-side-combined aggregation over eval shingles)
