@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextSim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking (CDC) — chunk boundaries decided by
+  * CONTENT (a word whose hash is ≡ 0 mod D ends a chunk), not by
+  * position or size. The property this buys is shift resistance:
+  * editing or prepending text only perturbs chunks up to the next cut
+  * word — every chunk after it is byte-identical to the unedited
+  * version, so chunk-level identities (and the vector-store upserts
+  * keyed on them) survive document edits. The reference's greedy
+  * chunker (chunk_text, Notion_openai_vector_etl.py:239-251 — our
+  * [[Etl.chunk]]) re-chunks the whole document on any edit and every
+  * downstream chunk id changes; CDC is the incremental-friendly
+  * alternative, the storage-dedup idea (content-defined blocks,
+  * LBFS/rsync family) applied at word granularity where an LLM corpus
+  * lives.
+  *
+  * Scale shape: chunking is a pure per-row HOF pipeline (cut flags →
+  * start positions → slices) riding the scan — no shuffle at all until
+  * a consumer aggregates. The cross-doc duplicated-chunk report is the
+  * standard one partial-agg groupBy on the chunk hash. Cut decisions
+  * hash single words (md5-derived, house hash family), so both engines
+  * agree bit-for-bit.
+  */
+object Cdc {
+
+  /** Boundary divisor: a word cuts iff md5-bucket % D == 0 → mean
+    * chunk ≈ D words.
+    */
+  val D = 16
+
+  private def isCut(w: Column): Column =
+    conv(substring(md5(concat(lit("cdc:"), w)), 1, 7), 16, 10)
+      .cast("long") % D === 0
+
+  private def isCutSql(w: String): String =
+    s"('0x' || substr(md5('cdc:' || $w), 1, 7))::BIGINT % $D = 0"
+
+  /** Per-doc CDC chunks over any `(doc_id, text)` frame:
+    * `(doc_id, chunk_index, n_words, chunk_hash, chunk_text)` — pure
+    * per-row HOFs + one posexplode, zero shuffle.
+    */
+  def chunks(docs: DataFrame): DataFrame = {
+    val t = col("t")
+    // cut positions 1..n-1 (a cut at the last word starts no chunk)
+    val starts = concat(array(lit(1)),
+      transform(filter(sequence(lit(1), size(t) - 1), i => isCut(element_at(t, i))),
+        i => i + 1))
+    docs
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(t) >= 1)
+      .withColumn("starts", starts)
+      .withColumn("chunks", transform(sequence(lit(1), size(col("starts"))), j =>
+        concat_ws(" ", slice(t, element_at(col("starts"), j),
+          when(j < size(col("starts")), element_at(col("starts"), j + 1))
+            .otherwise(size(t) + 1) - element_at(col("starts"), j)))))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("p", "chunk_text")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("chunk_index"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_words"),
+        md5(col("chunk_text")).as("chunk_hash"), col("chunk_text"))
+  }
+
+  /** Shared SQL: CDC chunks as a CTE pipeline over a docs relation. */
+  private def chunksSqlFrom(rel: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM $rel
+       |), base AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |         [1] || [i + 1 for i in range(1, len(t))
+       |                 if ${isCutSql("t[i]")}] AS starts
+       |  FROM toks WHERE len(t) >= 1
+       |), numbered AS (
+       |  SELECT doc_id, t, n, starts,
+       |         unnest(range(1, len(starts) + 1)) AS j
+       |  FROM base
+       |), chunks AS (
+       |  SELECT doc_id, j::BIGINT AS chunk_index,
+       |         array_to_string(t[starts[j] : CASE WHEN j < len(starts)
+       |           THEN starts[j + 1] - 1 ELSE n END], ' ') AS chunk_text
+       |  FROM numbered
+       |)""".stripMargin
+
+  /** q_cdc_chunk — CDC chunk inventory of the pristine corpus. */
+  def cdcChunk(s: SparkSession, d: String): DataFrame =
+    chunks(Tables.documents(s, d))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  val cdcChunkSql: String =
+    s"""WITH ${chunksSqlFrom("documents")}
+       |SELECT doc_id, chunk_index,
+       |       len(string_split(chunk_text, ' '))::BIGINT AS n_words,
+       |       md5(chunk_text) AS chunk_hash, chunk_text
+       |FROM chunks
+       |ORDER BY doc_id, chunk_index""".stripMargin
+
+  /** q_cdc_dedup — cross-doc duplicated chunks over the dup-injected
+    * corpus: the near-copy clones (suffix appended) share every chunk
+    * EXCEPT their last with their source — sub-document exact dedup
+    * that survives the edit, which whole-doc hashing ([[Dedup.exact]])
+    * misses and fixed-size chunking would misalign. One partial-agg
+    * groupBy on the chunk hash.
+    */
+  def cdcDedup(s: SparkSession, d: String): DataFrame =
+    chunks(Tables.docsAug(s, d))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).cast("long").as("n_copies"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_copies") >= 2)
+      .orderBy(col("chunk_hash"))
+
+  val cdcDedupSql: String =
+    s"""WITH ${Tables.docsAugSql},
+       |${chunksSqlFrom("docs_aug")}
+       |SELECT md5(chunk_text) AS chunk_hash,
+       |       count(*)::BIGINT AS n_copies,
+       |       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |       min(doc_id) AS keep_doc
+       |FROM chunks
+       |GROUP BY 1
+       |HAVING count(*) >= 2
+       |ORDER BY chunk_hash""".stripMargin
+}
