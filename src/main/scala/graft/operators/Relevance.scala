@@ -65,6 +65,109 @@ object Relevance {
       .orderBy(col("doc_id"))
   }
 
+  val ShortK = 30 // per-arm shortlist depth
+  val FuseK = 10  // fused page size
+  val RrfK = 60   // the standard RRF dampening constant
+
+  /** q_hybrid — hybrid retrieval by reciprocal-rank fusion (Cormack et
+    * al., SIGIR'09): for each query document, a VECTOR arm (exact
+    * cosine top-[[ShortK]] over the embedding corpus) and a LEXICAL
+    * arm (shared word-3-gram count, the more-like-this form) each
+    * produce a shortlist; fusion scores 1/([[RrfK]]+rank) summed over
+    * arms — rank-based, so the two incomparable score scales never
+    * mix. This is the vector-store serving pattern the reference's
+    * stack pairs with its semantic index (keyword + vector side by
+    * side); one arm catches what the other misses (exact identifiers
+    * vs paraphrase).
+    *
+    * Scale shape: the vector arm is the broadcast-queries +
+    * partial-top-k brute pass ([[Ann.topKNeighbors]] — swap in the
+    * stored IVF-PQ index when the corpus outgrows it); the lexical arm
+    * broadcasts the BOUNDED query shingle set (the contamination-
+    * screen pattern) so the corpus-side join is candidate-only, ranked
+    * by the same partial top-k aggregator; fusion joins two
+    * |Q|·[[ShortK]]-row frames — nothing downstream of the arms ever
+    * touches the corpus.
+    */
+  def hybrid(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val e = Tables.embeddings(s, d)
+    val vec = Ann.topKNeighbors(s, e, e.filter(col("vec_id") % 100 === 0), ShortK)
+      .select(col("query_id"), col("vec_id"), col("rank").as("v_rank"))
+    val sh = docs
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(TextSim.shingles3(col("t"))).as("shingle"))
+    val qsh = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("shingle"))
+    val lexScored = sh.join(broadcast(qsh), "shingle")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .select(col("query_id"), col("doc_id").as("vec_id"),
+        col("n_shared").cast("double").as("cos_sim"))
+    val lex = Ann.rankTopK(s, lexScored, ShortK)
+      .select(col("query_id"), col("vec_id"), col("rank").as("l_rank"))
+    val fused = vec.join(lex, Seq("query_id", "vec_id"), "full_outer")
+      .select(col("query_id"), col("vec_id"),
+        TextSim.r6(
+          coalesce(lit(1.0) / (col("v_rank") + RrfK), lit(0.0)) +
+            coalesce(lit(1.0) / (col("l_rank") + RrfK), lit(0.0))).as("cos_sim"))
+    Ann.rankTopK(s, fused, FuseK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"),
+        col("cos_sim").as("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hybridSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${Ann.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM e WHERE vec_id % 100 = 0
+       |), vec_ranked AS (
+       |  SELECT query_id, vec_id, rank FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             ${Ann.cosineSql("q.q_emb", "q.q_nrm", "e.embedding", "e.nrm")} DESC,
+       |             e.vec_id) AS rank
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+       |  WHERE rank <= $ShortK
+       |), sh AS (
+       |  SELECT doc_id, unnest(${TextSim.shingles3Sql("t")}) AS shingle
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |        FROM documents)
+       |  WHERE len(t) >= 3
+       |), lex_ranked AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY
+       |             n_shared DESC, doc_id) AS rank
+       |    FROM (SELECT b.doc_id AS query_id, a.doc_id,
+       |                 count(*)::BIGINT AS n_shared
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |          WHERE b.doc_id % 100 = 0 AND a.doc_id <> b.doc_id
+       |          GROUP BY 1, 2))
+       |  WHERE rank <= $ShortK
+       |), fused AS (
+       |  SELECT coalesce(v.query_id, l.query_id) AS query_id,
+       |         coalesce(v.vec_id, l.doc_id) AS doc_id,
+       |         ${TextSim.r6Sql(
+              s"coalesce(1.0::DOUBLE / ($RrfK + v.rank), 0.0) + coalesce(1.0::DOUBLE / ($RrfK + l.rank), 0.0)")} AS rrf
+       |  FROM vec_ranked v FULL OUTER JOIN lex_ranked l
+       |    ON v.query_id = l.query_id AND v.vec_id = l.doc_id
+       |)
+       |SELECT query_id, rank, doc_id, rrf FROM (
+       |  SELECT query_id, doc_id, rrf,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY rrf DESC, doc_id)::BIGINT AS rank
+       |  FROM fused)
+       |WHERE rank <= $FuseK
+       |ORDER BY query_id, rank""".stripMargin
+
   val bm25Sql: String = {
     val tfCols = Terms.zipWithIndex.map { case (w, i) =>
       s"len(list_filter(t, x -> x = '$w'))::BIGINT AS tf$i"
