@@ -46,18 +46,22 @@ object Cdc {
     */
   def chunks(docs: DataFrame): DataFrame = {
     val t = col("t")
-    // cut positions 1..n-1 (a cut at the last word starts no chunk)
-    val starts = concat(array(lit(1)),
-      transform(filter(sequence(lit(1), size(t) - 1), i => isCut(element_at(t, i))),
-        i => i + 1))
+    // PERF: chunk bounds via zip_with over two bound arrays evaluated
+    // ONCE per row. The element_at(starts, j)-inside-a-lambda form
+    // re-inlines the full md5 cut scan PER CHUNK ELEMENT under project
+    // collapse (the minhash-barrier failure mode, SURVEY §5) —
+    // measured 42 s at sf0.1 vs ~2 s for this shape. `cuts` is still
+    // inlined twice (starts + ends): 2·n word hashes per row, flat.
+    // Cut positions are 1..n-1 (a cut at the last word starts no chunk).
+    val cuts = filter(sequence(lit(1), size(t) - 1), i => isCut(element_at(t, i)))
     docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(t) >= 1)
-      .withColumn("starts", starts)
-      .withColumn("chunks", transform(sequence(lit(1), size(col("starts"))), j =>
-        concat_ws(" ", slice(t, element_at(col("starts"), j),
-          when(j < size(col("starts")), element_at(col("starts"), j + 1))
-            .otherwise(size(t) + 1) - element_at(col("starts"), j)))))
+      .withColumn("cuts", cuts)
+      .withColumn("chunks", zip_with(
+        concat(array(lit(1)), transform(col("cuts"), i => i + 1)),
+        concat(col("cuts"), array(size(t))),
+        (s, e) => concat_ws(" ", slice(t, s, e - s + 1))))
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("p", "chunk_text")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("chunk_index"),
         size(split(col("chunk_text"), " ")).cast("long").as("n_words"),
