@@ -90,6 +90,27 @@ object ScaleRehearsal {
     t("vec_quant") {
       operators.Quantize.quantize(vecs).count()
     }
+    // content-defined chunking under maximal duplication: every chunk
+    // of every doc has mult clones, so the chunk-hash groupBy sees the
+    // full corpus chunk stream with every group viral
+    t("cdc_dedup") {
+      operators.Cdc.chunks(docs).groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count()
+    }
+    // bloom decontamination: filter build over the replicated eval
+    // slice + per-row probe of the full corpus — both passes scale
+    // linearly, nothing shuffles
+    t("bloom_screen") {
+      operators.Corpus.contaminationBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), mBits = 1 << 20)
+        .filter(col("flagged")).count()
+    }
+    // dsir calibration (bigram explode -> B-row agg) + per-row scoring
+    // fold: two linear passes over the replicated corpus
+    t("dsir_weights") {
+      operators.Corpus.dsirWeights(docs).count()
+    }
     // the ANN serving path under the same multiplicative stress:
     // build once (train + one-pass encode of the replicated corpus),
     // append a same-sized new batch with the STORED quantizers, then

@@ -160,11 +160,17 @@ object Corpus {
     * order-independent (the decimal-sum rule; a double Σ would differ
     * between Spark's doc-order fold and the oracle's join order).
     */
-  def dsir(s: SparkSession, d: String): DataFrame = {
+  def dsir(s: SparkSession, d: String): DataFrame =
+    dsirWeights(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** Frame-based [[dsir]] over any `(doc_id, text)` corpus (target =
+    * doc_id % [[EvalMod]] = 0, raw = rest).
+    */
+  def dsirWeights(docs: DataFrame): DataFrame = {
     val B = DsirBuckets
     val bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       g => conv(substring(md5(g), 1, 7), 16, 10).cast("long") % B
-    val toks = Tables.documents(s, d)
+    val toks = docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), transform(sequence(lit(1), size(col("t")) - 1),
@@ -194,7 +200,6 @@ object Corpus {
           acc + element_at(lut, (bucket(g) + 1).cast("int"))).as("w_micro"))
       .withColumn("w_per_gram",
         TextSim.r6((col("w_micro").cast("double") / 1000000.0) / col("n_grams")))
-      .orderBy(col("doc_id"))
   }
 
   val dsirSql: String =

@@ -34,19 +34,48 @@ object Relevance {
     * under round-6 on both engines.
     */
   def bm25(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    bm25Score(docs, bm25Stats(docs)).orderBy(col("doc_id"))
+  }
+
+  /** Per-doc (dl, tf per term) — the only corpus pass either stage needs. */
+  private def tfFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
       .select(Seq(col("doc_id"), size(col("t")).cast("long").as("dl")) ++
         Terms.zipWithIndex.map { case (w, i) =>
           size(filter(col("t"), x => x === w)).cast("long").as(s"tf$i")
         }: _*)
-    // 1-row stats frame: corpus size, average doc length, df per term.
-    val stats = tf.agg(
+
+  /** 1-row raw stats frame `(n_docs, dl_sum, df0..dfk)` — all plain
+    * sums, so batch stats MERGE BY ADDITION ([[mergeBm25Stats]]) under
+    * append-only ingest: refreshing the retrieval calibration after an
+    * ingest batch never rescans old documents (the
+    * [[Corpus.vocabCounts]] incremental contract applied to BM25).
+    */
+  def bm25Stats(docs: DataFrame): DataFrame = {
+    val tf = tfFrame(docs)
+    tf.agg(
       count(lit(1)).cast("long").as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+      sum(col("dl")).cast("long").as("dl_sum") +:
         Terms.indices.map(i =>
           sum((col(s"tf$i") > 0).cast("long")).cast("long").as(s"df$i")): _*)
+  }
+
+  /** Add two batch stats frames (disjoint doc sets by the append-only
+    * ingest contract).
+    */
+  def mergeBm25Stats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).agg(
+      sum(col("n_docs")).cast("long").as("n_docs"),
+      sum(col("dl_sum")).cast("long").as("dl_sum") +:
+        Terms.indices.map(i =>
+          sum(col(s"df$i")).cast("long").as(s"df$i")): _*)
+
+  /** Score a corpus against a (possibly merged) stats frame. */
+  def bm25Score(docs: DataFrame, stats: DataFrame): DataFrame = {
+    val avgdl = col("dl_sum").cast("double") / col("n_docs")
     // IEEE add/mult are commutative, so Column-op-Double forms below are
     // bit-identical to the oracle's `0.25 + 0.75 * x` / `1.2 * y` order.
     val contrib: Seq[org.apache.spark.sql.Column] = Terms.indices.map { i =>
@@ -54,15 +83,14 @@ object Relevance {
         ((col("n_docs") - col(s"df$i")).cast("double") + 0.5) /
           (col(s"df$i").cast("double") + 0.5))
       val denom = col(s"tf$i").cast("double") +
-        ((col("dl").cast("double") / col("avgdl")) * B + (1.0 - B)) * K1
+        ((col("dl").cast("double") / avgdl) * B + (1.0 - B)) * K1
       idf * (col(s"tf$i").cast("double") * (K1 + 1.0)) / denom
     }
-    tf.crossJoin(broadcast(stats))
+    tfFrame(docs).crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"),
         Terms.indices.map(i => (col(s"tf$i") > 0).cast("long"))
           .reduce(_ + _).as("matched"),
         TextSim.r6(contrib.reduce(_ + _)).as("bm25"))
-      .orderBy(col("doc_id"))
   }
 
   val ShortK = 30 // per-arm shortlist depth
