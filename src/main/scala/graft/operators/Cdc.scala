@@ -33,10 +33,9 @@ object Cdc {
     */
   val D = 16
 
-  private def isCut(w: Column): Column =
-    conv(substring(md5(concat(lit("cdc:"), w)), 1, 7), 16, 10)
-      .cast("long") % D === 0
-
+  // Spark side: the native [[graft.functions.Md5Buckets]] pass — the
+  // same `('0x' || substr(md5('cdc:' || w), 1, 7))::BIGINT % D` value
+  // read off digest bytes (bit-parity is what the oracle checks).
   private def isCutSql(w: String): String =
     s"('0x' || substr(md5('cdc:' || $w), 1, 7))::BIGINT % $D = 0"
 
@@ -51,9 +50,16 @@ object Cdc {
     // re-inlines the full md5 cut scan PER CHUNK ELEMENT under project
     // collapse (the minhash-barrier failure mode, SURVEY §5) —
     // measured 42 s at sf0.1 vs ~2 s for this shape. `cuts` is still
-    // inlined twice (starts + ends): 2·n word hashes per row, flat.
+    // inlined twice (starts + ends): 2·n word hashes per row, flat —
+    // and each hash pass is the native [[graft.functions.Md5Buckets]]
+    // loop (digest bytes, no hex-string conv), not a per-element
+    // interpreted md5 chain.
     // Cut positions are 1..n-1 (a cut at the last word starts no chunk).
-    val cuts = filter(sequence(lit(1), size(t) - 1), i => isCut(element_at(t, i)))
+    val cuts = filter(zip_with(
+      graft.functions.Md5Buckets.salted(t, "cdc:", D),
+      sequence(lit(1), size(t)),
+      (b, i) => when(b === 0 && i < size(t), i)),
+      x => x.isNotNull)
     docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(t) >= 1)

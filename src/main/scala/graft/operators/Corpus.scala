@@ -168,17 +168,17 @@ object Corpus {
     */
   def dsirWeights(docs: DataFrame): DataFrame = {
     val B = DsirBuckets
-    val bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      g => conv(substring(md5(g), 1, 7), 16, 10).cast("long") % B
+    // bigram buckets in ONE native pass per row ([[Md5Buckets]] reads
+    // the 28-bit value off digest bytes and never materializes the
+    // bigram strings) — the interpreted concat_ws + md5-hex + conv
+    // chain was most of the query's runtime at sf0.1
     val toks = docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), transform(sequence(lit(1), size(col("t")) - 1),
-        i => concat_ws(" ", element_at(col("t"), i),
-          element_at(col("t"), i + 1))).as("grams"))
+      .select(col("doc_id"), (size(col("t")) - 1).cast("long").as("n_grams"),
+        graft.functions.Md5Buckets.pairGrams(col("t"), B).as("bs"))
     val counts = toks
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .select(col("doc_id"), bucket(col("g")).as("b"))
+      .select(col("doc_id"), explode(col("bs")).as("b"))
       .groupBy(col("b"))
       .agg(sum(when(col("doc_id") % EvalMod === 0, 1L).otherwise(0L)).as("tc"),
         sum(when(col("doc_id") % EvalMod =!= 0, 1L).otherwise(0L)).as("rc"))
@@ -194,10 +194,9 @@ object Corpus {
     }
     val lut = array(lam.toSeq.map(lit): _*) // constant-folds to one literal
     toks.filter(col("doc_id") % EvalMod =!= 0)
-      .select(col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"),
-        aggregate(col("grams"), lit(0L), (acc, g) =>
-          acc + element_at(lut, (bucket(g) + 1).cast("int"))).as("w_micro"))
+      .select(col("doc_id"), col("n_grams"),
+        aggregate(col("bs"), lit(0L), (acc, b) =>
+          acc + element_at(lut, (b + 1).cast("int"))).as("w_micro"))
       .withColumn("w_per_gram",
         TextSim.r6((col("w_micro").cast("double") / 1000000.0) / col("n_grams")))
   }
