@@ -170,6 +170,46 @@ object Dedup {
   def minhash(s: SparkSession, d: String): DataFrame =
     minhashPairs(Tables.docsAug(s, d))
 
+  /** Jaccard floor for the NEAR-DUP contamination screen — lower than
+    * the dedup 0.8 on purpose: a paraphrased benchmark item shares
+    * half its shingles, not ninety percent.
+    */
+  val ContamJaccard = 0.5
+
+  /** q_minhash_contam — near-duplicate benchmark contamination: train
+    * docs whose shingle set is Jaccard ≥ [[ContamJaccard]] similar to
+    * a held-out eval doc, candidates blocked by the SAME 16×4 minhash
+    * bands the dedup path uses. This is the screen
+    * [[Corpus.contamination]]'s exact n-gram count misses: a
+    * paraphrased or lightly-edited eval item keeps high set overlap
+    * while any specific 3-gram may be gone.
+    *
+    * Scale shape: the eval band table is BOUNDED (|eval|·16 rows — a
+    * benchmark suite, not a corpus) and broadcasts past the train
+    * bands, so the one exchange is the candidate-pair distinct; verify
+    * joins touch candidates only. The signature table is the shared
+    * [[minhashSignatures]] barrier — at scale, one [[graft.sources.SignatureStore]]
+    * serves dedup AND this screen with zero recompute.
+    */
+  def minhashContam(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(shingleDocs(Tables.docsAug(s, d)))
+    val bands = bandsOf(sig)
+    val evalB = bands.filter(col("doc_id") % Corpus.EvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("band"), col("bsig"))
+    val trainB = bands.filter(col("doc_id") % Corpus.EvalMod =!= 0)
+      .select(col("doc_id").as("train_id"), col("band"), col("bsig"))
+    val cand = trainB.join(broadcast(evalB), Seq("band", "bsig"))
+      .select(col("train_id"), col("eval_id")).distinct()
+    val sa = sig.select(col("doc_id").as("train_id"), col("sh").as("sh_a"))
+    val sb = sig.select(col("doc_id").as("eval_id"), col("sh").as("sh_b"))
+    cand.join(sa, "train_id").join(sb, "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        TextSim.r6(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= ContamJaccard)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   private val jaccardSql: String = TextSim.r6Sql(
     "len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))")
 
@@ -195,6 +235,26 @@ object Dedup {
        |  JOIN shingled y ON y.doc_id = c.b_id
        |  WHERE $jaccardSql >= 0.8
        |)""".stripMargin
+
+  val minhashContamSql: String =
+    s"""WITH $shingledSql,
+       |sig AS (
+       |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig
+       |  FROM shingled
+       |), bands AS (
+       |  SELECT doc_id, b, sig[b*$RowsPerBand + 1 : b*$RowsPerBand + $RowsPerBand] AS bsig
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig
+       |  WHERE a.doc_id % ${Corpus.EvalMod} <> 0 AND b.doc_id % ${Corpus.EvalMod} = 0
+       |)
+       |SELECT c.train_id, c.eval_id, $jaccardSql AS jaccard
+       |FROM cand c
+       |JOIN shingled x ON x.doc_id = c.train_id
+       |JOIN shingled y ON y.doc_id = c.eval_id
+       |WHERE $jaccardSql >= $ContamJaccard
+       |ORDER BY train_id, eval_id""".stripMargin
 
   val minhashSql: String =
     s"""WITH $minhashCandSql
