@@ -134,6 +134,13 @@ object ExplainAudit {
         !bm25Plan.linesIterator.exists(l =>
           l.contains("Exchange hashpartitioning") && l.contains("doc_id")))
 
+    // q_minhash_contam: the bounded eval band table must broadcast past
+    // the train bands — never a sort-merge of the two band streams.
+    val mcPlan = operators.Dedup.minhashContam(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("minhash contamination screen: eval bands broadcast, no sort-merge join",
+      mcPlan.contains("BroadcastHashJoin") && !mcPlan.contains("SortMergeJoin"))
+
     val routedDir = java.nio.file.Files.createTempDirectory("audit_routed_")
       .toString
     graft.sources.IndexStore.build(vecs, routedDir, 64, nlist = 8,
