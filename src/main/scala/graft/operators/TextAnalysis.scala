@@ -385,6 +385,70 @@ object TextAnalysis {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** q_gopher — the Gopher-style rule battery (Rae et al. 2021, the
+    * canonical pretraining quality gates) as ONE fused per-row
+    * projection: word-count bounds, mean-word-length bounds, minimum
+    * distinct stopwords, and the duplicate-3-gram ceiling — each rule
+    * reported separately (curation wants to know WHY a doc dropped,
+    * not just that it did) plus the conjunction. Like [[filterMask]],
+    * never a join of the signal queries.
+    */
+  def gopher(s: SparkSession, d: String): DataFrame = {
+    val en = Profiles.head._2
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        aggregate(col("t"), lit(0L), (a, w) => a + length(w)).as("wlen_sum"),
+        size(array_intersect(array_distinct(col("t")),
+          array(en.map(lit): _*))).cast("long").as("n_stop_distinct"),
+        (size(col("t")) - 2).cast("long").as("n_grams"),
+        size(TextSim.shingles3(col("t"))).cast("long").as("n_distinct_grams"))
+    base.select(col("doc_id"), col("n_words"),
+      TextSim.r6(col("wlen_sum").cast("double") / col("n_words")).as("mean_wlen"),
+      col("n_stop_distinct"),
+      TextSim.r6((col("n_grams") - col("n_distinct_grams")).cast("double") /
+        col("n_grams")).as("dup3"),
+      (col("n_words") >= 50 && col("n_words") <= 100000).as("rule_wc"),
+      (TextSim.r6(col("wlen_sum").cast("double") / col("n_words")) >= 3.0 &&
+        TextSim.r6(col("wlen_sum").cast("double") / col("n_words")) <= 10.0)
+        .as("rule_wlen"),
+      (col("n_stop_distinct") >= 2).as("rule_stop"),
+      (TextSim.r6((col("n_grams") - col("n_distinct_grams")).cast("double") /
+        col("n_grams")) <= 0.2).as("rule_rep"))
+      .withColumn("pass",
+        col("rule_wc") && col("rule_wlen") && col("rule_stop") && col("rule_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherSql: String = {
+    val stopList = Profiles.head._2.map(w => s"'$w'").mkString(", ")
+    val mw = TextSim.r6Sql("wlen_sum::DOUBLE / n_words")
+    val dup = TextSim.r6Sql("(n_grams - n_distinct_grams)::DOUBLE / n_grams")
+    s"""WITH base AS (
+       |  SELECT doc_id, len(t)::BIGINT AS n_words,
+       |         list_sum(list_transform(t, w -> len(w)))::BIGINT AS wlen_sum,
+       |         len(list_intersect(list_distinct(t), [$stopList]))::BIGINT AS n_stop_distinct,
+       |         (len(t) - 2)::BIGINT AS n_grams,
+       |         len(${TextSim.shingles3Sql("t")})::BIGINT AS n_distinct_grams
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |        FROM documents)
+       |  WHERE len(t) >= 3
+       |)
+       |SELECT doc_id, n_words, $mw AS mean_wlen, n_stop_distinct,
+       |       $dup AS dup3,
+       |       (n_words >= 50 AND n_words <= 100000) AS rule_wc,
+       |       ($mw >= 3.0 AND $mw <= 10.0) AS rule_wlen,
+       |       (n_stop_distinct >= 2) AS rule_stop,
+       |       ($dup <= 0.2) AS rule_rep,
+       |       ((n_words >= 50 AND n_words <= 100000) AND ($mw >= 3.0 AND $mw <= 10.0)
+       |        AND (n_stop_distinct >= 2) AND ($dup <= 0.2)) AS pass
+       |FROM base
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q_fertility — per-source tokenizer-fertility report: how many
     * subword pieces the BPE-ish tokenizer spends per whitespace word
     * and per byte, by domain. The signal that decides whether a domain
