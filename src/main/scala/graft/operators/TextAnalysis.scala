@@ -495,6 +495,48 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  val BpeTopK = 20
+
+  /** q_bpe_merges — the first BPE merge table: corpus-weighted
+    * adjacent character-pair counts, ranked (the inner loop of
+    * tokenizer training — [[fertility]] measures a tokenizer's cost,
+    * this is its learning face). Scale shape: pair enumeration runs
+    * over the VOCAB (one corpus pass folds tokens to (word, tf); the
+    * char-pair explode touches |vocab| rows, not the corpus), counts
+    * are weighted by tf, and the head is a TakeOrdered partial top-k —
+    * the [[Corpus.vocab]] pattern applied to subword statistics.
+    */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(TextSim.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("tf"))
+      .filter(length(col("w")) >= 2)
+    vocab
+      .select(col("tf"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("tf")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
+  val bpeMergesSql: String =
+    s"""WITH vocab AS (
+       |  SELECT w, count(*)::BIGINT AS tf FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |    FROM documents)
+       |  GROUP BY w HAVING len(w) >= 2
+       |), pairs AS (
+       |  SELECT tf, unnest([w[i : i + 1] for i in range(1, len(w))]) AS pair
+       |  FROM vocab
+       |)
+       |SELECT pair, sum(tf)::BIGINT AS n
+       |FROM pairs
+       |GROUP BY pair
+       |ORDER BY n DESC, pair
+       |LIMIT $BpeTopK""".stripMargin
+
   val K = 8 // fingerprint char k-gram size
   val W = 4 // winnowing window (in k-grams)
 
