@@ -76,6 +76,91 @@ object Crawl {
     * (by depth, then node id — the distributed analogue of the
     * reference's insertion-order cutoff).
     */
+  val PrScale = 1000000000000L // 1e12 fixed-point units
+  val PrIters = 5
+
+  /** Damped PageRank over a link graph in FIXED-POINT INTEGER
+    * arithmetic — the crawl-prioritization / doc-importance score of a
+    * crawl pipeline (which page to fetch next, how to weight a page's
+    * text in the mix). Ranks live in 1e-12 units as BIGINTs and every
+    * step is integer division (`div`), so the result is bit-identical
+    * on any engine and any partitioning — a double-summed PageRank
+    * differs in the last ulps per partition order, which a hash oracle
+    * cannot tolerate. Dangling-node mass leaks (the simplified
+    * standard), documented rather than redistributed.
+    *
+    * Scale shape: each round is one join (ranks ⋈ edges on src — the
+    * same key layout every round, so at 100 TB both sides bucket by
+    * node and the per-round exchange disappears) + one partial-agg
+    * groupBy on dst + a left join back to the node set, materialized
+    * per round ([[Iterate.materialize]], reliable-checkpoint knob) —
+    * the BFS discipline applied to rank propagation.
+    */
+  def pageRank(edges: DataFrame, iters: Int = PrIters,
+    checkpointDir: Option[String] = None): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct().persist()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val n = nodes.count()
+    val base = (3L * PrScale) / (20L * n) // 0.15/N in fixed point
+    var pr = nodes.select(col("node"), lit(PrScale / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(e, pr("node") === e("src"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      pr = Iterate.materialize(
+        nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr("(850 * coalesce(m, 0)) div 1000")).as("pr")),
+        checkpointDir)
+    }
+    nodes.unpersist(); e.unpersist()
+    pr
+  }
+
+  /** q_pagerank — [[pageRank]] on the crawl edge graph, 5 rounds. */
+  def pageRankQuery(s: SparkSession, d: String): DataFrame =
+    pageRank(Tables.edges(s, d)).orderBy(col("node"))
+
+  val pageRankSql: String = {
+    // unrolled iteration CTEs (pr0..pr5): DuckDB's recursive CTE can't
+    // reference the working table twice (join + agg), and 5 fixed
+    // rounds mirror the Spark driver loop exactly. `//` is DuckDB's
+    // integer floor division = Spark's `div` on the nonnegative ranks.
+    val rounds = (1 to PrIters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |         base + (850 * coalesce(s.m, 0)) // 1000 AS pr
+         |  FROM nodes n
+         |  CROSS JOIN consts
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.pr // d.outdeg)::BIGINT AS m
+         |    FROM pr${i - 1} p
+         |    JOIN edges e ON e.src = p.node
+         |    JOIN outdeg d ON d.src = p.node
+         |    GROUP BY e.dst) s ON s.node = n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graft.Tables.edgesSql},
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+       |), outdeg AS (
+       |  SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src
+       |), consts AS (
+       |  SELECT (3 * ${PrScale}::BIGINT) // (20 * count(*)) AS base,
+       |         ${PrScale}::BIGINT // count(*) AS pr0
+       |  FROM nodes
+       |), pr0 AS (
+       |  SELECT node, pr0 AS pr FROM nodes CROSS JOIN consts
+       |),
+       |$rounds
+       |SELECT node, pr FROM pr$PrIters
+       |ORDER BY node""".stripMargin
+  }
+
   def crawlLimited(edges: DataFrame, roots: DataFrame, maxDepth: Int,
     maxPages: Int): DataFrame =
     bfs(edges, roots, maxDepth)
