@@ -122,6 +122,13 @@ object Relevance {
     val e = Tables.embeddings(s, d)
     val vec = Ann.topKNeighbors(s, e, e.filter(col("vec_id") % 100 === 0), ShortK)
       .select(col("query_id"), col("vec_id"), col("rank").as("v_rank"))
+    fuse(s, vec, lexArm(s, docs))
+  }
+
+  /** The lexical arm: shared-shingle more-like-this ranks for the
+    * `% 100` query set over `(doc_id, text)` docs.
+    */
+  private[operators] def lexArm(s: SparkSession, docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
@@ -134,8 +141,15 @@ object Relevance {
       .agg(count(lit(1)).cast("long").as("n_shared"))
       .select(col("query_id"), col("doc_id").as("vec_id"),
         col("n_shared").cast("double").as("cos_sim"))
-    val lex = Ann.rankTopK(s, lexScored, ShortK)
+    Ann.rankTopK(s, lexScored, ShortK)
       .select(col("query_id"), col("vec_id"), col("rank").as("l_rank"))
+  }
+
+  /** RRF fusion of a `(query_id, vec_id, v_rank)` vector arm and a
+    * `(query_id, vec_id, l_rank)` lexical arm.
+    */
+  private[operators] def fuse(s: SparkSession, vec: DataFrame,
+    lex: DataFrame): DataFrame = {
     val fused = vec.join(lex, Seq("query_id", "vec_id"), "full_outer")
       .select(col("query_id"), col("vec_id"),
         TextSim.r6(
@@ -145,6 +159,22 @@ object Relevance {
       .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"),
         col("cos_sim").as("rrf"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[hybrid]] with the vector arm SERVED FROM THE STORED INDEX — the
+    * production form once the corpus outgrows the brute pass: the
+    * compressed index yields a 3× ADC shortlist (partition-pruned
+    * read), [[Ann.rerank]] converts it to exact ranks at [[ShortK]],
+    * and fusion is unchanged. Everything downstream of the arms still
+    * never touches the corpus.
+    */
+  def hybridServed(s: SparkSession, docs: DataFrame, vectors: DataFrame,
+    queries: DataFrame, handle: graft.sources.IndexStore.Handle,
+    nprobe: Int): DataFrame = {
+    val short = handle.search(queries, ShortK * 3, nprobe)
+    val vec = Ann.rerank(s, vectors, queries, short, ShortK)
+      .select(col("query_id"), col("vec_id"), col("rank").as("v_rank"))
+    fuse(s, vec, lexArm(s, docs))
   }
 
   val hybridSql: String =

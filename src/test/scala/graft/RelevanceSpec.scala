@@ -27,4 +27,28 @@ class RelevanceSpec extends AnyFunSuite {
     assert(a == b, "scores under merged calibration must be bit-identical")
     assert(a.nonEmpty && a.exists(_._4 > 0))
   }
+
+  test("hybrid served from the stored index tracks the brute-arm hybrid") {
+    import graft.sources.IndexStore
+    val docs = Tables.documents(spark, sf)
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_idx_").toString
+    IndexStore.build(vecs, dir, 64, nlist = 8)
+    val served = Relevance.hybridServed(spark, docs, vecs, queries,
+      IndexStore.open(spark, dir), nprobe = 8) // full probe
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._3).toSet }
+    val brute = Relevance.hybrid(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._3).toSet }
+    assert(served.keySet == brute.keySet)
+    // full probing + 3x shortlist + exact rerank: the fused pages must
+    // agree almost everywhere (ADC only orders the SHORTLIST cut; a
+    // true top-30 member falling out of the 90-deep ADC list is rare)
+    val overlaps = brute.map { case (q, ids) =>
+      (served(q) & ids).size.toDouble / ids.size }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.8, s"served hybrid diverged: mean page overlap $mean")
+  }
 }
