@@ -29,6 +29,17 @@ object Md5Kit {
     ((d(0) & 0xFFL) << 20) | ((d(1) & 0xFFL) << 12) |
       ((d(2) & 0xFFL) << 4) | ((d(3) & 0xFFL) >> 4)
 
+  /** Driver-side twin of the per-row bucket — SAME digest arithmetic,
+    * so a store partitioned by the expression's bucket can be pruned
+    * by buckets computed on the driver (the partition-contract a
+    * term-bucketed postings store needs).
+    */
+  def bucketOfString(s: String, mod: Long): Long = {
+    val md = tl.get()
+    md.reset()
+    top28(md.digest(s.getBytes("UTF-8"))) % mod
+  }
+
   /** Shared by interpreted eval AND generated code. */
   def buckets(arr: ArrayData, salt: Array[Byte], mod: Long,
     pair: Boolean): ArrayData = {

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Relevance
+import graft.sources.PostingsStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PostingsStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val dir =
+    java.nio.file.Files.createTempDirectory("postings_").toString
+
+  test("stored-index search matches the one-pass bm25 on the fixed term set") {
+    val docs = Tables.documents(spark, sf)
+    PostingsStore.build(docs, dir)
+    val got = PostingsStore.search(spark, dir, Relevance.Terms, k = 20)
+      .as[(Long, Long, Double)].collect()
+    val want = Relevance.bm25(spark, sf)
+      .filter(col("bm25") > 0)
+      .select(col("doc_id"), col("matched"), col("bm25"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy(r => (-r._3, r._1)).take(20)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+      "stored search must rank the same page as the one-pass bm25")
+    got.zip(want).foreach { case ((d, m, s), (_, mw, sw)) =>
+      assert(m == mw, s"matched-term count diverged for doc $d")
+      // both sides round-6; only the per-doc ADDITION ORDER differs
+      // (fixed column fold vs groupBy row order) — last-ulp only
+      assert(math.abs(s - sw) <= 2e-6, s"score diverged for doc $d: $s vs $sw")
+    }
+  }
+
+  test("query reads are partition-pruned to the terms' buckets") {
+    val plan = PostingsStore.search(spark, dir, Seq("spark", "query"))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bkt".r.findFirstIn(plan).isDefined,
+      s"bucket filter must prune partitions:\n$plan")
+  }
+
+  test("terms absent from the corpus score nothing and break nothing") {
+    assert(PostingsStore.search(spark, dir, Seq("zzznotaword")).count() == 0)
+    // and a mixed query is unaffected by the dead term
+    val mixed = PostingsStore.search(spark, dir, Seq("spark", "zzznotaword"), k = 5)
+      .as[(Long, Long, Double)].collect()
+    val clean = PostingsStore.search(spark, dir, Seq("spark"), k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(mixed.toSeq == clean.toSeq)
+  }
+}
