@@ -59,6 +59,43 @@ object PostingsStore {
     toks.unpersist()
   }
 
+  /** Incremental ingest — the [[SignatureStore.append]] contract for
+    * the lexical index: a new batch's postings land in their term
+    * buckets (a partitioned APPEND — old buckets' files are never
+    * rewritten), doclens append, and the 1-row stats merge by
+    * addition ([[graft.operators.Relevance.mergeBm25Stats]]'s raw-sum
+    * principle). Old documents are never rescanned; df needs no
+    * stored update at all because [[search]] derives it from the
+    * postings it reads — append-only storage keeps it exact.
+    */
+  def append(docs: DataFrame, path: String,
+    nBuckets: Int = DefaultBuckets): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .persist()
+    toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("bkt",
+        element_at(Md5Buckets.salted(array(col("term")), "", nBuckets.toLong), 1))
+      .write.mode("append").partitionBy("bkt").parquet(s"$path/postings")
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
+    val merged = spark.read.parquet(s"$path/stats")
+      .unionAll(toks.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("t"))).cast("long").as("dl_sum")))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("dl_sum")).cast("long").as("dl_sum"))
+      .collect()(0)
+    toks.unpersist()
+    import spark.implicits._
+    Seq((merged.getLong(0), merged.getLong(1))).toDF("n_docs", "dl_sum")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** BM25 top-k for ad-hoc `terms`: a partition-pruned postings read,
     * df derived from the read postings, the same idf/saturation
     * arithmetic as [[graft.operators.Relevance.bm25Score]]. Terms

@@ -39,6 +39,22 @@ class PostingsStoreSpec extends AnyFunSuite {
       s"bucket filter must prune partitions:\n$plan")
   }
 
+  test("append-built store searches identically to a one-shot build") {
+    val docs = Tables.documents(spark, sf)
+    val dirInc = java.nio.file.Files.createTempDirectory("postings_inc_").toString
+    PostingsStore.build(docs.filter(col("doc_id") % 2 === 0), dirInc)
+    PostingsStore.append(docs.filter(col("doc_id") % 2 === 1), dirInc)
+    val inc = PostingsStore.search(spark, dirInc, Relevance.Terms, k = 20)
+      .as[(Long, Long, Double)].collect()
+    val full = PostingsStore.search(spark, dir, Relevance.Terms, k = 20)
+      .as[(Long, Long, Double)].collect()
+    assert(inc.map(r => (r._1, r._2)).toSeq == full.map(r => (r._1, r._2)).toSeq,
+      "append-built ranking must equal the one-shot build")
+    inc.zip(full).foreach { case ((d, _, s), (_, _, sw)) =>
+      assert(math.abs(s - sw) <= 2e-6, s"score diverged for doc $d after append")
+    }
+  }
+
   test("terms absent from the corpus score nothing and break nothing") {
     assert(PostingsStore.search(spark, dir, Seq("zzznotaword")).count() == 0)
     // and a mixed query is unaffected by the dead term
