@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.sources.PostingsStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous document ingest into the stored lexical index — the
+  * streaming face of [[PostingsStore.append]], completing the same
+  * batch/stream symmetry the vector side has
+  * ([[StreamingIndexIngest]]): each micro-batch of `(doc_id, text)`
+  * rows tokenizes, lands its postings in their term buckets
+  * (partitioned append) and merges the stats row, so a concurrent
+  * [[PostingsStore.search]] ranks old and new documents alike with
+  * exact df (search derives df from the append-only postings).
+  *
+  * `foreachBatch` for the same reason as the vector side: the write is
+  * a dynamic-partitioned append keyed by a DERIVED column (the term
+  * bucket), plus a read-merge-overwrite of the stats row — neither is
+  * a streaming file sink shape. Same at-least-once caveat: a replayed
+  * micro-batch re-appends (doc_id is the identity authority).
+  */
+object StreamingPostingsIngest {
+
+  def ingest(docs: DataFrame, path: String,
+    nBuckets: Int = PostingsStore.DefaultBuckets): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) PostingsStore.append(batch, path, nBuckets)
+      }
+      .start()
+}

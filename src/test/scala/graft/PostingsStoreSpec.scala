@@ -55,6 +55,33 @@ class PostingsStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest searches identically to batch append") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf)
+    val dirS = java.nio.file.Files.createTempDirectory("postings_str_").toString
+    PostingsStore.build(docs.filter(col("doc_id") % 2 === 0), dirS)
+    val rows = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (m1, m2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPostingsIngest.ingest(
+      mem.toDF().toDF("doc_id", "text"), dirS)
+    try {
+      mem.addData(m1.toSeq); q.processAllAvailable()
+      mem.addData(m2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = PostingsStore.search(spark, dirS, Relevance.Terms, k = 20)
+      .as[(Long, Long, Double)].collect()
+    val full = PostingsStore.search(spark, dir, Relevance.Terms, k = 20)
+      .as[(Long, Long, Double)].collect()
+    assert(streamed.map(r => (r._1, r._2)).toSeq ==
+      full.map(r => (r._1, r._2)).toSeq)
+    streamed.zip(full).foreach { case ((d, _, s), (_, _, sw)) =>
+      assert(math.abs(s - sw) <= 2e-6, s"score diverged for doc $d via stream")
+    }
+  }
+
   test("terms absent from the corpus score nothing and break nothing") {
     assert(PostingsStore.search(spark, dir, Seq("zzznotaword")).count() == 0)
     // and a mixed query is unaffected by the dead term
