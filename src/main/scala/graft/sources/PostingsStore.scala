@@ -40,6 +40,7 @@ object PostingsStore {
 
   def build(docs: DataFrame, path: String,
     nBuckets: Int = DefaultBuckets): Unit = {
+    val spark = docs.sparkSession
     val toks = docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
@@ -57,7 +58,17 @@ object PostingsStore {
       sum(size(col("t"))).cast("long").as("dl_sum"))
       .write.mode("overwrite").parquet(s"$path/stats")
     toks.unpersist()
+    // the bucket spec is part of the STORE, not a caller argument:
+    // append/search read it back, so a mismatched count can't silently
+    // route new postings into buckets pruning will never read (the
+    // SignatureStore.append lesson, applied from the start)
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  private def bucketsOf(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta").collect()(0).getInt(0)
 
   /** Incremental ingest — the [[SignatureStore.append]] contract for
     * the lexical index: a new batch's postings land in their term
@@ -68,9 +79,9 @@ object PostingsStore {
     * stored update at all because [[search]] derives it from the
     * postings it reads — append-only storage keeps it exact.
     */
-  def append(docs: DataFrame, path: String,
-    nBuckets: Int = DefaultBuckets): Unit = {
+  def append(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
+    val nBuckets = bucketsOf(spark, path)
     val toks = docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
@@ -104,7 +115,8 @@ object PostingsStore {
     * (score desc, doc_id) — a TakeOrdered partial top-k.
     */
   def search(spark: SparkSession, path: String, terms: Seq[String],
-    k: Int = 10, nBuckets: Int = DefaultBuckets): DataFrame = {
+    k: Int = 10): DataFrame = {
+    val nBuckets = bucketsOf(spark, path)
     val bkts = terms.map(t => Md5Kit.bucketOfString(t, nBuckets.toLong))
       .distinct.sorted
     val post = spark.read.parquet(s"$path/postings")

@@ -21,12 +21,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingPostingsIngest {
 
-  def ingest(docs: DataFrame, path: String,
-    nBuckets: Int = PostingsStore.DefaultBuckets): StreamingQuery =
+  def ingest(docs: DataFrame, path: String): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) PostingsStore.append(batch, path, nBuckets)
+        if (!batch.isEmpty) PostingsStore.append(batch, path)
       }
       .start()
 }
