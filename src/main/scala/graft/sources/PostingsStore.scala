@@ -78,6 +78,14 @@ object PostingsStore {
     * principle). Old documents are never rescanned; df needs no
     * stored update at all because [[search]] derives it from the
     * postings it reads — append-only storage keeps it exact.
+    *
+    * Durability caveat: the stats row is read-merge-overwritten, so a
+    * crash between the postings append and the stats write leaves
+    * stats stale by one batch (scores drift by that batch's mass until
+    * the next append; rankings are unaffected for queries not
+    * straddling the batch). The [[IndexStore]] generation-pointer
+    * treatment would close even that window; for a 2-long-row table
+    * the recovery is `build` — rerun it if an ingest died mid-append.
     */
   def append(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
