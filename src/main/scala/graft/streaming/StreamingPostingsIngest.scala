@@ -15,17 +15,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * `foreachBatch` for the same reason as the vector side: the write is
   * a dynamic-partitioned append keyed by a DERIVED column (the term
-  * bucket), plus a read-merge-overwrite of the stats row — neither is
-  * a streaming file sink shape. Same at-least-once caveat: a replayed
-  * micro-batch re-appends (doc_id is the identity authority).
+  * bucket), plus a sealed-generation stats merge — neither is a
+  * streaming file sink shape. The batch id is forwarded so
+  * [[PostingsStore.append]]'s commit markers make replays no-ops
+  * (exactly-once at the store, not just at-least-once at the sink).
   */
 object StreamingPostingsIngest {
 
   def ingest(docs: DataFrame, path: String): StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) PostingsStore.append(batch, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) PostingsStore.append(batch, path, Some(batchId))
       }
       .start()
 }
