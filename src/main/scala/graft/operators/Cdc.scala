@@ -60,10 +60,19 @@ object Cdc {
       sequence(lit(1), size(t)),
       (b, i) => when(b === 0 && i < size(t), i)),
       x => x.isNotNull)
-    docs
+    assemble(docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(t) >= 1)
-      .withColumn("cuts", cuts)
+      .withColumn("cuts", cuts))
+  }
+
+  /** `(doc_id, t, cuts)` → chunk rows: cut positions to start/end
+    * bounds to slices, one posexplode. Shared by the unclamped and the
+    * clamped chunkers — identical downstream identity arithmetic.
+    */
+  private def assemble(toks: DataFrame): DataFrame = {
+    val t = col("t")
+    toks
       .withColumn("chunks", zip_with(
         concat(array(lit(1)), transform(col("cuts"), i => i + 1)),
         concat(col("cuts"), array(size(t))),
@@ -72,6 +81,53 @@ object Cdc {
       .select(col("doc_id"), (col("p") + 1).cast("long").as("chunk_index"),
         size(split(col("chunk_text"), " ")).cast("long").as("n_words"),
         md5(col("chunk_text")).as("chunk_hash"), col("chunk_text"))
+  }
+
+  /** FastCDC-style clamped CDC: a content cut is honored only once the
+    * growing chunk has `minWords`, and a chunk that reaches `maxWords`
+    * is cut regardless — bounding every chunk in `[minWords,
+    * maxWords]` words (the terminal chunk may run short; nothing can
+    * run long). The unclamped [[chunks]] has no bound at all: a
+    * cut-word drought yields one giant chunk (an embedding-window
+    * blowout downstream), a flood yields confetti. Clamping trades a
+    * sliver of shift resistance for those bounds — after an edit,
+    * boundaries re-synchronize at the first content-defined cut the
+    * min-clamp accepts on both sides, rather than at the very next
+    * cut word (the FastCDC normalization trade, Xia et al., ATC'16).
+    *
+    * Same scale shape as [[chunks]]: the clamp is a single per-row
+    * linear fold (`aggregate`) over the cut flags — still zero
+    * shuffle, still one Md5Buckets hash pass.
+    */
+  def boundedChunks(docs: DataFrame,
+    minWords: Int, maxWords: Int): DataFrame = {
+    require(minWords >= 1 && minWords <= maxWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val t = col("t")
+    // (cut?, position) pairs for positions 1..n-1 (a cut at the last
+    // word starts no chunk; the forced max-cut obeys the same rule)
+    val flags = filter(zip_with(
+      graft.functions.Md5Buckets.salted(t, "cdc:", D),
+      sequence(lit(1), size(t)),
+      (b, i) => struct((b === 0).as("cut"), i.as("i"))),
+      p => p.getField("i") < size(t))
+    // linear scan: accept position i as a boundary iff the chunk since
+    // the last accepted boundary has reached minWords and i is a
+    // content cut — or has reached maxWords (forced)
+    val accepted = aggregate(
+      flags,
+      struct(lit(0).as("last"), array().cast("array<int>").as("cuts")),
+      (acc, p) => {
+        val gap = p.getField("i") - acc.getField("last")
+        val take = (p.getField("cut") && gap >= minWords) || gap >= maxWords
+        when(take, struct(p.getField("i").as("last"),
+          concat(acc.getField("cuts"), array(p.getField("i"))).as("cuts")))
+          .otherwise(acc)
+      }).getField("cuts")
+    assemble(docs
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(t) >= 1)
+      .withColumn("cuts", accepted))
   }
 
   /** Shared SQL: CDC chunks as a CTE pipeline over a docs relation. */

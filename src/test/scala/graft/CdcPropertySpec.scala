@@ -79,4 +79,86 @@ class CdcPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("clamped chunks stay within [min, max] words and reassemble losslessly") {
+    val (minW, maxW) = (4, 24)
+    val docs = docsOf(7000, 150)
+    val out = Cdc.boundedChunks(docs.toDF("doc_id", "text"), minW, maxW)
+      .select("doc_id", "chunk_index", "n_words", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    val byId = docs.toMap
+    out.foreach { case (id, chunks) =>
+      // every chunk bounded above; every NON-terminal chunk bounded
+      // below (the tail may run short — there is nothing to pad with)
+      chunks.foreach { case (_, _, n, _) =>
+        assert(n <= maxW, s"doc $id grew a $n-word chunk past max=$maxW")
+      }
+      chunks.dropRight(1).foreach { case (_, _, n, _) =>
+        assert(n >= minW, s"doc $id cut a $n-word chunk under min=$minW")
+      }
+      assert(chunks.map(_._4).mkString(" ") == byId(id), s"lossy at doc $id")
+    }
+    assert(out.size == docs.size)
+  }
+
+  test("clamps bite where the unclamped chunker runs unbounded") {
+    // a cut-word DROUGHT: one long doc of a single non-cutting word
+    // (any word that never satisfies the mod-D test against itself)
+    val nonCut = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+      .find { w =>
+        val one = Seq((1L, (w + " ") * 3 + w)).toDF("doc_id", "text")
+        Cdc.chunks(one).count() == 1
+      }.get
+    val drought = Seq((1L, Seq.fill(200)(nonCut).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Cdc.chunks(drought).count() == 1,
+      "unclamped CDC must yield one giant chunk under a cut drought")
+    val clamped = Cdc.boundedChunks(drought, 4, 24)
+      .select("n_words").as[Long].collect()
+    assert(clamped.forall(_ <= 24) && clamped.length >= 200 / 24,
+      s"max-clamp must force cuts through the drought: ${clamped.toSeq}")
+    // a cut-word FLOOD: find a word that cuts on every occurrence
+    val cutter = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "rho", "omega",
+      "sigma", "tau", "phi", "chi", "psi")
+      .find { w =>
+        val one = Seq((1L, (w + " ") * 3 + w)).toDF("doc_id", "text")
+        Cdc.chunks(one).count() == 4
+      }.get
+    val flood = Seq((1L, Seq.fill(60)(cutter).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Cdc.chunks(flood).count() == 60,
+      "unclamped CDC must shred a cut flood into confetti")
+    val floodClamped = Cdc.boundedChunks(flood, 4, 24)
+      .select("n_words").as[Long].collect()
+    assert(floodClamped.dropRight(1).forall(_ >= 4),
+      s"min-clamp must suppress sub-min cuts: ${floodClamped.toSeq}")
+  }
+
+  test("clamped boundaries still shift-resist: edits re-sync at an accepted cut") {
+    val docs = docsOf(9000, 40)
+    val edited = docs.map { case (id, text) =>
+      (id, "prefixword " + text)
+    }
+    val a = Cdc.boundedChunks(docs.toDF("doc_id", "text"), 3, 30)
+      .select("doc_id", "chunk_index", "chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3) }
+    val b = Cdc.boundedChunks(edited.toDF("doc_id", "text"), 3, 30)
+      .select("doc_id", "chunk_index", "chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3) }
+    // across the corpus, MOST docs with >1 chunk must share their
+    // terminal chunk(s) with the prepended version — clamped CDC
+    // re-syncs at the first mutually-accepted cut. (Not every doc:
+    // a doc whose only cut now falls inside the min-clamp window of
+    // the shifted stream legitimately re-chunks — that is the
+    // FastCDC trade. The unclamped theorem stays exact in
+    // `boundaries are content-defined` above.)
+    val multi = a.filter(_._2.length > 1).keys.toSeq
+    val resynced = multi.count(id => b(id).last == a(id).last)
+    assert(resynced * 10 >= multi.length * 7,
+      s"only $resynced/${multi.length} docs re-synced after a prepend")
+  }
 }
