@@ -86,8 +86,12 @@ object Crawl {
     * step is integer division (`div`), so the result is bit-identical
     * on any engine and any partitioning — a double-summed PageRank
     * differs in the last ulps per partition order, which a hash oracle
-    * cannot tolerate. Dangling-node mass leaks (the simplified
-    * standard), documented rather than redistributed.
+    * cannot tolerate. Dangling-node mass leaks by default (the
+    * simplified standard, and the oracle-checked form);
+    * `conserveDangling = true` redistributes each round's dangling
+    * mass uniformly instead, keeping Σpr a proper distribution (within
+    * integer-floor rounding) — use it when absolute rank VALUES are
+    * consumed (mix weights, sampling temperatures) rather than order.
     *
     * Scale shape: each round is one join (ranks ⋈ edges on src — the
     * same key layout every round, so at 100 TB both sides bucket by
@@ -97,23 +101,48 @@ object Crawl {
     * the BFS discipline applied to rank propagation.
     */
   def pageRank(edges: DataFrame, iters: Int = PrIters,
-    checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir: Option[String] = None,
+    conserveDangling: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct().persist()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val n = nodes.count()
     val base = (3L * PrScale) / (20L * n) // 0.15/N in fixed point
+    // nodes with no out-edges: their rank has nowhere to flow. Static
+    // over the iteration, so computed once; only consulted when
+    // conserving.
+    lazy val dangling = nodes
+      .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .persist()
     var pr = nodes.select(col("node"), lit(PrScale / n).as("pr"))
     for (i <- 1 to iters) {
       val contrib = pr.join(e, pr("node") === e("src"))
         .join(outdeg, "src")
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      val next = nodes
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(850 * coalesce(m, 0)) div 1000")).as("pr"))
+      val next =
+        if (!conserveDangling)
+          nodes
+            .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .select(col("node"),
+              (lit(base) + expr("(850 * coalesce(m, 0)) div 1000")).as("pr"))
+        else {
+          // this round's dangling mass, as a 1-row broadcast past the
+          // node frame (the bounded-statistic crossJoin idiom — no
+          // driver collect inside the loop). Each node receives an
+          // equal integer share; the < n units lost to the floor are
+          // the "within fixed-point rounding" of the conservation
+          // theorem.
+          val dm = pr.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
+          nodes
+            .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit(base) + expr(
+                s"(850 * (coalesce(m, 0) + (dm div ${n}L))) div 1000")).as("pr"))
+        }
       // materialize every SECOND round: rank frames are constant-size
       // (unlike shrinking BFS frontiers), so two rounds of lineage are
       // safe and the eager-checkpoint job count halves — measured 2×
@@ -121,6 +150,7 @@ object Crawl {
       pr = if (i % 2 == 0 || i == iters) Iterate.materialize(next, checkpointDir)
       else next
     }
+    if (conserveDangling) dangling.unpersist()
     nodes.unpersist(); e.unpersist()
     pr
   }
@@ -157,6 +187,57 @@ object Crawl {
        |), consts AS (
        |  SELECT (3 * ${PrScale}::BIGINT) // (20 * count(*)) AS base,
        |         ${PrScale}::BIGINT // count(*) AS pr0
+       |  FROM nodes
+       |), pr0 AS (
+       |  SELECT node, pr0 AS pr FROM nodes CROSS JOIN consts
+       |),
+       |$rounds
+       |SELECT node, pr FROM pr$PrIters
+       |ORDER BY node""".stripMargin
+  }
+
+  /** q_pagerank_conserve — [[pageRank]] with `conserveDangling`: the
+    * mass-preserving variant, oracle-checked bit-for-bit like the
+    * leaking form (same fixed-point arithmetic, one extra dangling-sum
+    * CTE per unrolled round).
+    */
+  def pageRankConserveQuery(s: SparkSession, d: String): DataFrame =
+    pageRank(Tables.edges(s, d), conserveDangling = true)
+      .orderBy(col("node"))
+
+  val pageRankConserveSql: String = {
+    // the leaking unroll plus, per round, the previous round's rank
+    // mass stranded on dangling nodes (no out-edges), folded back
+    // uniformly: base + 850·(m + dm//N) // 1000 — the exact Spark
+    // expression, in the exact evaluation order
+    val rounds = (1 to PrIters).map { i =>
+      s"""dm$i AS (
+         |  SELECT coalesce(sum(p.pr), 0)::BIGINT AS dm
+         |  FROM pr${i - 1} p
+         |  WHERE p.node NOT IN (SELECT src FROM edges)
+         |), pr$i AS (
+         |  SELECT n.node,
+         |         base + (850 * (coalesce(s.m, 0) + (SELECT dm FROM dm$i) // nn)) // 1000 AS pr
+         |  FROM nodes n
+         |  CROSS JOIN consts
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.pr // d.outdeg)::BIGINT AS m
+         |    FROM pr${i - 1} p
+         |    JOIN edges e ON e.src = p.node
+         |    JOIN outdeg d ON d.src = p.node
+         |    GROUP BY e.dst) s ON s.node = n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graft.Tables.edgesSql},
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+       |), outdeg AS (
+       |  SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src
+       |), consts AS (
+       |  SELECT (3 * ${PrScale}::BIGINT) // (20 * count(*)) AS base,
+       |         ${PrScale}::BIGINT // count(*) AS pr0,
+       |         count(*)::BIGINT AS nn
        |  FROM nodes
        |), pr0 AS (
        |  SELECT node, pr0 AS pr FROM nodes CROSS JOIN consts

@@ -25,4 +25,35 @@ class PageRankSpec extends AnyFunSuite {
     // only removes): sum <= N * SCALE/N
     assert(pr.values.sum <= 7L * (Crawl.PrScale / 7L))
   }
+
+  test("conserveDangling keeps Σpr a distribution within fixed-point rounding") {
+    // node 7 is DANGLING (receives from 0, emits nothing): the default
+    // form leaks its damped mass every round, the conserving form
+    // spreads it uniformly
+    val edges = ((1L to 6L).map(s => (s, 0L)) ++ Seq((0L, 1L), (0L, 7L)))
+      .toDF("src", "dst")
+    val n = 8L
+    val init = n * (Crawl.PrScale / n)
+    val leak = Crawl.pageRank(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val keep = Crawl.pageRank(edges, iters = 5, conserveDangling = true)
+      .as[(Long, Long)].collect().toMap
+    // each round floors a handful of integer divisions (≤ a few units
+    // per node/edge, out of 1e12 per unit mass) — conservation holds
+    // to well under a millionth
+    assert(math.abs(keep.values.sum - init) < 1000000L,
+      s"conserving Σpr drifted: ${keep.values.sum} vs $init")
+    // the default really does leak (this graph has real dangling mass)
+    assert(leak.values.sum < keep.values.sum - Crawl.PrScale / 100L,
+      "leaking form should lose visible mass on a dangling graph")
+    // on this graph the uniform top-up leaves the ranking untouched
+    // (it can shift orderings in general — that's why the flag exists
+    // only for consumers of absolute VALUES)
+    val ord = (m: Map[Long, Long]) => m.toSeq.sortBy(r => (-r._2, r._1)).map(_._1)
+    assert(ord(leak) == ord(keep), "dangling redistribution reordered this fixture")
+    // determinism of the conserving form
+    val again = Crawl.pageRank(edges, iters = 5, conserveDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(again == keep)
+  }
 }
