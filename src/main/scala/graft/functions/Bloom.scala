@@ -119,10 +119,21 @@ object Bloom {
   /** Build a filter over a string column: one map-side-combined
     * aggregation — each partition fills a local m-bit buffer, buffers
     * OR-merge (m/8 bytes per partition through the 1-group exchange,
-    * independent of row count). `mBits` rounds up to a multiple of 64.
+    * independent of row count). `mBits` rounds UP TO A POWER OF TWO
+    * (min 64): h2's odd stride is coprime to m only when m = 2^t, so
+    * any other size would let the k probes collapse onto a subcycle
+    * (gcd(h2, m) > 1) and quietly raise the false-positive rate —
+    * false negatives stay impossible either way, but the FP bound is
+    * part of this filter's contract. The rounding costs < 2× bits and
+    * LOWERS the FP rate vs the requested size.
     */
   def fit(grams: DataFrame, gramCol: String, mBits: Int, k: Int = 5): Filter = {
-    val mWords = (mBits + 63) / 64
+    require(mBits >= 1 && mBits <= (1 << 30),
+      s"mBits must be in [1, 2^30], got $mBits")
+    val m =
+      if (mBits <= 64) 64
+      else Integer.highestOneBit(mBits - 1) << 1
+    val mWords = m / 64
     val agg = new BitAgg(mWords, k)
     import grams.sparkSession.implicits._
     val bits = grams.select(col(gramCol)).as[String]
@@ -140,11 +151,21 @@ object Bloom {
     toColumn(BloomHitsExpr(toExpression(grams), f.bits, f.k))
 }
 
-/** `array<string> -> int`: count of grams present in the filter. */
+/** `array<string> -> int`: count of grams present in the filter.
+  *
+  * equals/hashCode are BY-VALUE over the bit array: the case-class
+  * defaults compare `bits` by reference, so two probes against equal
+  * filters would never be `semanticEquals` — defeating common-
+  * subexpression elimination and plan canonicalization for repeated
+  * probes of the same filter.
+  */
 case class BloomHitsExpr(child: Expression, bits: Array[Long], k: Int)
   extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
+
+  override def equals(other: Any): Boolean = ExprEq.productEquals(this, other)
+  override def hashCode(): Int = ExprEq.productHash(this)
 
   override def nullSafeEval(input: Any): Any =
     Bloom.countHits(input.asInstanceOf[ArrayData], bits, k)

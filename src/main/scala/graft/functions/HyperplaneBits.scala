@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class HyperplaneBitsExpr(child: Expression, coefs: Array[Array[Double]])
   extends UnaryExpression {
 
+  // by-value over the coefficient matrix — see [[ExprEq]]
+  override def equals(o: Any): Boolean = ExprEq.productEquals(this, o)
+  override def hashCode(): Int = ExprEq.productHash(this)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {

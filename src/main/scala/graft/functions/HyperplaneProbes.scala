@@ -33,6 +33,10 @@ case class HyperplaneProbesExpr(child: Expression,
   require(coefs.length % planesPerBand == 0,
     s"${coefs.length} planes do not band evenly by $planesPerBand")
 
+  // by-value over the coefficient matrix — see [[ExprEq]]
+  override def equals(o: Any): Boolean = ExprEq.productEquals(this, o)
+  override def hashCode(): Int = ExprEq.productHash(this)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {

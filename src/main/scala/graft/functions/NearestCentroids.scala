@@ -34,6 +34,10 @@ case class NearestCentroidsExpr(child: Expression, centIds: Array[Long],
   require(n > 0 && centIds.length == centVecs.length &&
     centIds.length == centNrms.length)
 
+  // by-value over the centroid tables — see [[ExprEq]]
+  override def equals(o: Any): Boolean = ExprEq.productEquals(this, o)
+  override def hashCode(): Int = ExprEq.productHash(this)
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("cent_id", LongType, nullable = false),
     StructField("c_sim", DoubleType, nullable = false))),

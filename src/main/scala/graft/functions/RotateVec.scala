@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
 case class RotateVecExpr(child: Expression, m: Array[Array[Double]])
   extends UnaryExpression {
 
+  // by-value over the rotation matrix — see [[ExprEq]]
+  override def equals(o: Any): Boolean = ExprEq.productEquals(this, o)
+  override def hashCode(): Int = ExprEq.productHash(this)
+
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {

@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class SdcDotExpr(left: Expression, right: Expression,
   tbl: Array[Array[Array[Double]]]) extends BinaryExpression {
 
+  // by-value over the SDC lookup tables — see [[ExprEq]]
+  override def equals(o: Any): Boolean = ExprEq.productEquals(this, o)
+  override def hashCode(): Int = ExprEq.productHash(this)
+
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
