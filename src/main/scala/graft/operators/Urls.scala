@@ -21,8 +21,11 @@ object Urls {
 
   /** Deterministic crawl-frontier fixture derived from doc_id/source
     * (the corpus has no URL column): every 4th URL uppercases its
-    * host, every 5th carries a trailing slash, every 3rd a tracking
-    * query string, every 7th a fragment. SQL mirror: CTE `urls`.
+    * host, every 5th carries a trailing slash (which lands BEFORE any
+    * query — the `/?` boundary shape), every 3rd an all-tracking
+    * query string, every 11th (not also 3rd) a MIXED query whose
+    * non-utm params must survive, every 7th a fragment. SQL mirror:
+    * CTE `urls`.
     */
   private def urlFixture(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
@@ -33,6 +36,8 @@ object Urls {
         lit(".example.com/p/"), (col("doc_id") % 100).cast("string"),
         when(col("doc_id") % 5 === 0, "/").otherwise(""),
         when(col("doc_id") % 3 === 0, "?utm_source=feed&utm_campaign=x")
+          .when(col("doc_id") % 11 === 0,
+            "?ref=rss&utm_medium=email&page=2")
           .otherwise(""),
         when(col("doc_id") % 7 === 0, "#frag").otherwise("")).as("url"))
 
@@ -45,27 +50,51 @@ object Urls {
       |               ELSE 'https://' || source END) ||
       |         '.example.com/p/' || (doc_id % 100) ||
       |         (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
-      |         (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END) ||
+      |         (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x'
+      |               WHEN doc_id % 11 = 0 THEN '?ref=rss&utm_medium=email&page=2'
+      |               ELSE '' END) ||
       |         (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
       |  FROM documents
       |)""".stripMargin
 
   /** Canonical form: lowercase scheme+authority (path stays
-    * case-sensitive per RFC 3986), drop fragment, drop tracking query
-    * params (all-`utm_`-prefixed query strings removed whole), strip
-    * the trailing slash.
+    * case-sensitive per RFC 3986), drop fragment, strip `utm_*`
+    * tracking params INDIVIDUALLY (non-tracking params survive a
+    * mixed query string), normalize the `/?` path/query boundary, and
+    * strip the trailing slash — so `h/p/?page=2`, `h/p?page=2` and
+    * `h/p?utm_a=1&page=2#f` all collapse to `h/p?page=2`.
+    *
+    * The utm strip is three passes over the (fragment-free) string:
+    * interior `&utm_…` params vanish, then a leading `?utm_…&` hands
+    * the `?` to the first surviving param, then an all-utm `?utm_…`
+    * remnant drops whole. The boundary fix rewrites `…/?…` at the
+    * FIRST `?` only (`[^?]*` cannot cross one), so query content is
+    * never touched.
     */
   def canonical(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val noUtm = regexp_replace(noFrag, "\\?utm_[^#]*$", "")
-    val noSlash = regexp_replace(noUtm, "/$", "")
+    val noMid = regexp_replace(noFrag, "&utm_[^&]*", "")
+    val noLead = regexp_replace(noMid, "\\?utm_[^&]*&", "?")
+    val noUtm = regexp_replace(noLead, "\\?utm_[^&]*$", "")
+    val noBoundary = regexp_replace(noUtm, "^([^?]*)/\\?", "$1?")
+    val noSlash = regexp_replace(noBoundary, "/$", "")
     concat(lower(regexp_extract(noSlash, "^[^/]+//[^/]+", 0)),
       regexp_replace(noSlash, "^[^/]+//[^/]+", ""))
   }
 
+  // Same PATTERNS as the Spark side; dialect differences are flags
+  // and replacement syntax only. DuckDB's regexp_replace rewrites the
+  // FIRST match unless the 'g' flag is passed — the interior-utm pass
+  // must take it (several `&utm_…` params in one query); every other
+  // pattern matches at most once by construction. Group reference is
+  // `\1` (RE2), not `$1`.
   private def canonicalSql(e: String): String = {
-    val cleaned =
-      s"regexp_replace(regexp_replace(regexp_replace($e, '#.*$$', ''), '\\?utm_[^#]*$$', ''), '/$$', '')"
+    val noFrag = s"regexp_replace($e, '#.*$$', '')"
+    val noMid = s"regexp_replace($noFrag, '&utm_[^&]*', '', 'g')"
+    val noLead = s"regexp_replace($noMid, '\\?utm_[^&]*&', '?')"
+    val noUtm = s"regexp_replace($noLead, '\\?utm_[^&]*$$', '')"
+    val noBoundary = s"regexp_replace($noUtm, '^([^?]*)/\\?', '\\1?')"
+    val cleaned = s"regexp_replace($noBoundary, '/$$', '')"
     s"lower(regexp_extract($cleaned, '^[^/]+//[^/]+', 0)) || regexp_replace($cleaned, '^[^/]+//[^/]+', '')"
   }
 
