@@ -67,6 +67,15 @@ class StreamingBoilerplateSpec extends AnyFunSuite {
         .as[(String, Long)].collect().toMap
       assert(stream.keySet == batch.keySet,
         s"stream ${stream.keySet} vs batch ${batch.keySet}")
+      // the promotion count is a LOWER BOUND on the batch total: the
+      // stream stops counting at the threshold, the batch pass sees
+      // every sighting — the ordering relation behind the field's
+      // deliberately-different name, asserted rather than implied
+      stream.foreach { case (unit, atPromotion) =>
+        assert(atPromotion <= batch(unit),
+          s"unit '$unit': promotion count $atPromotion exceeds batch total ${batch(unit)}")
+        assert(atPromotion >= 2L, s"unit '$unit' promoted below the threshold")
+      }
     } finally q.stop()
   }
 }
