@@ -48,35 +48,68 @@ object Perplexity {
   def perplexity(s: SparkSession, d: String): DataFrame =
     score(Tables.documents(s, d)).orderBy(col("doc_id"))
 
-  /** Frame-based [[perplexity]] over any `(doc_id, text)` corpus. */
-  def score(docs: DataFrame): DataFrame = {
-    val toks = docs
+  /** `(doc_id, n_grams, b2, b1)` bucket frame — the shared tokenize +
+    * single native digest pass.
+    */
+  private def buckets(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
         (size(col("t")) - 1).cast("long").as("n_grams"),
         Md5Buckets.pairGrams(col("t"), B2).as("b2"),
         Md5Buckets.salted(col("t"), "", B1).as("b1"))
-    val ref = toks.filter(col("doc_id") % Corpus.EvalMod === 0)
-    // reference counts: bigram occurrences, and unigram CONTEXT
-    // occurrences (first n-1 positions — each bigram's left word)
-    val c2 = ref.select(explode(col("b2")).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val c1 = ref.select(explode(slice(col("b1"), lit(1), size(col("b1")) - 1)).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // each table rounds to micro-nats INDEPENDENTLY; the per-gram
-    // term is then an integer subtraction — bit-equal on any engine
-    val lam2: Array[Long] = Array.tabulate(B2) { b =>
-      math.floor(math.log((c2.getOrElse(b.toLong, 0L) + 1).toDouble) * 1e6 + 0.5).toLong
+
+  /** INCREMENTAL LM counts over a reference corpus: `(kind, b, c)`
+    * rows (kind 1 = unigram context, 2 = bigram), ≤ B1+B2 of them —
+    * raw counts only, so batches MERGE BY ADDITION
+    * ([[graft.operators.Relevance.bm25Stats]]'s contract applied to
+    * the LM): refreshing the reference model after an ingest batch
+    * never rescans old documents.
+    */
+  def refCounts(refDocs: DataFrame): DataFrame = {
+    val b = buckets(refDocs)
+    b.select(lit(2).as("kind"), explode(col("b2")).as("b"))
+      .unionAll(b.select(lit(1).as("kind"),
+        explode(slice(col("b1"), lit(1), size(col("b1")) - 1)).as("b")))
+      .groupBy(col("kind"), col("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+  }
+
+  /** Counts from a new reference batch fold in by addition — exact,
+    * any order.
+    */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy(col("kind"), col("b"))
+      .agg(sum(col("c")).cast("long").as("c"))
+
+  /** The two fixed-point log tables from a counts frame — each rounds
+    * to micro-nats INDEPENDENTLY, so the per-gram term is an integer
+    * subtraction, bit-equal on any engine. Bounded collect
+    * (≤ B1+B2 rows) under the bounded-statistic contract.
+    */
+  def lambdaTables(counts: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = counts.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lam2 = Array.tabulate(B2) { b =>
+      math.floor(math.log((rows.getOrElse((2, b.toLong), 0L) + 1).toDouble) * 1e6 + 0.5).toLong
     }
-    val lam1: Array[Long] = Array.tabulate(B1) { b =>
-      math.floor(math.log((c1.getOrElse(b.toLong, 0L) + B2).toDouble) * 1e6 + 0.5).toLong
+    val lam1 = Array.tabulate(B1) { b =>
+      math.floor(math.log((rows.getOrElse((1, b.toLong), 0L) + B2).toDouble) * 1e6 + 0.5).toLong
     }
+    (lam1, lam2)
+  }
+
+  /** Score `docs` against a FIXED pair of log tables — the serving
+    * face (and the streaming one: the tables are plain literals, so
+    * [[graft.streaming.StreamingPerplexity]] reuses this verbatim on
+    * a stream projection). Pure per-row fold, no shuffle.
+    */
+  def scoreWith(docs: DataFrame,
+    lam1: Array[Long], lam2: Array[Long]): DataFrame = {
     val lut2 = array(lam2.toSeq.map(lit): _*)
     val lut1 = array(lam1.toSeq.map(lit): _*)
-    toks.filter(col("doc_id") % Corpus.EvalMod =!= 0)
+    buckets(docs)
       .select(col("doc_id"), col("n_grams"),
         aggregate(
           zip_with(col("b2"), slice(col("b1"), lit(1), size(col("b1")) - 1),
@@ -86,6 +119,15 @@ object Perplexity {
       .withColumn("xent",
         TextSim.r6((col("xent_micro").cast("double") / 1000000.0) /
           col("n_grams")))
+  }
+
+  /** Frame-based [[perplexity]] over any `(doc_id, text)` corpus:
+    * calibrate on the held-out slice, score the rest.
+    */
+  def score(docs: DataFrame): DataFrame = {
+    val (lam1, lam2) = lambdaTables(
+      refCounts(docs.filter(col("doc_id") % Corpus.EvalMod === 0)))
+    scoreWith(docs.filter(col("doc_id") % Corpus.EvalMod =!= 0), lam1, lam2)
   }
 
   val perplexitySql: String =
