@@ -153,6 +153,34 @@ object ExplainAudit {
         !routedPlan.contains("SortMergeJoin") &&
         !routedPlan.contains("ShuffledHashJoin"))
 
+    // round-5 invariants
+    // q_perplexity: calibration is collected before the scoring plan
+    // exists, so scoring must be scan → project with NO exchange at all
+    val pplPlan = operators.Perplexity.score(Tables.documents(spark, d))
+      .queryExecution.executedPlan.toString
+    flag("perplexity scoring rides the scan (no Exchange, no Join)",
+      !pplPlan.contains("Exchange") && !pplPlan.contains("Join"))
+
+    // q_cdc_bounded: the clamped chunker keeps the unclamped shape —
+    // per-row kernel + posexplode, nothing keyed on the corpus
+    val cbPlan = operators.Cdc.boundedChunks(
+      Tables.documents(spark, d), 8, 32)
+      .queryExecution.executedPlan.toString
+    flag("bounded CDC chunks: per-row kernel, no Exchange, no Join",
+      !cbPlan.contains("Exchange") && !cbPlan.contains("Join"))
+
+    // PostingsStore.search: doc length rides the postings — the plan
+    // may touch ONLY the pruned postings buckets and the 1-row stats
+    val postDir = java.nio.file.Files.createTempDirectory("audit_post_").toString
+    graft.sources.PostingsStore.build(
+      Tables.documents(spark, d).limit(200), postDir)
+    val postPlan = graft.sources.PostingsStore
+      .search(spark, postDir, Seq("spark", "query"))
+      .queryExecution.executedPlan.toString
+    flag("postings search: pruned buckets + 1-row stats only (no doclens scan)",
+      "PartitionFilters: \\[[^\\]]*bkt".r.findFirstIn(postPlan).isDefined &&
+        !postPlan.contains("doclens"))
+
     spark.stop()
   }
 }
