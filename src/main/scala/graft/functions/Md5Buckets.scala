@@ -63,6 +63,58 @@ object Md5Kit {
     }
     new GenericArrayData(out)
   }
+
+  /** 28 bits read from hex chars [7r+1, 7r+7] of the digest — the
+    * window the oracle mirrors as
+    * `('0x' || substr(md5(g), 7r+1, 7))::BIGINT`. r in [0, 4): four
+    * disjoint windows per 32-hex digest.
+    */
+  private def window28(d: Array[Byte], r: Int): Long = {
+    val o = 7 * r // first nibble index
+    var v = 0L
+    var t = 0
+    while (t < 7) {
+      val j = o + t
+      val nib = if ((j & 1) == 0) (d(j >> 1) & 0xF0) >> 4 else d(j >> 1) & 0x0F
+      v = (v << 4) | nib
+      t += 1
+    }
+    v
+  }
+
+  /** `depth` buckets per element off ONE digest pass, flat row-major:
+    * out[i·depth + r] = window28(md5(salt + elem_i), r) % mod. The
+    * multi-row sketch hash ([[Cms]]) at one md5 per element instead of
+    * depth.
+    */
+  def multiBuckets(arr: ArrayData, salt: Array[Byte], mod: Long,
+    depth: Int): ArrayData = {
+    val md = tl.get()
+    val n = arr.numElements()
+    val out = new Array[Long](n * depth)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      if (salt.nonEmpty) md.update(salt)
+      md.update(arr.getUTF8String(i).getBytes)
+      val d = md.digest()
+      var r = 0
+      while (r < depth) {
+        out(i * depth + r) = window28(d, r) % mod
+        r += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Driver-side twin of [[multiBuckets]] for one string. */
+  def multiBucketOfString(s: String, mod: Long, depth: Int): Array[Long] = {
+    val md = tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    Array.tabulate(depth)(r => window28(d, r) % mod)
+  }
 }
 
 /** `array<string> -> array<long>` of md5 buckets; `pair = true` emits
@@ -88,6 +140,31 @@ case class Md5BucketsExpr(child: Expression, salt: String, mod: Long,
     copy(child = newChild)
 }
 
+/** `array<string> -> array<long>` flat row-major multi-window buckets
+  * — `depth` sketch rows per element from one digest.
+  */
+case class Md5MultiBucketsExpr(child: Expression, salt: String, mod: Long,
+  depth: Int) extends UnaryExpression {
+
+  require(depth >= 1 && depth <= 4, "four 28-bit windows per digest")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val saltBytes = salt.getBytes("UTF-8")
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Kit.multiBuckets(input.asInstanceOf[ArrayData], saltBytes, mod, depth)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("bucketSalt", saltBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Md5Kit.multiBuckets($a, $sRef, ${mod}L, $depth);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MultiBucketsExpr =
+    copy(child = newChild)
+}
+
 object Md5Buckets {
   /** Per-element buckets of `salt + elem`. */
   def salted(arr: Column, salt: String, mod: Long): Column =
@@ -96,4 +173,8 @@ object Md5Buckets {
   /** Adjacent-pair (word-bigram) buckets — n-1 entries. */
   def pairGrams(arr: Column, mod: Long): Column =
     toColumn(Md5BucketsExpr(toExpression(arr), "", mod, pair = true))
+
+  /** `depth` buckets per element, flat row-major, one digest/element. */
+  def multi(arr: Column, mod: Long, depth: Int): Column =
+    toColumn(Md5MultiBucketsExpr(toExpression(arr), "", mod, depth))
 }
