@@ -109,48 +109,63 @@ object Crawl {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val n = nodes.count()
     val base = (3L * PrScale) / (20L * n) // 0.15/N in fixed point
-    // nodes with no out-edges: their rank has nowhere to flow. Static
-    // over the iteration, so computed once; only consulted when
-    // conserving.
-    lazy val dangling = nodes
-      .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-      .persist()
+    // When conserving, the node frame carries a static has_out flag so
+    // each round's dangling mass can ride the round's materialization
+    // as an observe() metric (the Components-fixpoint discipline) —
+    // round i needs only Σ pr_{i-1}[¬has_out], which round i-1's
+    // action already computed. No per-round aggregate job, no
+    // broadcast subtree re-deriving unmaterialized lineage.
+    val nodesF =
+      if (!conserveDangling) nodes
+      else nodes
+        .join(e.select(col("src").as("node")).distinct()
+          .withColumn("has_out", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
+        .persist()
+    // round 1's mass is exact without a scan: every node starts at the
+    // same literal, so dm = |dangling| · (PrScale div n)
+    var dm: Long =
+      if (conserveDangling) nodesF.filter(!col("has_out")).count() * (PrScale / n)
+      else 0L
     var pr = nodes.select(col("node"), lit(PrScale / n).as("pr"))
     for (i <- 1 to iters) {
       val contrib = pr.join(e, pr("node") === e("src"))
         .join(outdeg, "src")
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      val next =
-        if (!conserveDangling)
-          nodes
-            .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-            .select(col("node"),
-              (lit(base) + expr("(850 * coalesce(m, 0)) div 1000")).as("pr"))
-        else {
-          // this round's dangling mass, as a 1-row broadcast past the
-          // node frame (the bounded-statistic crossJoin idiom — no
-          // driver collect inside the loop). Each node receives an
-          // equal integer share; the < n units lost to the floor are
-          // the "within fixed-point rounding" of the conservation
-          // theorem.
-          val dm = pr.join(dangling, Seq("node"), "left_semi")
-            .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
-          nodes
-            .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-            .crossJoin(broadcast(dm))
-            .select(col("node"),
-              (lit(base) + expr(
-                s"(850 * (coalesce(m, 0) + (dm div ${n}L))) div 1000")).as("pr"))
-        }
-      // materialize every SECOND round: rank frames are constant-size
-      // (unlike shrinking BFS frontiers), so two rounds of lineage are
-      // safe and the eager-checkpoint job count halves — measured 2×
-      // on the per-round fixed overhead that dominates small graphs
-      pr = if (i % 2 == 0 || i == iters) Iterate.materialize(next, checkpointDir)
-      else next
+      if (!conserveDangling) {
+        val next = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr("(850 * coalesce(m, 0)) div 1000")).as("pr"))
+        // materialize every SECOND round: rank frames are constant-size
+        // (unlike shrinking BFS frontiers), so two rounds of lineage are
+        // safe and the eager-checkpoint job count halves — measured 2×
+        // on the per-round fixed overhead that dominates small graphs
+        pr = if (i % 2 == 0 || i == iters) Iterate.materialize(next, checkpointDir)
+        else next
+      } else {
+        // each node receives an equal integer share of the stranded
+        // mass; the < n units lost to the floor are the "within
+        // fixed-point rounding" of the conservation theorem. dm is a
+        // driver-side long (bounded statistic), so the share is a
+        // constant-folded literal.
+        val next = nodesF
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"), col("has_out"),
+            (lit(base) + expr(
+              s"(850 * (coalesce(m, 0) + ${dm / n}L)) div 1000")).as("pr"))
+        // conserve rounds materialize EVERY round: the next round's dm
+        // rides this action as an observation instead of costing a job
+        val obs = org.apache.spark.sql.Observation()
+        pr = Iterate.materialize(
+          next.observe(obs,
+            sum(when(!col("has_out"), col("pr")).otherwise(0L)).as("dm")),
+          checkpointDir).select(col("node"), col("pr"))
+        dm = obs.get("dm").asInstanceOf[Long]
+      }
     }
-    if (conserveDangling) dangling.unpersist()
+    if (conserveDangling) nodesF.unpersist()
     nodes.unpersist(); e.unpersist()
     pr
   }
