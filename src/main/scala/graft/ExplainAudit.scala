@@ -181,6 +181,37 @@ object ExplainAudit {
       "PartitionFilters: \\[[^\\]]*bkt".r.findFirstIn(postPlan).isDefined &&
         !postPlan.contains("doclens"))
 
+    // q_semdedup: assignment is the broadcast argmax kernel (never a
+    // centroid join) and the within-cell pair join is salted
+    val sdPlan = operators.SemDedup.semdedup(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("semdedup: argmax-kernel assignment + salted within-cell pair join",
+      sdPlan.toLowerCase.contains("nearestcentroids") &&
+        sdPlan.contains("__salt") && !sdPlan.contains("CartesianProduct"))
+
+    // q_nb_classify scoring: the classifier tables are literals, so
+    // the scoring subtree is scan → project (the calibration groupBy
+    // is the only aggregation anywhere in the plan)
+    val nbModel = operators.NaiveBayes.fit(
+      operators.NaiveBayes.counts(
+        Tables.documents(spark, d)
+          .filter(col("doc_id") % operators.Corpus.EvalMod === 0)),
+      Seq("en", "zh", "es", "de", "fr"))
+    val nbPlan = operators.NaiveBayes.scoreWith(
+      Tables.documents(spark, d), nbModel)
+      .queryExecution.executedPlan.toString
+    flag("nb classifier scoring rides the scan (no Exchange, no Join)",
+      !nbPlan.contains("Exchange") && !nbPlan.contains("Join"))
+
+    // q_dup_score serve: the CMS counters are a reference object on a
+    // native kernel — scoring is scan → project, zero shuffle
+    val dupSk = operators.DupScore.fitCorpus(Tables.documents(spark, d))
+    val dupPlan = operators.DupScore.scoreWith(
+      Tables.documents(spark, d), dupSk)
+      .queryExecution.executedPlan.toString
+    flag("CMS dup scoring rides the scan (no Exchange, no Join)",
+      !dupPlan.contains("Exchange") && !dupPlan.contains("Join"))
+
     spark.stop()
   }
 }

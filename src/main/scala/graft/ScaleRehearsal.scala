@@ -111,6 +111,31 @@ object ScaleRehearsal {
     t("dsir_weights") {
       operators.Corpus.dsirWeights(docs).count()
     }
+    // semantic dedup under maximal duplication: every clone set lands
+    // in ONE cell, so the within-cell pair scan is exactly the viral
+    // case the salted self-join exists for
+    t("semdedup") {
+      val base = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", operators.Ann.norm(col("embedding")))
+      val cents = base.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      operators.SemDedup.dedup(vecs, cents).filter(!col("is_dup")).count()
+    }
+    // CMS duplication scoring: fit + serve are two linear scans; the
+    // replication multiplies every shingle df by mult, so template
+    // scores must scale with mult while the pass cost stays linear
+    t("dup_score") {
+      val sk = operators.DupScore.fitCorpus(docs)
+      operators.DupScore.scoreWith(docs, sk).count()
+    }
+    // NB classifier train+score: both linear scans (labels synthesized
+    // from ids — the rehearsal docs frame carries no metadata)
+    t("nb_classify") {
+      operators.NaiveBayes.classify(docs.withColumn("lang",
+        concat(lit("l"), (col("doc_id") % 5).cast("string")))).count()
+    }
     // the ANN serving path under the same multiplicative stress:
     // build once (train + one-pass encode of the replicated corpus),
     // append a same-sized new batch with the STORED quantizers, then

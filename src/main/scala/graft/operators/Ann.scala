@@ -108,6 +108,51 @@ object Ann {
     topKNeighbors(s, e, e.filter(col("vec_id") % 100 === 0), TopK)
   }
 
+  /** q_ann_filtered — METADATA-FILTERED vector search (the vector-store
+    * query-with-filter capability: "nearest English documents", the
+    * reference store's namespace/metadata filtering generalized): exact
+    * top-k among only the corpus vectors whose joined document row
+    * passes the predicate (lang = 'en' here; vec_id = doc_id). The
+    * filter lands as a semi-join on the CORPUS side before scoring —
+    * at scale both tables bucket by id so the restriction is
+    * exchange-free, and the search itself keeps the broadcast-queries
+    * partial-top-k shape. The stored-index twin is
+    * [[graft.sources.IndexStore]]'s `searchFiltered` (same semantics
+    * over PQ codes, probes pruned first, tested against this exact
+    * baseline).
+    */
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val allowed = Tables.documents(s, d)
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    topKNeighbors(s, e.join(allowed, Seq("vec_id"), "left_semi"),
+      e.filter(col("vec_id") % 100 === 0), TopK)
+  }
+
+  val annFilteredSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+       |), e AS (
+       |  SELECT e0.* FROM e0
+       |  JOIN documents d ON d.doc_id = e0.vec_id AND d.lang = 'en'
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM e0 WHERE vec_id % 100 = 0
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         ${cosineSql("q.q_emb", "q.q_nrm", "e.embedding", "e.nrm")} AS cos_sim
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank::BIGINT AS rank, vec_id, cos_sim
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val bruteForceSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings

@@ -496,4 +496,78 @@ object Corpus {
        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
        |FROM terms GROUP BY term
        |ORDER BY tf DESC, term LIMIT $VocabTopK""".stripMargin
+
+  /** Semantic mix audit: the [[domainMix]] report keyed by EMBEDDING
+    * CLUSTER × source instead of metadata alone — the view behind
+    * cluster-balanced sampling (is one semantic region dominated by a
+    * single source? is a source contributing nothing to a region the
+    * mix wants?). Metadata mixing balances where documents CAME from;
+    * this exposes what they're ABOUT.
+    *
+    * Scale shape: assignment is the shuffle-free broadcast argmax
+    * ([[graft.functions.NearestCentroids]]); the id join co-locates by
+    * doc/vec id (bucket both tables by id at 100 TB and it's
+    * exchange-free); the group fold is one partial agg to
+    * ≤ nlist × |sources| rows, and per-cluster totals broadcast back.
+    */
+  def clusterMix(docs: DataFrame, vectors: DataFrame,
+    cents: DataFrame): DataFrame = {
+    val assigned = vectors
+      .withColumn("nc",
+        graft.functions.NearestCentroids.fromFrame(col("embedding"), cents, 1))
+      .select(col("vec_id"),
+        element_at(col("nc"), 1).getField("cent_id").as("cent_id"))
+    val counts = assigned
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .groupBy(col("cent_id"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val totals = counts.groupBy(col("cent_id"))
+      .agg(sum(col("n_docs")).cast("long").as("t"))
+    counts.join(broadcast(totals), "cent_id")
+      .select(col("cent_id"), col("source"), col("n_docs"),
+        TextSim.r6(col("n_docs").cast("double") / col("t")).as("share"))
+      .orderBy(col("cent_id"), col("source"))
+  }
+
+  /** q_cluster_mix — [[clusterMix]] over the documents ⋈ embeddings
+    * corpus (vec_id = doc_id) with the deterministic mod-25 centroids
+    * shared with q_ann_ivf.
+    */
+  def clusterMixQuery(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Ann.norm(col("embedding")))
+    val cents = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    clusterMix(Tables.documents(s, d), e, cents)
+  }
+
+  val clusterMixSql: String = {
+    import Ann.{cosineSql, dotSql}
+    val nrm = s"sqrt(${dotSql("embedding", "embedding")})"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $nrm AS nrm FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM e WHERE vec_id % 25 = 0
+       |), assigned AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${cosineSql("e.embedding", "e.nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |             c.cent_id) AS rk
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE rk = 1
+       |), counts AS (
+       |  SELECT a.cent_id, d.source, count(*)::BIGINT AS n_docs
+       |  FROM assigned a JOIN documents d ON d.doc_id = a.vec_id
+       |  GROUP BY a.cent_id, d.source
+       |), tot AS (
+       |  SELECT cent_id, sum(n_docs)::BIGINT AS t FROM counts GROUP BY cent_id
+       |)
+       |SELECT c.cent_id, c.source, c.n_docs,
+       |       ${TextSim.r6Sql("c.n_docs::DOUBLE / t.t")} AS share
+       |FROM counts c JOIN tot t ON t.cent_id = c.cent_id
+       |ORDER BY c.cent_id, c.source""".stripMargin
+  }
 }

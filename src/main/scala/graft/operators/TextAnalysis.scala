@@ -224,10 +224,11 @@ object TextAnalysis {
     * (the SQL mirror of [[filterSignals]]'s `passthrough`).
     */
   /** [[signalsSqlCte]] for sibling operators' oracle SQL. */
-  private[operators] def signalsSqlCteFor(pt: String): String =
-    signalsSqlCte(pt)
+  private[operators] def signalsSqlCteFor(pt: String,
+    from: String = "documents"): String =
+    signalsSqlCte(pt, from)
 
-  private def signalsSqlCte(pt: String): String = {
+  private def signalsSqlCte(pt: String, from: String = "documents"): String = {
     val en = hitsSql("t", Profiles.head._2)
     val de = hitsSql("t", Profiles(1)._2)
     val fr = hitsSql("t", Profiles(2)._2)

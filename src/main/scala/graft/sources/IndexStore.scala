@@ -732,6 +732,39 @@ object IndexStore {
       Ann.rankCodes(spark, lists, probes, books, k)
     }
 
+    /** METADATA-FILTERED [[search]] (the vector-store
+      * query-with-filter capability): candidates are restricted to
+      * `allowed` ids by a semi-join applied AFTER partition pruning —
+      * the join touches only the nprobe/nlist of storage the probe
+      * already reads, never the corpus, and the allowed side is
+      * typically a metadata predicate frame (bucket it by id at scale
+      * and the semi-join is exchange-free). Raise `nprobe` (or pass
+      * `margin`) under selective filters: a filter that empties the
+      * probed lists needs wider probes to fill k — the classic
+      * filtered-ANN recall trade, left to the caller's knob. Semantics
+      * tested against the exact brute-filtered baseline
+      * (q_ann_filtered's oracle-checked shape).
+      */
+    def searchFiltered(queries: DataFrame, allowed: DataFrame,
+      k: Int = Ann.TopK, nprobe: Int = Ann.NProbe,
+      margin: Option[Double] = None,
+      routeWidth: Int = RouteWidth): DataFrame = {
+      val q = transformIn(
+        queries.select(col("vec_id"), col("embedding")), perm, rot)
+        .withColumn("nrm", Ann.norm(col("embedding")))
+      val probes =
+        if (ktop > 0) routedAdcProbes(q, nprobe, margin, routeWidth, None)
+        else Ann.adcProbes(q, centsLocal, books, dim, nprobe, margin)
+      val probed = probes.select(col("cent_id")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val lists = spark.read.parquet(listsLocation)
+        .filter(col("cent_id").isin(probed.map(_.toInt): _*))
+        .select(col("cent_id").cast("long").as("cent_id"),
+          col("vec_id"), col("codes"), col("rec_nrm"))
+        .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      Ann.rankCodes(spark, lists, probes, books, k)
+    }
+
     /** [[search]] plus ONE hop of [[buildNeighbors]] expansion: the
       * shortlist's stored neighbors (a broadcast join of the |Q|·k
       * shortlist against the neighbor table) become extra candidates,

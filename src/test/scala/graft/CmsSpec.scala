@@ -67,6 +67,31 @@ class CmsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed dup scoring equals batch bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val sk = DupScore.fitCorpus(docs)
+    val batch = DupScore.scoreWith(docs, sk)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val (m1, m2) = rows.splitAt(rows.length / 2)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDupScore(
+      mem.toDF().toDF("doc_id", "text"), sk)
+      .writeStream.format("memory").queryName("dup_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(m1.toSeq)
+      q.processAllAvailable()
+      mem.addData(m2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dup_t")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("scale shape: scoring rides the scan — no exchange, no join") {
     val docs = Tables.documents(spark, sf)
     val sk = DupScore.fitCorpus(docs)

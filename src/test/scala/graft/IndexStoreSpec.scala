@@ -35,6 +35,45 @@ class IndexStoreSpec extends AnyFunSuite {
         s"(first diff: ${stored.zip(direct).find(p => p._1 != p._2)})")
   }
 
+  test("filtered search: only allowed ids, plan stays pruned, full-probe ids match brute-filtered") {
+    val allowed = vecs.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"))
+    val h = IndexStore.open(spark, path)
+    val out = h.searchFiltered(queries, allowed, k = 10, nprobe = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(plan).isDefined,
+      "filter must not defeat partition pruning")
+    val rows = out.as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val allowedSet = allowed.as[Long].collect().toSet
+    assert(rows.forall(r => allowedSet(r._3)),
+      "every hit must pass the metadata filter")
+    // full-width probes give exact candidate COVERAGE, so raw overlap
+    // vs the exact brute-filtered baseline measures only PQ
+    // quantization (the recall-ladder bar); the exact re-rank of a
+    // 30-deep filtered shortlist must then recover serving-grade
+    // overlap (the q_ann_rerank composition, filtered)
+    val vecsAllowed = vecs.join(allowed, Seq("vec_id"), "left_semi")
+    val brute = Ann.topKNeighbors(spark, vecsAllowed, queries, 10)
+      .as[(Long, Long, Long, Double)].collect()
+    def overlapOf(hits: Array[(Long, Long, Long, Double)]): Double = {
+      val byQ = hits.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+      val per = brute.groupBy(_._1).map { case (q, bs) =>
+        val got = byQ.getOrElse(q, Set.empty)
+        bs.count(b => got(b._3)).toDouble / bs.length
+      }
+      per.sum / per.size
+    }
+    val raw = overlapOf(rows)
+    assert(raw >= 0.25, s"raw filtered PQ overlap $raw below the ladder bar")
+    val short30 = h.searchFiltered(queries, allowed, k = 30, nprobe = 8)
+    val reranked = Ann.rerank(spark, vecsAllowed, queries, short30, k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    val rr = overlapOf(reranked)
+    assert(rr >= raw, s"re-rank overlap $rr must not trail raw $rr")
+    assert(rr >= 0.5, s"re-ranked filtered overlap $rr too low to serve")
+  }
+
   test("probe is a partition-pruned read; the stored side is never shuffled") {
     val sdf = IndexStore.search(spark, queries, path, k = 10, nprobe = 2)
     val plan = sdf.queryExecution.executedPlan.toString
