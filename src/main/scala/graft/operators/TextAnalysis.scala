@@ -244,7 +244,7 @@ object TextAnalysis {
        |         len(${TextSim.shingles3Sql("t")})::BIGINT AS n_distinct
        |  FROM (SELECT doc_id$pt, text,
        |               list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |        FROM documents)
+       |        FROM $from)
        |  WHERE len(t) >= 3
        |), scored AS (
        |  SELECT doc_id$pt,
