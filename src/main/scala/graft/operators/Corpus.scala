@@ -497,6 +497,62 @@ object Corpus {
        |FROM terms GROUP BY term
        |ORDER BY tf DESC, term LIMIT $VocabTopK""".stripMargin
 
+  /** Per-source LEXICAL DIVERSITY report — type-token ratio and hapax
+    * fraction by domain: the Heaps'-law observability the mixing stage
+    * reads next to [[domainMix]]'s volume shares (a domain with
+    * collapsing TTR at volume is template/boilerplate mass — cap it;
+    * a high-hapax domain is vocabulary the tokenizer hasn't priced —
+    * see q_fertility). Two partial-agg groupBys: (source, term) term
+    * frequencies fold map-side, then ≤|vocab| aggregated rows fold to
+    * ≤|domains|; the per-source doc counts broadcast back. The corpus
+    * never shuffles on doc_id.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(TextSim.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val perSource = tf.groupBy(col("source"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_terms"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).cast("long").as("hapax"))
+    val nd = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    perSource.join(broadcast(nd), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_terms"),
+        TextSim.r6(col("n_terms").cast("double") / col("n_tokens")).as("ttr"),
+        col("hapax"),
+        TextSim.r6(col("hapax").cast("double") / col("n_terms"))
+          .as("hapax_frac"))
+  }
+
+  /** q_lexical_diversity — [[lexicalDiversity]] over the documents
+    * corpus.
+    */
+  def lexicalDiversityQuery(s: SparkSession, d: String): DataFrame =
+    lexicalDiversity(Tables.documents(s, d)).orderBy(col("source"))
+
+  val lexicalDiversitySql: String =
+    s"""WITH terms AS (
+       |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT source, term, count(*)::BIGINT AS tf
+       |  FROM terms GROUP BY source, term
+       |), per_source AS (
+       |  SELECT source, sum(tf)::BIGINT AS n_tokens, count(*)::BIGINT AS n_terms,
+       |         sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+       |  FROM tf GROUP BY source
+       |), nd AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+       |)
+       |SELECT p.source, nd.n_docs, p.n_tokens, p.n_terms,
+       |       ${TextSim.r6Sql("p.n_terms::DOUBLE / p.n_tokens")} AS ttr,
+       |       p.hapax,
+       |       ${TextSim.r6Sql("p.hapax::DOUBLE / p.n_terms")} AS hapax_frac
+       |FROM per_source p JOIN nd ON nd.source = p.source
+       |ORDER BY p.source""".stripMargin
+
   /** Semantic mix audit: the [[domainMix]] report keyed by EMBEDDING
     * CLUSTER × source instead of metadata alone — the view behind
     * cluster-balanced sampling (is one semantic region dominated by a
