@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextSim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-ordered joins the built-in equi-join can't express directly:
+  * per-key AS-OF (latest right row at or before each left row) and
+  * point-in-interval range joins. Both are implemented as single-
+  * shuffle equi-join/window plans — never an inequality join, which
+  * Spark executes as BroadcastNestedLoop/cartesian and which dies at
+  * corpus scale.
+  *
+  * Reference behavior: the ETL's incremental scheduling compares each
+  * page's `last_edited_time` against the latest prior snapshot row
+  * (`Notion_openai_vector_etl.py:383-401` keeps per-page freshest
+  * state) — an as-of lookup; the windows here generalize it to any
+  * keyed event timeline.
+  */
+object TimeJoin {
+
+  /** AS-OF join: for every left row, attach the LATEST right row with
+    * `right.ts <= left.ts` in the same `key` group (null columns when
+    * no prior right row exists — left rows are never dropped).
+    *
+    * Plan shape: tag the sides, union, one window over
+    * `(key; ts, side)` with a `last(ignoreNulls)` carry, filter back
+    * to left rows. ONE shuffle on `key`, an in-partition sort, zero
+    * inequality joins — at 10⁹ rows/key-partition this is the same
+    * cost as sessionization, while the naive
+    * `l JOIN r ON l.k = r.k AND r.ts <= l.ts` + max-window plan
+    * explodes to |l|·|r| pairs per key first. Right rows sort before
+    * left rows at equal `ts` (side 0 < 1), so an exactly-simultaneous
+    * right row IS matched — the `>=` convention of SQL ASOF JOIN.
+    *
+    * Right's carried columns ride in ONE struct so `last(ignoreNulls)`
+    * skips only missing-side rows, never a legitimately-null field
+    * inside a matched row (per-column carries would resurrect older
+    * values for null fields).
+    *
+    * Determinism requires `right` unique on `(key, ts)` — dedup first
+    * (the query below keeps `max(event_id)` per instant); ties between
+    * distinct right rows at one instant have no defined winner in any
+    * engine. Skewed keys inherit the usual window caveat: a single
+    * key's timeline must fit one partition's sort — salt upstream if a
+    * key exceeds that.
+    */
+  def asOfPrior(left: DataFrame, right: DataFrame, key: String, ts: String,
+                prefix: String = "asof_"): DataFrame = {
+    val lOther = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val rCarry = right.columns.toSeq.filterNot(c => c == key || c == ts)
+    val packed = struct((col(ts).as("_rts") +: rCarry.map(col)): _*)
+    val rPart = right
+      .select((Seq(col(key), col(ts), lit(0).as("_side"), packed.as("_rpack")) ++
+        lOther.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val packType = rPart.schema("_rpack").dataType
+    val lPart = left
+      .select((Seq(col(key), col(ts), lit(1).as("_side"),
+        lit(null).cast(packType).as("_rpack")) ++ lOther.map(col)): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lPart.unionByName(rPart)
+      .withColumn("_m", last(col("_rpack"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    matched.select((Seq(col(key), col(ts)) ++ lOther.map(col) ++
+      (col("_m._rts").as(s"$prefix$ts") +:
+        rCarry.map(c => col(s"_m.$c").as(s"$prefix$c")))): _*)
+  }
+
+  /** Point-in-interval join: pairs of (point, interval) with
+    * `lo <= pt < hi`, keyless. Implemented as a bucketed EQUI-join:
+    * grid time into `bucketWidth` cells, explode each interval onto
+    * the (at most ⌈len/width⌉+1) cells it overlaps, equi-join on the
+    * cell, keep the exact residual predicate. Spark would otherwise
+    * plan a keyless inequality join as BroadcastNestedLoop — a
+    * |points|·|intervals| scan. Here shuffle volume is
+    * |points| + |intervals|·cells, and cells stays O(1) when
+    * `bucketWidth` ≈ interval length. Time-uniform cells make the join
+    * skew-free; a pair lands exactly once (a point has one cell, an
+    * interval holds each cell at most once).
+    */
+  def pointsInIntervals(points: DataFrame, intervals: DataFrame,
+                        pt: String, lo: String, hi: String,
+                        bucketWidth: Long): DataFrame = {
+    val iv = intervals.withColumn("_b",
+      explode(sequence(col(lo).divide(bucketWidth).cast("long"),
+        (col(hi) - 1).divide(bucketWidth).cast("long"))))
+    val p = points.withColumn("_b", col(pt).divide(bucketWidth).cast("long"))
+    p.join(iv, p("_b") === iv("_b") && p(pt) >= iv(lo) && p(pt) < iv(hi))
+      .drop("_b")
+  }
+
+  private val WinUs = 600000000L // 10-minute incident window, in µs
+
+  /** q_asof_join — each purchase event annotated with the user's
+    * latest click at-or-before it (ASOF semantics): click id, its
+    * instant, and the gap. Clicks are pre-deduped to one row per
+    * (user, instant) so the match is well-defined. Timestamps are
+    * emitted as epoch-µs BIGINTs — exact, no format-parity risk.
+    */
+  def asOfJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    asOfPrior(purchases, clicks, "user_id", "ts", prefix = "click_")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        TextSim.r4(col("value")).as("value"),
+        col("click_click_id").as("click_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val asOfJoinSql: String =
+    s"""WITH l AS (
+       |  SELECT event_id, user_id, ts, value FROM events
+       |  WHERE event_type = 'purchase'
+       |), r AS (
+       |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+       |  WHERE event_type = 'click' GROUP BY user_id, ts
+       |)
+       |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       |       ${TextSim.r4Sql("l.value")} AS value,
+       |       r.click_id, epoch_us(r.ts) AS click_ts_us,
+       |       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+       |FROM l ASOF LEFT JOIN r
+       |  ON l.user_id = r.user_id AND l.ts >= r.ts
+       |ORDER BY event_id""".stripMargin
+
+  /** q_range_join — keyless interval aggregation: purchases falling in
+    * the 10 minutes after each error event (count + summed value),
+    * zero-match errors kept at 0. The DuckDB oracle states it as the
+    * declarative inequality join; the Spark side runs the bucketed
+    * equi-join above — same answer, scale-safe plan.
+    */
+  def rangeJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("lo"))
+      .withColumn("hi", col("lo") + WinUs)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("t"), col("value"))
+    val hits = pointsInIntervals(purch, errs, "t", "lo", "hi", WinUs)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n"), TextSim.dsum(col("value")).as("sv"))
+    errs.join(hits, Seq("event_id"), "left")
+      .select(col("event_id"), col("lo").as("win_start_us"),
+        coalesce(col("n"), lit(0L)).as("n_purchases"),
+        TextSim.r4(coalesce(col("sv"), lit(0.0))).as("sum_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_us(ts) AS lo FROM events
+       |  WHERE event_type = 'error'
+       |), p AS (
+       |  SELECT epoch_us(ts) AS t, value FROM events
+       |  WHERE event_type = 'purchase'
+       |)
+       |SELECT e.event_id, e.lo AS win_start_us,
+       |       count(p.t) AS n_purchases,
+       |       ${TextSim.r4Sql(s"coalesce(${TextSim.dsumSql("p.value")}, 0)")} AS sum_value
+       |FROM e LEFT JOIN p
+       |  ON p.t >= e.lo AND p.t < e.lo + $WinUs
+       |GROUP BY e.event_id, e.lo
+       |ORDER BY event_id""".stripMargin
+}
