@@ -102,13 +102,13 @@ object Bench {
     // under that with room for the query count to grow. Full-precision
     // doubles put 67 queries + spread at ~4.5 KB and the round-4
     // artifact captured only the tail of the spread map.
-    def num(v: Double): String = {
-      val s = f"$v%.3f"
+    def num(v: Double, dec: Int = 3): String = {
+      val s = String.format(s"%.${dec}f", Double.box(v))
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t.dropRight(1) else t
     }
-    val qs = results.map { case (k, v, _, ok) =>
-      jstr(k) + ":" + (if (ok) num(v) else "-1")
+    def qsAt(dec: Int): String = results.map { case (k, v, _, ok) =>
+      jstr(k) + ":" + (if (ok) num(v, dec) else "-1")
     }.mkString("{", ",", "}")
     // per-query |t1 - t2| alongside the min: a noisy environment shows
     // up as spread, so a driver-side inflation (the r3 contention
@@ -131,13 +131,18 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] side-file write failed: $e")
     }
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
-    // hard budget: the driver's tail keeps ~2000 chars; stay far below.
-    // If query growth ever pushes past it, drop the errors map first
-    // (it is duplicated in the side file) rather than lose the times.
-    val out =
-      if (line.length < 1800) line
-      else s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}}"""
+    // hard budget: the driver's tail keeps ~2000 chars; stay far below
+    // (target < 1500). Degrade gracefully as the query count grows:
+    // 3-decimal times → 2-decimal (10 ms resolution, still well under
+    // the 1.3× regression threshold) → drop the empty-or-duplicated
+    // errors map (it is also in the side file) — never lose the times.
+    def lineAt(dec: Int, withErrors: Boolean): String = {
+      val err = if (withErrors) s""","errors":$errJson""" else ""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qsAt(dec)}$err,"sf":${jstr(sfDir)}}"""
+    }
+    val out = Seq(lineAt(3, true), lineAt(2, true), lineAt(2, false))
+      .find(_.length < 1500)
+      .getOrElse(lineAt(2, false))
     System.err.println(s"[bench] metric line length = ${out.length}")
     println(out)
     System.out.flush()

@@ -212,6 +212,23 @@ object ExplainAudit {
     flag("CMS dup scoring rides the scan (no Exchange, no Join)",
       !dupPlan.contains("Exchange") && !dupPlan.contains("Join"))
 
+    // TimeJoin trio: AS-OF must be union+window (no join at all in the
+    // match), and the keyless range/overlap joins must stay bucketed
+    // equi-joins — never the BroadcastNestedLoop Spark plans for a
+    // declarative inequality join
+    val asofPlan = operators.TimeJoin.asOfJoinQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("as-of join: union+window, no nested-loop/cartesian",
+      asofPlan.contains("Window") && !asofPlan.contains("BroadcastNestedLoop") &&
+        !asofPlan.contains("CartesianProduct"))
+    for ((nm, q) <- Seq(
+      "range join" -> operators.TimeJoin.rangeJoinQuery(spark, d),
+      "overlap join" -> operators.TimeJoin.overlapJoinQuery(spark, d))) {
+      val p = q.queryExecution.executedPlan.toString
+      flag(s"$nm: bucketed equi-join, no nested-loop/cartesian",
+        !p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+    }
+
     spark.stop()
   }
 }

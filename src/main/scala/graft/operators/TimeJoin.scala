@@ -92,6 +92,33 @@ object TimeJoin {
       .drop("_b")
   }
 
+  /** Interval-overlap join: pairs of (a, b) intervals with
+    * `a.lo < b.hi AND b.lo < a.hi` (half-open overlap), keyless. Same
+    * bucketed-equi-join idea as [[pointsInIntervals]], but both sides
+    * span multiple cells, so a naive cell join would emit a pair once
+    * per SHARED cell — deduped here with zero extra shuffle by the
+    * canonical-cell rule: a pair is kept only in the cell containing
+    * its overlap START, `max(a.lo, b.lo)`. That instant lies inside
+    * both intervals (it is < min(a.hi, b.hi) whenever they overlap),
+    * so its cell is on both explode lists — each pair survives in
+    * EXACTLY one joined row, no `distinct` pass over the pair set.
+    * Caller aliases columns apart; both frames' columns pass through.
+    */
+  def intervalsOverlap(a: DataFrame, b: DataFrame,
+                       aLo: String, aHi: String, bLo: String, bHi: String,
+                       bucketWidth: Long): DataFrame = {
+    val ae = a.withColumn("_ca",
+      explode(sequence(col(aLo).divide(bucketWidth).cast("long"),
+        (col(aHi) - 1).divide(bucketWidth).cast("long"))))
+    val be = b.withColumn("_cb",
+      explode(sequence(col(bLo).divide(bucketWidth).cast("long"),
+        (col(bHi) - 1).divide(bucketWidth).cast("long"))))
+    ae.join(be, ae("_ca") === be("_cb") &&
+        ae(aLo) < be(bHi) && be(bLo) < ae(aHi) &&
+        greatest(ae(aLo), be(bLo)).divide(bucketWidth).cast("long") === ae("_ca"))
+      .drop("_ca", "_cb")
+  }
+
   private val WinUs = 600000000L // 10-minute incident window, in µs
 
   /** q_asof_join — each purchase event annotated with the user's
@@ -155,6 +182,36 @@ object TimeJoin {
         TextSim.r4(coalesce(col("sv"), lit(0.0))).as("sum_value"))
       .orderBy(col("event_id"))
   }
+
+  /** q_overlap_join — which incident windows collide: the 10-minute
+    * windows after each error event, self-joined on overlap (pairs
+    * once, `a < b` by event id), with the overlap length. The oracle
+    * states the declarative inequality self-join; the Spark side runs
+    * the canonical-cell bucketed join — same pairs, linear shuffle.
+    */
+  def overlapJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val errs = Tables.events(s, d).filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("lo"))
+      .withColumn("hi", col("lo") + WinUs)
+    val a = errs.select(col("event_id").as("a_id"), col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = errs.select(col("event_id").as("b_id"), col("lo").as("b_lo"), col("hi").as("b_hi"))
+    intervalsOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", WinUs)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo"))).as("overlap_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val overlapJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_us(ts) AS lo, epoch_us(ts) + $WinUs AS hi
+       |  FROM events WHERE event_type = 'error'
+       |)
+       |SELECT a.event_id AS a_id, b.event_id AS b_id,
+       |       least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
+       |FROM e a JOIN e b
+       |  ON a.event_id < b.event_id AND a.lo < b.hi AND b.lo < a.hi
+       |ORDER BY a_id, b_id""".stripMargin
 
   val rangeJoinSql: String =
     s"""WITH e AS (

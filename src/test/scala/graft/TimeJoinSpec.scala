@@ -55,8 +55,25 @@ class TimeJoinSpec extends AnyFunSuite {
     assert(got.sorted == brute.sorted)
   }
 
+  test("intervalsOverlap equals brute force; canonical cell yields no duplicate pairs") {
+    // spans of 1..5 cells at width 10, adjacent (touching) intervals must NOT pair
+    val ivs = Seq((0L, 0L, 10L), (1L, 5L, 35L), (2L, 10L, 12L), (3L, 34L, 80L),
+      (4L, 80L, 90L), (5L, 7L, 8L), (6L, 40L, 41L))
+    val a = ivs.toDF("a_id", "a_lo", "a_hi")
+    val b = ivs.toDF("b_id", "b_lo", "b_hi")
+    val got = TimeJoin.intervalsOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(got.size == got.distinct.size, "a pair must land exactly once")
+    val brute = for {
+      (ai, alo, ahi) <- ivs; (bi, blo, bhi) <- ivs
+      if alo < bhi && blo < ahi
+    } yield (ai, bi)
+    assert(got.sorted == brute.sorted)
+  }
+
   test("asOf and range query plans stay equi-join/window shaped") {
-    for (q <- Seq(TimeJoin.asOfJoinQuery(spark, sf), TimeJoin.rangeJoinQuery(spark, sf))) {
+    for (q <- Seq(TimeJoin.asOfJoinQuery(spark, sf), TimeJoin.rangeJoinQuery(spark, sf),
+      TimeJoin.overlapJoinQuery(spark, sf))) {
       val plan = q.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"), "inequality join leaked into the plan")
       assert(!plan.contains("CartesianProduct"), "cartesian leaked into the plan")
