@@ -79,6 +79,50 @@ object ScaleRehearsal {
       operators.Ann.topKNeighbors(spark, vecs,
         vecs.filter(col("vec_id") % 400 === 0), 10).count()
     }
+    // time joins under replication: shifting user_id gives mult×
+    // independent timelines (as-of stays linear per key); keeping the
+    // SAME time range for the keyless joins multiplies temporal
+    // density, so interval hits/pairs grow ~mult² — the output-blowup
+    // stress the bucketed equi-join must absorb without a nested loop
+    val evBase = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    def replicateEvents(shiftUsers: Boolean): DataFrame =
+      (0 until mult).map(i =>
+        evBase.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+          .withColumn("user_id",
+            col("user_id") + lit(if (shiftUsers) i * 1000000L else 0L)))
+        .reduce(_ unionAll _)
+    t("asof_enrich") {
+      val ev = replicateEvents(shiftUsers = true)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      operators.TimeJoin.asOfPrior(purchases, clicks, "user_id", "ts").count()
+    }
+    val winUs = 600000000L
+    def errWindows(ev: DataFrame): DataFrame =
+      ev.filter(col("event_type") === "error")
+        .select(col("event_id"), unix_micros(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + winUs)
+    t("range_hits") {
+      val ev = replicateEvents(shiftUsers = false)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(unix_micros(col("ts")).as("t"))
+      operators.TimeJoin.pointsInIntervals(
+        purch, errWindows(ev), "t", "lo", "hi", winUs).count()
+    }
+    t("overlap_pairs") {
+      val e = errWindows(replicateEvents(shiftUsers = false))
+      val a = e.select(col("event_id").as("a_id"), col("lo").as("a_lo"),
+        col("hi").as("a_hi"))
+      val b = e.select(col("event_id").as("b_id"), col("lo").as("b_lo"),
+        col("hi").as("b_hi"))
+      operators.TimeJoin.intervalsOverlap(a, b, "a_lo", "a_hi",
+        "b_lo", "b_hi", winUs).filter(col("a_id") < col("b_id")).count()
+    }
     t("boilerplate") {
       // clone clusters make every unit an N-doc repeat: the groupBy
       // cardinality is the stress (units ~ corpus tokens / width)

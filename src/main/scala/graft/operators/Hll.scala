@@ -92,6 +92,23 @@ object Hll {
     regs.agg((lit(alpha(m) * m * m) /
       sum(pow(lit(2.0), -col("max_rho")))).as("e")).head.getDouble(0)
 
+  /** Estimate with the standard small-range correction (Flajolet et
+    * al. 2007): when empty registers remain and the raw estimate is
+    * below 2.5m, raw HLL is biased high and linear counting
+    * m·ln(m/V) — V = empty registers — is the better estimator. Use
+    * this form when n may be comparable to m (per-slice sketches of
+    * sparse keys); the oracle query deliberately stays raw so both
+    * engines state one formula.
+    */
+  def estimateCorrected(regs: DataFrame, m: Int = M): Double = {
+    val row = regs.agg(
+      (lit(alpha(m) * m * m) / sum(pow(lit(2.0), -col("max_rho")))).as("raw"),
+      sum(when(col("max_rho") === 0, 1L).otherwise(0L)).as("zeros")).head
+    val raw = row.getDouble(0)
+    val zeros = row.getLong(1)
+    if (zeros > 0 && raw <= 2.5 * m) m * math.log(m.toDouble / zeros) else raw
+  }
+
   /** q_hll — the full register table over distinct `l_orderkey`, with
     * the raw estimate and the exact cardinality alongside (both
     * constant columns; the hash covers all 64 registers, so any

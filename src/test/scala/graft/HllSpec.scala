@@ -48,6 +48,18 @@ class HllSpec extends AnyFunSuite {
     assert(relErr < 0.20, s"estimate $est vs $n (relErr $relErr)")
   }
 
+  test("small-range correction beats raw when n is comparable to m") {
+    val m = 1024
+    val n = 100L
+    val regs = Hll.sketch(spark.range(n).toDF("id"), col("id"), m)
+    val corrected = Hll.estimateCorrected(regs, m)
+    assert(math.abs(corrected - n) / n.toDouble < 0.10,
+      s"linear counting should land near $n, got $corrected")
+    // large range: correction must defer to the raw estimator
+    val big = Hll.sketch(spark.range(200000).toDF("id"), col("id"), 64)
+    assert(Hll.estimateCorrected(big, 64) == Hll.estimate(big, 64))
+  }
+
   test("oracle query carries the full register table plus constant estimate") {
     val out = Hll.hllQuery(spark, sf)
     val rows = out.collect()
