@@ -109,6 +109,81 @@ object Hll {
     if (zeros > 0 && raw <= 2.5 * m) m * math.log(m.toDouble / zeros) else raw
   }
 
+  /** Grouped sketch: one dense m-row register table PER group value —
+    * the per-slice form the merge story exists for (per-source /
+    * per-day cardinality sketches, unioned with [[merge]] keyed on the
+    * group at read time). Dense fill crosses the ≤|groups| distinct
+    * keys with `range(m)` — both sides broadcast-sized.
+    */
+  def sketchBy(df: DataFrame, group: String, key: Column, m: Int = M): DataFrame = {
+    val h = md5(concat(lit("hll:"), key.cast("string")))
+    val regs = df
+      .select(col(group),
+        (conv(substring(h, 1, 7), 16, 10).cast("long") % m).as("bucket"),
+        rho(h).as("rho"))
+      .groupBy(col(group), col("bucket")).agg(max(col("rho")).as("max_rho"))
+    df.select(col(group)).distinct()
+      .crossJoin(df.sparkSession.range(m).toDF("bucket"))
+      .join(regs, Seq(group, "bucket"), "left")
+      .select(col(group), col("bucket"),
+        coalesce(col("max_rho"), lit(0)).as("max_rho"))
+  }
+
+  /** q_hll_domain — per-source register tables over distinct doc_id,
+    * with the per-source raw estimate and exact count alongside; the
+    * hash covers every register of every source.
+    */
+  def hllDomainQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
+    val regs = sketchBy(docs, "source", col("doc_id"), M)
+    val est = regs.groupBy(col("source"))
+      .agg(TextSim.r4(lit(alpha(M) * M * M) /
+        sum(pow(lit(2.0), -col("max_rho")))).as("est"))
+    val exact = docs.groupBy(col("source"))
+      .agg(count_distinct(col("doc_id")).as("n_exact"))
+    regs.join(broadcast(est), Seq("source"))
+      .join(broadcast(exact), Seq("source"))
+      .select(col("source"), col("bucket"), col("max_rho"), col("est"), col("n_exact"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val hllDomainSql: String =
+    s"""WITH parts AS (
+       |  SELECT source,
+       |         ('0x' || substr(md5('hll:' || doc_id::VARCHAR), 1, 7))::BIGINT % $M AS bucket,
+       |         ltrim(substr(md5('hll:' || doc_id::VARCHAR), 8, 12), '0') AS st
+       |  FROM documents
+       |), rho AS (
+       |  SELECT source, bucket,
+       |         CASE WHEN st = '' THEN 49
+       |              ELSE 4 * (12 - length(st)) +
+       |                   CASE WHEN substr(st, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+       |                        WHEN substr(st, 1, 1) IN ('4','5','6','7') THEN 1
+       |                        WHEN substr(st, 1, 1) IN ('2','3') THEN 2
+       |                        ELSE 3 END + 1
+       |         END AS rho
+       |  FROM parts
+       |), grid AS (
+       |  SELECT s.source, t.range AS bucket
+       |  FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN range($M) t
+       |), regs AS (
+       |  SELECT grid.source, grid.bucket, coalesce(max(rho.rho), 0) AS max_rho
+       |  FROM grid LEFT JOIN rho
+       |    ON grid.source = rho.source AND grid.bucket = rho.bucket
+       |  GROUP BY grid.source, grid.bucket
+       |), est AS (
+       |  SELECT source,
+       |         ${TextSim.r4Sql(s"0.709 * $M * $M / sum(power(2.0, -max_rho))")} AS est
+       |  FROM regs GROUP BY source
+       |), exact AS (
+       |  SELECT source, count(DISTINCT doc_id) AS n_exact
+       |  FROM documents GROUP BY source
+       |)
+       |SELECT regs.source, bucket, max_rho, est.est, exact.n_exact
+       |FROM regs JOIN est ON regs.source = est.source
+       |          JOIN exact ON regs.source = exact.source
+       |ORDER BY regs.source, bucket""".stripMargin
+
   /** q_hll — the full register table over distinct `l_orderkey`, with
     * the raw estimate and the exact cardinality alongside (both
     * constant columns; the hash covers all 64 registers, so any

@@ -60,6 +60,21 @@ class HllSpec extends AnyFunSuite {
     assert(Hll.estimateCorrected(big, 64) == Hll.estimate(big, 64))
   }
 
+  test("grouped sketch: a group's slice equals the standalone sketch; merge across groups") {
+    val df = spark.range(6000).toDF("id")
+      .withColumn("grp", (col("id") % 3).cast("string"))
+    val grouped = Hll.sketchBy(df, "grp", col("id"), m = 64)
+    // slice out one group: must equal sketching that group alone
+    val slice = regsMap(grouped.filter(col("grp") === "1").drop("grp"))
+    val alone = regsMap(Hll.sketch(df.filter(col("grp") === "1"), col("id"), m = 64))
+    assert(slice == alone)
+    // merging all group slices must equal the ungrouped sketch
+    val mergedAll = regsMap(
+      grouped.groupBy(col("bucket"))
+        .agg(org.apache.spark.sql.functions.max(col("max_rho")).as("max_rho")))
+    assert(mergedAll == regsMap(Hll.sketch(df, col("id"), m = 64)))
+  }
+
   test("oracle query carries the full register table plus constant estimate") {
     val out = Hll.hllQuery(spark, sf)
     val rows = out.collect()
