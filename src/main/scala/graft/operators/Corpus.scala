@@ -626,4 +626,71 @@ object Corpus {
        |FROM counts c JOIN tot t ON t.cent_id = c.cent_id
        |ORDER BY c.cent_id, c.source""".stripMargin
   }
+
+  /** Expected sample size for [[sampleWeighted]]. */
+  val SampleTarget = 500
+
+  /** q_sample_weighted — per-DOCUMENT importance sampling by quality
+    * (the doc-level complement of q_mix_sample's per-DOMAIN rate
+    * curve): each doc is kept with probability ∝ its own quality
+    * score, expected total [[SampleTarget]] — quality-weighted corpus
+    * subsampling, the data-selection primitive behind
+    * sample-then-train pipelines. Deterministic Bernoulli via the
+    * house hash: the doc's 28-bit md5 bucket is compared against
+    * `⌊N·w·2²⁸/Σw⌉`; the weight is the ROUNDED (r6) q_quality
+    * composite — already proven engine-identical — and Σw folds in
+    * decimal (exact, order-free), so the cutoff arithmetic sees
+    * identical doubles on both engines. No coordination between rows:
+    * weights ride the scan, Σw is the bm25-style 1-row broadcast
+    * stats frame, the keep decision is a per-row compare — corpus
+    * never shuffles; an exact-size variant would pay a global top-N
+    * on the priority key instead (TakeOrdered merge, still no full
+    * sort).
+    */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityScores(s, d).select(col("doc_id"), col("quality"))
+    val tot = q.agg(TextSim.dsum(col("quality")).as("sw"))
+    q.crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+          .cast("long"))
+      .withColumn("cutoff",
+        floor(lit(SampleTarget.toDouble) * col("quality") * lit(268435456.0) / col("sw") + lit(0.5))
+          .cast("long"))
+      .filter(col("bucket") < col("cutoff"))
+      .select(col("doc_id"), col("quality"), col("bucket"), col("cutoff"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleWeightedSql: String = {
+    val stop = TextAnalysis.hitsSql("t", TextAnalysis.Profiles.head._2)
+    s"""WITH base AS (
+       |  SELECT doc_id, len(text)::BIGINT AS n_chars,
+       |         len(t)::BIGINT AS tok_count,
+       |         list_sum(list_transform(t, w -> len(w)))::BIGINT AS wlen_sum,
+       |         $stop::BIGINT AS stop_hits,
+       |         (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS punct
+       |  FROM (SELECT doc_id, text,
+       |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |        FROM documents)
+       |  WHERE len(t) >= 1
+       |), q AS (
+       |  SELECT doc_id,
+       |         ${TextSim.r6Sql(
+      """0.3 * least(tok_count::DOUBLE / 50.0, 1.0)
+        |           + 0.3 * (1.0 - punct::DOUBLE / n_chars)
+        |           + 0.2 * (stop_hits::DOUBLE / tok_count)
+        |           + 0.2 * least(wlen_sum::DOUBLE / tok_count / 8.0, 1.0)""".stripMargin)} AS quality
+       |  FROM base
+       |), tot AS (
+       |  SELECT ${TextSim.dsumSql("quality")} AS sw FROM q
+       |)
+       |SELECT doc_id, quality,
+       |       ('0x' || substr(md5('samp:' || doc_id), 1, 7))::BIGINT AS bucket,
+       |       floor($SampleTarget.0 * quality * 268435456.0 / sw + 0.5)::BIGINT AS cutoff
+       |FROM q CROSS JOIN tot
+       |WHERE ('0x' || substr(md5('samp:' || doc_id), 1, 7))::BIGINT <
+       |      floor($SampleTarget.0 * quality * 268435456.0 / sw + 0.5)::BIGINT
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -32,7 +32,7 @@ object TextAnalysis {
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
       .cast("long")
 
-  private def hitsSql(t: String, words: Seq[String]): String =
+  private[operators] def hitsSql(t: String, words: Seq[String]): String =
     s"len(list_filter($t, x -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], x)))"
 
   /** q_lang_id — stopword-profile language ID: per-language hit counts,
@@ -80,7 +80,13 @@ object TextAnalysis {
   /** q_quality — heuristic quality score: token count, mean word
     * length, punctuation ratio, stopword ratio, bounded composite.
     */
-  def quality(s: SparkSession, d: String): DataFrame = {
+  def quality(s: SparkSession, d: String): DataFrame =
+    qualityScores(s, d).orderBy(col("doc_id"))
+
+  /** The q_quality projection without its presentation sort — for
+    * consumers (e.g. [[Corpus.sampleWeighted]]) that keep composing.
+    */
+  def qualityScores(s: SparkSession, d: String): DataFrame = {
     val en = Profiles.head._2
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), TextSim.tokens(col("text")).as("t"))
@@ -102,7 +108,6 @@ object TextAnalysis {
           lit(0.2) * (col("stop_hits").cast("double") / col("tok_count")) +
           lit(0.2) * least(col("wlen_sum").cast("double") / col("tok_count") / 8.0, lit(1.0))
       ).as("quality"))
-      .orderBy(col("doc_id"))
   }
 
   val qualitySql: String = {

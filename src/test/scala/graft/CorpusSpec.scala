@@ -9,6 +9,26 @@ class CorpusSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
+  test("weighted sample: inclusion law matches a driver-side fold over every doc") {
+    import graft.operators.TextAnalysis
+    val kept = Corpus.sampleWeighted(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val q = TextAnalysis.quality(spark, sf)
+      .select(col("doc_id"), col("quality")).as[(Long, Double)].collect()
+    // dsum mirrors: fix each r6 weight to decimal(·,6) then sum exactly
+    val sw = q.map(v => BigDecimal(v._2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = q.filter { case (id, w) =>
+      val hex = md.digest(s"samp:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      val bucket = java.lang.Long.parseLong(hex, 16)
+      bucket < math.floor(Corpus.SampleTarget * w * 268435456.0 / sw + 0.5).toLong
+    }.map(_._1).toSet
+    assert(kept == expect, "kept set must equal the per-row threshold law")
+    assert(kept.nonEmpty && kept.size < q.length)
+  }
+
   test("greedy packing: budget never exceeded, matches the sequential reference") {
     val budget = 500L
     val docsTok = Tables.documents(spark, sf)
