@@ -124,8 +124,11 @@ object Bench {
     spark.stop()
     val sideFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE", "bench_detail.json")
     try {
+      // full times ride the side file too: if query growth ever makes
+      // even the degraded stdout line unparseable, the per-query data
+      // still exists on disk at full precision
       val detail =
-        s"""{"spread":$spreadJson,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+        s"""{"times":${qsAt(3)},"spread":$spreadJson,"errors":$errJson,"sf":${jstr(sfDir)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(sideFile),
         detail.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
