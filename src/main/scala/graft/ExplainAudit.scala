@@ -229,6 +229,15 @@ object ExplainAudit {
         !p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
     }
 
+    // q_sample_weighted: weights ride the scan, Σw is the bm25-style
+    // 1-row broadcast — the only join must be a broadcast nested loop
+    // over that single stats row, never a shuffle of the corpus
+    val swPlan = operators.Corpus.sampleWeighted(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("weighted sample: scan + 1-row stats broadcast, no corpus shuffle",
+      !swPlan.contains("SortMergeJoin") && !swPlan.contains("ShuffledHashJoin") &&
+        !swPlan.contains("hashpartitioning"))
+
     spark.stop()
   }
 }
