@@ -309,4 +309,100 @@ object Analytics {
       |FROM sessions
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
+
+  /** The event-type domain is part of the REPORT SCHEMA, not data: a
+    * pivot whose columns depend on a distinct-scan needs an extra job
+    * and yields a run-dependent schema — the fixed list keeps the pivot
+    * one pass and the output schema stable (the production form of any
+    * scheduled pivot report).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q_pivot — events pivoted to a wide per-day report: one row per
+    * event date, one count column per event type plus the day's value
+    * sum. Uses the relational pivot operator with an EXPLICIT value
+    * list ([[EventTypes]]), so Spark skips the distinct-values job and
+    * plans a single partial-agg groupBy (5 `count(CASE WHEN …)` columns
+    * fused map-side — shuffle carries |days|·6 longs, not events).
+    * DuckDB mirror states the same thing as conditional aggregation —
+    * which is exactly the plan Spark generates for a listed pivot.
+    */
+  def pivotDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .join(
+        Tables.events(s, d)
+          .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+          .agg(TextSim.r4(TextSim.dsum(col("value"))).as("sum_value")),
+        Seq("day"))
+      .orderBy(col("day"))
+
+  val pivotDailySql: String = {
+    val cols = EventTypes.map(t =>
+      s"       count(CASE WHEN event_type = '$t' THEN 1 END)::BIGINT AS \"$t\",").mkString("\n")
+    s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |$cols
+       |       ${TextSim.r4Sql(TextSim.dsumSql("value"))} AS sum_value
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin
+  }
+
+  /** q_gapfill — time-grid densification (the missing-bucket problem of
+    * every time-series rollup: an hour with no events vanishes from a
+    * plain groupBy, so downstream charts/joins silently skip it). The
+    * hour grid is GENERATED, not scanned: one 1-row min/max aggregate
+    * → `sequence(...)` explode → cross join with the bounded key set —
+    * grid size is |types|·|hours|, independent of event count — then
+    * the per-(type, hour) partial agg left-joins onto it and gaps fill
+    * with zero. At 100 TB the grid side stays tiny (it broadcasts);
+    * the event side folds map-side before its one shuffle.
+    */
+  def gapfillHourly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val span = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val hours = span.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val grid = hours.crossJoin(
+      ev.select(col("event_type")).distinct()) // ≤5 rows, broadcast
+    val agg = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        TextSim.r4(TextSim.dsum(col("value"))).as("sum_value"))
+    grid.join(agg, Seq("h", "event_type"), "left")
+      .select(
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        col("n_events").isNull.cast("int").as("is_gap"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val gapfillHourlySql: String =
+    s"""WITH span AS (
+       |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+       |  FROM events
+       |), grid AS (
+       |  SELECT g.h, t.event_type
+       |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span) g
+       |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+       |), agg AS (
+       |  SELECT date_trunc('hour', ts) AS h, event_type,
+       |         count(*)::BIGINT AS n_events,
+       |         ${TextSim.r4Sql(TextSim.dsumSql("value"))} AS sum_value
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       |       grid.event_type,
+       |       coalesce(agg.n_events, 0)::BIGINT AS n_events,
+       |       coalesce(agg.sum_value, 0.0) AS sum_value,
+       |       (CASE WHEN agg.n_events IS NULL THEN 1 ELSE 0 END)::INT AS is_gap
+       |FROM grid LEFT JOIN agg ON grid.h = agg.h AND grid.event_type = agg.event_type
+       |ORDER BY hour, grid.event_type""".stripMargin
 }
