@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the crawl link graph beyond reachability
+  * ([[Crawl]]): triangle counting and local clustering coefficients —
+  * the community-structure observability of a crawled corpus (a page
+  * whose neighborhood is dense is inside a topical cluster; a hub with
+  * cc ≈ 0 is a directory page). Reference context: the Notion page
+  * graph the crawler walks (Notion_openai_vector_etl.py:480-596).
+  *
+  * Scale design — the MapReduce triangle-counting shape (Suri &
+  * Vassilvitskii, WWW'11 "Counting triangles and the curse of the last
+  * reducer"): orient every undirected edge from its LOWER endpoint in
+  * the total order (degree, node). Each vertex's OUT-degree is then
+  * O(√m) regardless of its true degree — a hub of degree d keeps its
+  * edges mostly INcoming, so the wedge join (out-neighbor pairs per
+  * vertex, the only super-linear step) costs Σ outdeg² ≤ O(m^1.5)
+  * total and its per-key skew is bounded: the curse-of-the-last-reducer
+  * hub key simply cannot exist after orientation. Every triangle is
+  * generated exactly once (its (deg,id)-minimum corner is the wedge
+  * apex), so no distinct over candidates. All joins are key-partitioned
+  * (apex id for wedges, (lo,hi) edge pair for closure) — at 100 TB each
+  * is one hash shuffle of id pairs, never an all-pairs product.
+  */
+object Graph {
+
+  /** q_triangles — per-node triangle count + degree + local clustering
+    * coefficient over the (undirected) crawl graph. Nodes with no
+    * triangles are kept (count 0); cc = 2T/(deg·(deg−1)), 0 below
+    * degree 2, r6-rounded on both engines.
+    */
+  def trianglesQuery(s: SparkSession, d: String): DataFrame =
+    triangles(Tables.edges(s, d)).orderBy(col("node"))
+
+  /** Frame-based [[trianglesQuery]] over any `(src, dst)` edge frame
+    * (treated as undirected; self-loops and duplicate/reverse edges
+    * collapse).
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: one row per unordered pair
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orientation: edge points from the smaller (deg, id) endpoint.
+    // deg joins are id-keyed hash joins (the degree table is
+    // |V|-sized — co-partitioned with the edge endpoints at scale).
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("x"),
+      when(aFirst, col("b")).otherwise(col("a")).as("y"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dy"))
+    // wedges at apex x: ordered out-neighbor pairs (y1 before y2 in
+    // (deg, id)) — each triangle appears at exactly one apex
+    val e1 = oriented.select(col("x"), col("y").as("y1"), col("dy").as("dy1"))
+    val e2 = oriented.select(col("x"), col("y").as("y2"), col("dy").as("dy2"))
+    val wedges = e1.join(e2, Seq("x"))
+      .filter((col("dy1") < col("dy2")) ||
+        (col("dy1") === col("dy2") && col("y1") < col("y2")))
+      .select(col("x"), col("y1"), col("y2"))
+    // closure: the wedge's far pair must be an edge. Oriented rows are
+    // unique and (y1,y2) respects the orientation order, so an inner
+    // join on the oriented set matches at most once — no distinct.
+    val tris = wedges.join(
+      oriented.select(col("x").as("cx"), col("y").as("cy")),
+      col("y1") === col("cx") && col("y2") === col("cy"))
+      .select(col("x"), col("y1"), col("y2"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y1"), col("y2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          TextSim.r6(coalesce(col("n_tri"), lit(0L)) * 2.0 /
+            (col("deg") * (col("deg") - 1))))
+          .otherwise(lit(0.0)).as("cc"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH ${Tables.edgesSql},
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst
+       |), deg AS (
+       |  SELECT node, count(*)::BIGINT AS deg FROM (
+       |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+       |  ) GROUP BY node
+       |), oriented AS (
+       |  SELECT CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS x,
+       |         CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS y,
+       |         CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END AS dy
+       |  FROM und
+       |  JOIN (SELECT node AS a, deg AS da FROM deg) USING (a)
+       |  JOIN (SELECT node AS b, deg AS db FROM deg) USING (b)
+       |), tris AS (
+       |  SELECT e1.x, e1.y AS y1, e2.y AS y2
+       |  FROM oriented e1
+       |  JOIN oriented e2 ON e1.x = e2.x
+       |   AND ((e1.dy < e2.dy) OR (e1.dy = e2.dy AND e1.y < e2.y))
+       |  JOIN oriented c ON c.x = e1.y AND c.y = e2.y
+       |), per_node AS (
+       |  SELECT node, count(*)::BIGINT AS n_tri FROM (
+       |    SELECT unnest([x, y1, y2]) AS node FROM tris
+       |  ) GROUP BY node
+       |)
+       |SELECT deg.node, deg.deg,
+       |       coalesce(per_node.n_tri, 0)::BIGINT AS n_tri,
+       |       CASE WHEN deg.deg >= 2
+       |            THEN ${TextSim.r6Sql("coalesce(per_node.n_tri, 0) * 2.0 / (deg.deg * (deg.deg - 1))")}
+       |            ELSE 0.0 END AS cc
+       |FROM deg LEFT JOIN per_node USING (node)
+       |ORDER BY node""".stripMargin
+}
