@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Md5Buckets, TextSim}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level distributional statistics: word-association (PMI) and
+  * corpus-drift (Jensen–Shannon divergence between slices) — the
+  * monitoring layer of a training-data pipeline (is this week's crawl
+  * the same distribution as last week's? which word pairs are
+  * collocations the tokenizer should keep intact?).
+  *
+  * Scale shapes, both: one explode → one partial-agg groupBy to a
+  * vocabulary/bucket-bounded frame; nothing downstream of the count
+  * tables touches the corpus again. The corpus never shuffles on
+  * doc_id.
+  */
+object CorpusStats {
+
+  val PmiMinCount = 5
+
+  /** q_pmi — pointwise mutual information of adjacent word pairs (the
+    * collocation table: "new york" scores high because its joint count
+    * beats the unigram-independence prediction). Counts: unigram
+    * occurrences c(w) over all tokens (total T), adjacent-pair counts
+    * c(a,b) over all bigram positions (total n). PMI = ln(c(ab)·T²/
+    * (n·c(a)·c(b))); NPMI normalizes by −ln(c(ab)/n) into [−1, 1].
+    * Pairs below [[PmiMinCount]] are cut (their PMI estimate is noise
+    * and the cut bounds the output).
+    *
+    * Scale: pair counts are explode → partial-agg groupBy (map-side
+    * combine collapses repeats before the shuffle); the two unigram
+    * joins key the PAIR table on a then b — the unigram side is
+    * |vocab|-sized, co-partitioned on its term key at 100 TB. Totals
+    * ride a 1-row broadcast (the bm25-stats pattern). ln in double,
+    * r6-rounded on both engines (the bm25 precedent).
+    */
+  def pmiQuery(s: SparkSession, d: String): DataFrame =
+    pmi(Tables.documents(s, d)).orderBy(col("a"), col("b"))
+
+  /** Frame-based [[pmiQuery]] over any `(doc_id, text)` corpus. */
+  def pmi(docs: DataFrame): DataFrame = {
+    val toks = docs.select(TextSim.tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinCount)
+    // totals: T tokens, n bigram positions — 1-row frame, broadcast
+    val totals = uni.agg(sum(col("c")).as("t_uni")).crossJoin(
+      toks.filter(size(col("t")) >= 2)
+        .agg(sum(size(col("t")) - 1).cast("long").as("t_pair")))
+    val joined = pairs
+      .join(uni.select(col("w").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(totals))
+    val pmiCol = log(col("n_ab") * col("t_uni") * col("t_uni") /
+      (col("t_pair") * col("ca") * col("cb")))
+    joined.select(col("a"), col("b"), col("n_ab"),
+      TextSim.r6(pmiCol).as("pmi"),
+      TextSim.r6(pmiCol / -log(col("n_ab") / col("t_pair"))).as("npmi"))
+  }
+
+  val pmiSql: String =
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents
+       |), uni AS (
+       |  SELECT w, count(*)::BIGINT AS c
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+       |), pairs AS (
+       |  SELECT a, b, count(*)::BIGINT AS n_ab FROM (
+       |    SELECT t[i] AS a, t[i+1] AS b
+       |    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+       |  ) GROUP BY a, b
+       |  HAVING count(*) >= $PmiMinCount
+       |), totals AS (
+       |  SELECT (SELECT sum(c)::BIGINT FROM uni) AS t_uni,
+       |         (SELECT sum(len(t) - 1)::BIGINT FROM toks WHERE len(t) >= 2) AS t_pair
+       |)
+       |SELECT a, b, n_ab,
+       |       ${TextSim.r6Sql("ln((n_ab * t_uni * t_uni)::DOUBLE / (t_pair * ca * cb)::DOUBLE)")} AS pmi,
+       |       ${TextSim.r6Sql("ln((n_ab * t_uni * t_uni)::DOUBLE / (t_pair * ca * cb)::DOUBLE) / -ln(n_ab::DOUBLE / t_pair::DOUBLE)")} AS npmi
+       |FROM pairs
+       |JOIN (SELECT w AS a, c AS ca FROM uni) USING (a)
+       |JOIN (SELECT w AS b, c AS cb FROM uni) USING (b)
+       |CROSS JOIN totals
+       |ORDER BY a, b""".stripMargin
+
+  val DriftBuckets = 256L
+
+  /** q_drift — distribution drift between two corpus slices (fixture:
+    * even vs odd doc_id — in production, last week's snapshot vs this
+    * week's) over [[DriftBuckets]] hashed-unigram buckets: per-bucket
+    * Laplace-smoothed probabilities p (ref) and q (cur), the
+    * per-bucket Jensen–Shannon contribution jsd = ½p·ln(p/m) +
+    * ½q·ln(q/m) with m = (p+q)/2 (reported in micro-nats; Σ over
+    * buckets = the JS divergence, symmetric and bounded by ln 2 —
+    * the drift-alarm threshold input), and the signed log-ratio
+    * λ = ln p − ln q in integer micro-nats (which way each bucket
+    * moved — the same fixed-point discipline as the q_dsir λ table).
+    *
+    * Scale: the whole query folds both slices to ≤B rows in ONE
+    * explode + partial-agg groupBy (slice membership is a per-row
+    * flag, not a join); totals ride a 1-row broadcast. A weekly drift
+    * check on a 100 TB corpus is two linear scans' worth of I/O and a
+    * 256-row report.
+    */
+  def driftQuery(s: SparkSession, d: String): DataFrame =
+    drift(Tables.documents(s, d).withColumn("is_ref", col("doc_id") % 2 === 0))
+      .orderBy(col("b"))
+
+  /** Frame-based [[driftQuery]] over any `(text, is_ref)` frame. */
+  def drift(docs: DataFrame): DataFrame = {
+    val B = DriftBuckets
+    val counts = docs
+      .select(col("is_ref"),
+        explode(Md5Buckets.salted(TextSim.tokens(col("text")), "", B)).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val withP = counts.crossJoin(broadcast(totals))
+      .withColumn("p", (col("ca") + 1).cast("double") / (col("ta") + B))
+      .withColumn("q", (col("cb") + 1).cast("double") / (col("tb") + B))
+      .withColumn("m", (col("p") + col("q")) / 2)
+    withP.select(col("b"), col("ca"), col("cb"),
+      floor((log(col("p")) - log(col("q"))) * 1e6 + 0.5).cast("long").as("llr_micro"),
+      TextSim.r6((col("p") * log(col("p") / col("m")) / 2 +
+        col("q") * log(col("q") / col("m")) / 2) * 1e6).as("jsd_micro"))
+  }
+
+  val driftSql: String =
+    s"""WITH bks AS (
+       |  SELECT doc_id % 2 = 0 AS is_ref,
+       |         ('0x' || substr(md5(g), 1, 7))::BIGINT % $DriftBuckets AS b
+       |  FROM (SELECT doc_id,
+       |               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS g
+       |        FROM documents)
+       |), counts AS (
+       |  SELECT b,
+       |         sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)::BIGINT AS cb
+       |  FROM bks GROUP BY b
+       |), tot AS (
+       |  SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb FROM counts
+       |), probs AS (
+       |  SELECT b, ca, cb,
+       |         (ca + 1)::DOUBLE / (ta + $DriftBuckets) AS p,
+       |         (cb + 1)::DOUBLE / (tb + $DriftBuckets) AS q
+       |  FROM counts, tot
+       |)
+       |SELECT b, ca, cb,
+       |       floor((ln(p) - ln(q)) * 1000000.0 + 0.5)::BIGINT AS llr_micro,
+       |       ${TextSim.r6Sql("(p * ln(p / ((p + q) / 2)) / 2 + q * ln(q / ((p + q) / 2)) / 2) * 1000000.0")} AS jsd_micro
+       |FROM probs
+       |ORDER BY b""".stripMargin
+}
