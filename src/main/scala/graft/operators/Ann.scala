@@ -826,4 +826,85 @@ object Ann {
        |FROM cand c JOIN e x ON x.vec_id = c.a_id JOIN e y ON y.vec_id = c.b_id
        |WHERE ${cosineSql("x.embedding", "x.nrm", "y.embedding", "y.nrm")} >= 0.95
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** One shortlist candidate carried into the per-query MMR fold. */
+  private[graft] case class MmrCand(query_id: Long, vec_id: Long,
+    cos_sim: Double, embedding: Seq[Float])
+
+  /** Sequential MMR greedy over ONE query's candidate list (Carbonell
+    * & Goldstein, SIGIR'98): at each step pick
+    * argmax λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s), ties broken by
+    * vec_id. All similarities r6-rounded (the house ranking rule) so
+    * the selection is deterministic under any candidate order.
+    */
+  private[graft] def mmrGreedy(cands: Seq[MmrCand], k: Int,
+    lambda: Double): Seq[(Long, Long, Double, Double)] = {
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val pool = scala.collection.mutable.ArrayBuffer(
+      cands.sortBy(c => (-c.cos_sim, c.vec_id)): _*)
+    // max-sim-to-picked per remaining candidate, updated incrementally:
+    // O(k·|pool|) dots total, the classic MMR cost
+    val maxSim = scala.collection.mutable.Map.empty[Long, Double]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    while (out.size < k && pool.nonEmpty) {
+      val scored = pool.map { c =>
+        // empty picked set => diversity term 0: the first pick is pure
+        // (λ-scaled) relevance, later picks subtract max-sim-to-picked
+        val div = maxSim.getOrElse(c.vec_id, 0.0)
+        (c, r6(lambda * c.cos_sim - (1 - lambda) * div))
+      }
+      val (best, score) = scored.minBy { case (c, m) => (-m, c.vec_id) }
+      out += ((best.query_id, best.vec_id, best.cos_sim, score))
+      pool -= best
+      pool.foreach { c =>
+        val sim = cos(c.embedding, best.embedding)
+        if (sim > maxSim.getOrElse(c.vec_id, Double.MinValue)) maxSim(c.vec_id) = sim
+      }
+    }
+    out.toSeq
+  }
+
+  /** Maximal-marginal-relevance re-rank of an ANN shortlist — the
+    * diversity stage of retrieval serving (a near-dup-heavy corpus
+    * returns k copies of one document; MMR trades relevance for
+    * coverage so the page spans the distinct answers). Inputs are the
+    * shortlist frame `(query_id, vec_id, cos_sim)` (any search path's
+    * output: brute, stored-index, rerank) and the vector corpus for
+    * the id-fetch of candidate embeddings — the join touches
+    * |shortlist| rows, never the corpus.
+    *
+    * Scale shape: the greedy is inherently sequential PER QUERY, so it
+    * runs inside `mapGroups` over the query key with bounded state —
+    * one shortlist (≤ depth rows × dim floats) per group, O(k·depth)
+    * dots per query — the same cost class as [[rerank]], distributed
+    * across queries. λ = 1 reduces exactly to relevance order (ties by
+    * vec_id), λ = 0 to pure farthest-point coverage.
+    */
+  def mmrRerank(s: SparkSession, vectors: DataFrame, shortlist: DataFrame,
+    k: Int = TopK, lambda: Double = 0.7): DataFrame = {
+    import s.implicits._
+    val cands = shortlist.select(col("query_id"), col("vec_id"), col("cos_sim"))
+      .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("embedding"))
+      .as[MmrCand]
+    cands.groupByKey(_.query_id)
+      .flatMapGroups { (_, it) =>
+        mmrGreedy(it.toSeq, k, lambda).zipWithIndex.map {
+          case ((q, v, rel, m), i) => (q, (i + 1).toLong, v, rel, m)
+        }
+      }
+      .toDF("query_id", "rank", "vec_id", "cos_sim", "mmr_score")
+      .orderBy(col("query_id"), col("rank"))
+  }
 }
