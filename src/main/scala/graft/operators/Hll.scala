@@ -42,7 +42,7 @@ object Hll {
     */
   val M = 64
 
-  private def alpha(m: Int): Double = m match {
+  private[graft] def alpha(m: Int): Double = m match {
     case 16 => 0.673
     case 32 => 0.697
     case 64 => 0.709
