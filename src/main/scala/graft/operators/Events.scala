@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics: funnel conversion, cohort retention,
+  * hourly anomaly screening — the product-analytics face of the events
+  * stream (the reference pipeline's activity log, observed instead of
+  * crawled).
+  *
+  * Scale notes: every query here folds the event stream through ONE
+  * user- or hour-keyed partial-agg groupBy into a bounded frame
+  * (users, hour-grid, cohort-matrix) before any window/join — the
+  * stream itself never shuffles twice.
+  */
+object Events {
+
+  /** The funnel stages in order. Like [[Analytics.EventTypes]], part
+    * of the report schema, not discovered from data.
+    */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** q_funnel — ordered-stage conversion: a user reaches stage i when
+    * every stage ≤ i has occurred AND their first occurrences are in
+    * funnel order (first view ≤ first click ≤ first purchase — ties
+    * count, the ≤ convention of [[TimeJoin.asOfPrior]]). One
+    * conditional-min groupBy per user (map-side combine, the pivot
+    * pattern), then the per-stage user counts + conversion rate off
+    * the bounded per-user frame.
+    */
+  def funnelQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val perUser = ev
+      .filter(col("event_type").isin(FunnelStages: _*))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    val flags = perUser.select(
+      col("t_view").isNotNull.as("s1"),
+      (col("t_view").isNotNull && col("t_click").isNotNull &&
+        col("t_view") <= col("t_click")).as("s2"),
+      (col("t_view").isNotNull && col("t_click").isNotNull &&
+        col("t_purchase").isNotNull && col("t_view") <= col("t_click") &&
+        col("t_click") <= col("t_purchase")).as("s3"))
+    val counts = flags.agg(
+      sum(col("s1").cast("long")).as("n1"),
+      sum(col("s2").cast("long")).as("n2"),
+      sum(col("s3").cast("long")).as("n3"))
+    counts.select(explode(array(
+      struct(lit(1).as("stage"), lit("view").as("stage_name"),
+        col("n1").as("n_users"), TextSim.r6(lit(1.0)).as("conversion")),
+      struct(lit(2).as("stage"), lit("click").as("stage_name"),
+        col("n2").as("n_users"), TextSim.r6(col("n2") / col("n1")).as("conversion")),
+      struct(lit(3).as("stage"), lit("purchase").as("stage_name"),
+        col("n3").as("n_users"), TextSim.r6(col("n3") / col("n1")).as("conversion"))))
+      .as("r"))
+      .select(col("r.stage"), col("r.stage_name"), col("r.n_users"), col("r.conversion"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelSql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+       |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+       |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+       |  FROM events
+       |  WHERE event_type IN ('view', 'click', 'purchase')
+       |  GROUP BY user_id
+       |), counts AS (
+       |  SELECT sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |         sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+       |                   AND t_view <= t_click THEN 1 ELSE 0 END)::BIGINT AS n2,
+       |         sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+       |                   AND t_purchase IS NOT NULL AND t_view <= t_click
+       |                   AND t_click <= t_purchase THEN 1 ELSE 0 END)::BIGINT AS n3
+       |  FROM per_user
+       |)
+       |SELECT stage, stage_name, n_users, conversion FROM (
+       |  SELECT 1 AS stage, 'view' AS stage_name, n1 AS n_users,
+       |         ${TextSim.r6Sql("1.0")} AS conversion FROM counts
+       |  UNION ALL
+       |  SELECT 2, 'click', n2, ${TextSim.r6Sql("n2::DOUBLE / n1::DOUBLE")} FROM counts
+       |  UNION ALL
+       |  SELECT 3, 'purchase', n3, ${TextSim.r6Sql("n3::DOUBLE / n1::DOUBLE")} FROM counts
+       |)
+       |ORDER BY stage""".stripMargin
+
+  val RetentionDays = 7
+
+  /** q_retention — cohort retention matrix: users cohorted by their
+    * FIRST event day; cell (cohort, offset) counts the cohort's users
+    * active offset days later (0 ≤ offset ≤ [[RetentionDays]]), with
+    * the rate against the cohort size. The first-day frame is one
+    * user-keyed partial agg; the activity join is user-keyed
+    * (co-partitioned with the cohort frame at scale — the manifest
+    * bucketing story); the distinct-(user, day) collapse happens
+    * BEFORE the matrix agg so a chatty user counts once per day.
+    * Cohort sizes come off the offset-0 diagonal via a window over the
+    * ≤|cohorts|·(days+1) matrix — never a second pass over events.
+    */
+  def retentionQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val active = ev.join(firstDay, Seq("user_id"))
+      .select(col("user_id"), col("cohort"), datediff(col("day"), col("cohort")).as("off"))
+      .filter(col("off").between(0, RetentionDays))
+      .distinct()
+    val matrix = active.groupBy(col("cohort"), col("off"))
+      .agg(count(lit(1)).as("n_users"))
+    val sized = matrix.withColumn("cohort_size",
+      max(when(col("off") === 0, col("n_users")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("cohort"))))
+    sized.select(
+      date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+      col("off"), col("n_users"),
+      TextSim.r6(col("n_users") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort"), col("off"))
+  }
+
+  val retentionSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts::DATE AS day FROM events
+       |), first_day AS (
+       |  SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id
+       |), active AS (
+       |  SELECT DISTINCT ev.user_id, cohort, (day - cohort)::INT AS off
+       |  FROM ev JOIN first_day USING (user_id)
+       |  WHERE day - cohort BETWEEN 0 AND $RetentionDays
+       |), matrix AS (
+       |  SELECT cohort, off, count(*)::BIGINT AS n_users
+       |  FROM active GROUP BY cohort, off
+       |)
+       |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, off, n_users,
+       |       ${TextSim.r6Sql("n_users::DOUBLE / (max(CASE WHEN off = 0 THEN n_users END) OVER (PARTITION BY cohort))::DOUBLE")} AS retention
+       |FROM matrix
+       |ORDER BY cohort, off""".stripMargin
+
+  /** q_anomaly — hourly volume anomaly screen per event type: each
+    * observed (type, hour) bucket z-scored against that type's
+    * mean/stddev of hourly counts (sample stddev, computed from the
+    * exact BIGINT sums n, Σc, Σc² — integer sums shuffle, doubles
+    * never do, so the statistics are order-independent by
+    * construction). |z| ≥ 2 flags the hour. Two partial apertures:
+    * events → hour-grid counts (one groupBy), grid → ≤|types| stats
+    * rows (second tiny agg) broadcast back onto the grid.
+    */
+  def anomalyQuery(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+      .withColumn("mean", col("s1") / col("n_hours"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n_hours")) /
+        (col("n_hours") - 1)))
+    hourly.join(broadcast(stats.select(col("event_type"), col("mean"), col("sd"))),
+      Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        TextSim.r6((col("n_events") - col("mean")) / col("sd")).as("z"),
+        (abs((col("n_events") - col("mean")) / col("sd")) >= 2).cast("int").as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val anomalySql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       |         count(*)::BIGINT AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), stats AS (
+       |  SELECT event_type, count(*)::BIGINT AS n_hours,
+       |         sum(n_events)::BIGINT AS s1,
+       |         sum(n_events * n_events)::BIGINT AS s2
+       |  FROM hourly GROUP BY event_type
+       |), enriched AS (
+       |  SELECT event_type, n_hours,
+       |         s1::DOUBLE / n_hours::DOUBLE AS mean,
+       |         sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n_hours::DOUBLE)
+       |              / (n_hours::DOUBLE - 1.0)) AS sd
+       |  FROM stats
+       |)
+       |SELECT hourly.event_type, hour, n_events,
+       |       ${TextSim.r6Sql("(n_events::DOUBLE - mean) / sd")} AS z,
+       |       (CASE WHEN abs((n_events::DOUBLE - mean) / sd) >= 2 THEN 1 ELSE 0 END)::INT AS is_anomaly
+       |FROM hourly JOIN enriched ON hourly.event_type = enriched.event_type
+       |ORDER BY hourly.event_type, hour""".stripMargin
+}
