@@ -160,4 +160,121 @@ object CorpusStats {
        |       ${TextSim.r6Sql("(p * ln(p / ((p + q) / 2)) / 2 + q * ln(q / ((p + q) / 2)) / 2) * 1000000.0")} AS jsd_micro
        |FROM probs
        |ORDER BY b""".stripMargin
+
+  val TfidfTopK = 5
+
+  /** q_tfidf_domain — each source's characteristic vocabulary: top-k
+    * terms by tf·idf where idf = ln(N/df) over SOURCES as the document
+    * unit (df = sources containing the term), so corpus-wide terms
+    * score 0 and what surfaces is what makes the domain distinctive —
+    * the qualitative face of [[Corpus]] q_domain_mix's volume shares
+    * (WHAT each domain contributes, not how much).
+    *
+    * Scale: corpus → (source, term) tf in one explode + partial-agg
+    * groupBy; df folds that frame (already ≤|sources|·|vocab| rows) by
+    * term; N rides a 1-row broadcast; the top-k window sorts each
+    * source's ≤|vocab| aggregated rows — never documents.
+    */
+  def tfidfDomainQuery(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("tfidf").desc, col("term"))
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(TextSim.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.select(col("source")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        TextSim.r6(col("tf") * log(col("n_sources").cast("double") / col("df"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val tfidfDomainSql: String =
+    s"""WITH tf AS (
+       |  SELECT source, term, count(*)::BIGINT AS tf FROM (
+       |    SELECT source,
+       |           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |    FROM documents
+       |  ) GROUP BY source, term
+       |), df AS (
+       |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+       |), n AS (
+       |  SELECT count(DISTINCT source)::BIGINT AS n_sources FROM tf
+       |), scored AS (
+       |  SELECT source, term, tf, df,
+       |         ${TextSim.r6Sql("tf * ln(n_sources::DOUBLE / df::DOUBLE)")} AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |)
+       |SELECT source, rank, term, tf, df, tfidf FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |                               ORDER BY tfidf DESC, term) AS rank
+       |  FROM scored
+       |)
+       |WHERE rank <= $TfidfTopK
+       |ORDER BY source, rank""".stripMargin
+
+  val ZipfHead = 100
+
+  /** q_zipf — Zipf's-law fit over the vocabulary head: OLS of
+    * ln(tf) on ln(rank) for the top-[[ZipfHead]] terms (slope ≈ −1 on
+    * natural text; a flat slope means template mass, a cliff means a
+    * closed vocabulary — the one-number summary of what
+    * [[Corpus]] q_vocab/q_histogram show in detail). Per-point x, y
+    * are r6-rounded FIRST, then every OLS sum folds in decimal (exact,
+    * order-free — the house dsum rule), so slope/intercept are
+    * engine-identical. The head selection (tf desc, term) is a total
+    * order; the window ranks 100 rows on one partition — bounded by
+    * construction, not by data.
+    */
+  def zipfQuery(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term"))
+    val head = Tables.documents(s, d)
+      .select(explode(TextSim.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(ZipfHead)
+    val pts = head
+      .withColumn("rank", row_number().over(w))
+      .select(TextSim.r6(log(col("rank"))).as("x"), TextSim.r6(log(col("tf"))).as("y"))
+    pts.agg(
+      count(lit(1)).as("n_terms"),
+      TextSim.dsum(col("x")).as("sx"), TextSim.dsum(col("y")).as("sy"),
+      TextSim.dsum(col("x") * col("y")).as("sxy"),
+      TextSim.dsum(col("x") * col("x")).as("sxx"))
+      .select(col("n_terms"),
+        TextSim.r6((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        TextSim.r6((col("sy") - (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n_terms")).as("intercept"))
+  }
+
+  val zipfSql: String =
+    s"""WITH head AS (
+       |  SELECT term, count(*)::BIGINT AS tf FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |    FROM documents
+       |  ) GROUP BY term
+       |  ORDER BY tf DESC, term LIMIT $ZipfHead
+       |), pts AS (
+       |  SELECT ${TextSim.r6Sql("ln(row_number() OVER (ORDER BY tf DESC, term))")} AS x,
+       |         ${TextSim.r6Sql("ln(tf)")} AS y
+       |  FROM head
+       |), sums AS (
+       |  SELECT count(*)::BIGINT AS n_terms,
+       |         ${TextSim.dsumSql("x")} AS sx, ${TextSim.dsumSql("y")} AS sy,
+       |         ${TextSim.dsumSql("x * y")} AS sxy, ${TextSim.dsumSql("x * x")} AS sxx
+       |  FROM pts
+       |)
+       |SELECT n_terms,
+       |       ${TextSim.r6Sql("(n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)")} AS slope,
+       |       ${TextSim.r6Sql("(sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx) / n_terms")} AS intercept
+       |FROM sums""".stripMargin
 }
