@@ -30,8 +30,13 @@ object Events {
     * pattern), then the per-stage user counts + conversion rate off
     * the bounded per-user frame.
     */
-  def funnelQuery(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  def funnelQuery(s: SparkSession, d: String): DataFrame =
+    funnel(Tables.events(s, d))
+
+  /** Frame-based [[funnelQuery]] over any `(user_id, event_type, ts)`
+    * frame.
+    */
+  def funnel(ev: DataFrame): DataFrame = {
     val perUser = ev
       .filter(col("event_type").isin(FunnelStages: _*))
       .groupBy(col("user_id"))
@@ -103,8 +108,12 @@ object Events {
     * Cohort sizes come off the offset-0 diagonal via a window over the
     * ≤|cohorts|·(days+1) matrix — never a second pass over events.
     */
-  def retentionQuery(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  def retentionQuery(s: SparkSession, d: String): DataFrame =
+    retention(Tables.events(s, d))
+
+  /** Frame-based [[retentionQuery]] over any `(user_id, ts)` frame. */
+  def retention(evRaw: DataFrame): DataFrame = {
+    val ev = evRaw
       .select(col("user_id"), to_date(col("ts")).as("day"))
     val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
     val active = ev.join(firstDay, Seq("user_id"))
@@ -150,8 +159,12 @@ object Events {
     * events → hour-grid counts (one groupBy), grid → ≤|types| stats
     * rows (second tiny agg) broadcast back onto the grid.
     */
-  def anomalyQuery(s: SparkSession, d: String): DataFrame = {
-    val hourly = Tables.events(s, d)
+  def anomalyQuery(s: SparkSession, d: String): DataFrame =
+    anomaly(Tables.events(s, d))
+
+  /** Frame-based [[anomalyQuery]] over any `(event_type, ts)` frame. */
+  def anomaly(ev: DataFrame): DataFrame = {
+    val hourly = ev
       .groupBy(col("event_type"),
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
       .agg(count(lit(1)).as("n_events"))
