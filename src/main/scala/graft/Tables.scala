@@ -30,8 +30,19 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    // The legacy conf is session state; under parallel suites /
+    // cloned streaming sessions the schema can still resolve with it
+    // unset (ts arrives TIMESTAMP_NTZ, nanos already truncated to
+    // µs). Branch on the RESOLVED type instead of trusting the conf:
+    // both arms floor to the same microsecond value (session tz is
+    // pinned UTC by every entry point, so the NTZ cast is lossless).
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
