@@ -123,4 +123,94 @@ object Graph {
        |            ELSE 0.0 END AS cc
        |FROM deg LEFT JOIN per_node USING (node)
        |ORDER BY node""".stripMargin
+
+  val LpaRounds = 3
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * over the undirected graph: labels init to node ids; each round
+    * every node adopts the MAJORITY label among its neighbors, ties to
+    * the smallest label. Fixed [[LpaRounds]] rounds with deterministic
+    * tie-breaks — fully reproducible (free-running async LPA is run-
+    * order dependent and can oscillate; fixed-round synchronous LPA
+    * with total-order ties is the oracle-able form). Communities are
+    * denser than connected components ([[Components]]): a bridge edge
+    * doesn't merge two tight clusters.
+    *
+    * Scale shape: each round is one edge-join keyed on the label side
+    * + one partial-agg groupBy on (node, label) + one groupBy(node)
+    * picking the argmax via `max(struct(c, -label))` — NO window, so
+    * the round is two map-side-combined aggregates and every exchange
+    * keys on node ids. Rounds are lineage-cut ([[Iterate.materialize]],
+    * reliable-checkpoint knob) like every iterative driver here.
+    */
+  def labelProp(edges: DataFrame, rounds: Int = LpaRounds,
+    checkpointDir: Option[String] = None): DataFrame = {
+    val sym = edges
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .unionAll(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = Iterate.materialize(
+      sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")), checkpointDir)
+    for (_ <- 1 to rounds) {
+      val next = labels.join(sym, labels("node") === sym("src"))
+        .groupBy(sym("dst").as("node"), labels("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("label"))
+      labels = Iterate.materialize(next, checkpointDir)
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** q_labelprop — [[labelProp]] on a thinned crawl subgraph
+    * (`(src+dst) % 4 = 0` — the dense fixture graph collapses to one
+    * community in 3 rounds, which exercises nothing; the thinned form
+    * holds 4 stable communities at every SF), with final community
+    * sizes joined back (size keys on the label — a |labels|-bounded
+    * aggregate).
+    */
+  def labelPropQuery(s: SparkSession, d: String): DataFrame = {
+    val l = labelProp(Tables.edges(s, d)
+      .filter((col("src") + col("dst")) % 4 === 0))
+    val sizes = l.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    l.join(sizes, "label")
+      .select(col("node"), col("label"), col("csize"))
+      .orderBy(col("node"))
+  }
+
+  val labelPropSql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT s.dst AS node, l.label, count(*) AS c,
+         |           row_number() OVER (PARTITION BY s.dst
+         |             ORDER BY count(*) DESC, l.label) AS rk
+         |    FROM l${i - 1} l JOIN sym s ON s.src = l.node
+         |    GROUP BY s.dst, l.label)
+         |  WHERE rk = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Tables.edgesSql},
+       |thinned AS (
+       |  SELECT src, dst FROM edges WHERE (src + dst) % 4 = 0
+       |),
+       |sym AS (
+       |  SELECT src, dst FROM thinned
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM thinned
+       |), l0 AS (
+       |  SELECT DISTINCT src AS node, src AS label FROM sym
+       |),
+       |$rounds
+       |SELECT l.node, l.label, s.csize
+       |FROM l$LpaRounds l
+       |JOIN (SELECT label, count(*)::BIGINT AS csize
+       |      FROM l$LpaRounds GROUP BY label) s USING (label)
+       |ORDER BY l.node""".stripMargin
+  }
 }
