@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Edit-distance (Levenshtein) near-duplicate detection — the
@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * drift AFTER a shared head — the overwhelming shape of re-crawled
   * page revisions); a deletion inside the first `prefixLen` chars
   * moves a pair out of the block, the standard blocking trade-off
-  * (run a second pass blocked on suffix — same plan — to catch
-  * head-edited pairs). The band self-join is salted
+  * ([[editPairsTwoSided]] runs the symmetric suffix-blocked pass and
+  * unions — only a pair edited at BOTH ends escapes). The band
+  * self-join is salted
   * ([[Skew.saltedSelfJoin]]) so one viral prefix (boilerplate heads)
   * cannot straggle a reducer.
   */
@@ -45,9 +46,20 @@ object EditSim {
     * maxDist`.
     */
   def editPairs(docs: DataFrame, prefixLen: Int = PrefixLen,
+    maxDist: Int = MaxDist): DataFrame =
+    editPairsBlocked(docs, substring(col("text"), 1, prefixLen), maxDist)
+
+  /** [[editPairs]] with a caller-chosen blocking key over `text` —
+    * `substring(text, 1, n)` for the head-anchored pass,
+    * `substring(text, -n, n)` for the symmetric suffix-anchored pass
+    * that catches head-edited pairs (union the two passes and
+    * `dropDuplicates("doc_a","doc_b")` for two-sided coverage; a pair
+    * must then survive an edit at one END, the blocked analogue of
+    * banding).
+    */
+  def editPairsBlocked(docs: DataFrame, blockKey: Column,
     maxDist: Int = MaxDist): DataFrame = {
-    val keyed = docs.select(col("doc_id"),
-      substring(col("text"), 1, prefixLen).as("k"))
+    val keyed = docs.select(col("doc_id"), blockKey.as("k"))
     // bare ids through the salted self-join; text never rides it
     val cand = Skew.saltedSelfJoin(keyed, "doc_id", Seq("k"), salt = 4)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -61,6 +73,18 @@ object EditSim {
         levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Two-sided pass: prefix-blocked ∪ suffix-blocked candidates, each
+    * pair once. Catches both tail-edited (shared head) and head-edited
+    * (shared tail) near-dups; only a pair edited at BOTH ends inside
+    * the block windows escapes.
+    */
+  def editPairsTwoSided(docs: DataFrame, blockLen: Int = PrefixLen,
+    maxDist: Int = MaxDist): DataFrame =
+    editPairsBlocked(docs, substring(col("text"), 1, blockLen), maxDist)
+      .unionAll(editPairsBlocked(docs,
+        substring(col("text"), -blockLen, blockLen), maxDist))
+      .dropDuplicates("doc_a", "doc_b")
 
   /** q_edit_dedup — [[editPairs]] over the duplicate-injected corpus:
     * exact copies land at dist 0, the appended-suffix near copies at

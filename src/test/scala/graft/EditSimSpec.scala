@@ -21,6 +21,20 @@ class EditSimSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 6L), (2L, 3L, 6L)))
   }
 
+  test("two-sided pass catches head-edited pairs the prefix pass misses") {
+    val docs = Seq(
+      (1L, "HEAD-A shared middle body of the document and a common long tail section"),
+      (2L, "HEAD-B shared middle body of the document and a common long tail section"),
+      (3L, "totally different text with nothing shared at all in any region here")
+    ).toDF("doc_id", "text")
+    val oneSided = EditSim.editPairs(docs, prefixLen = 16, maxDist = 10)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(oneSided.isEmpty, "prefix blocking must miss the head edit")
+    val twoSided = EditSim.editPairsTwoSided(docs, blockLen = 16, maxDist = 10)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(twoSided == Set((1L, 2L)))
+  }
+
   test("pair is symmetric-free: doc_a < doc_b always") {
     val r = EditSim.editDedup(spark, sf)
       .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
