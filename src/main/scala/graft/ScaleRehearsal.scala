@@ -58,6 +58,21 @@ object ScaleRehearsal {
     t("simhash_pairs") {
       operators.Dedup.simhashPairs(docs).count()
     }
+    // edit-distance dedup under clone stress: every clone cluster is
+    // ONE viral prefix block, and candidate pairs grow quadratically
+    // in the cluster size (mult clones -> mult·(mult−1)/2 verified
+    // Levenshtein calls per source doc) — the verify-cost blowup the
+    // blocking knob bounds; two-sided doubles the band volume on top
+    t("edit_pairs") {
+      operators.EditSim.editPairsTwoSided(docs).count()
+    }
+    // fingerprint containment under clone stress: replication
+    // multiplies every print's df by mult, so the df ceiling scales
+    // with mult to keep the same discriminative band — the knob a real
+    // deployment sizes to its replication factor
+    t("fp_overlap") {
+      operators.FpOverlap.overlapPairs(docs, maxDf = 10 * mult).count()
+    }
     // substring dedup under maximal duplication (every doc has mult
     // clones, so EVERY gram is corpus-duplicated — the worst case for
     // the dup-set aggregate and the island windows); the sampled drop

@@ -553,16 +553,24 @@ object TextAnalysis {
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     val kgramHash: Column => Column = g =>
       conv(substring(md5(g), 1, 7), 16, 10).cast("long")
-    val docs = Tables.documents(s, d)
+    // persist barriers around the two array stages: without them,
+    // project-collapse inlines `h` into the winnow lambda (every
+    // window slice re-derives the whole md5 k-gram array — O(len²)
+    // interpreted md5 per doc) and `fps` into its three aggregate
+    // references. The bench's count() prunes the columns and hides
+    // this; any consumer that MATERIALIZES the result pays it.
+    val withH = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= K + W - 1)
-    docs
-      .withColumn("h", transform(
+      .select(col("doc_id"), transform(
         sequence(lit(1), length(col("text")) - (K - 1)),
-        i => kgramHash(col("text").substr(i, lit(K)))))
-      .withColumn("fps", array_distinct(transform(
+        i => kgramHash(col("text").substr(i, lit(K)))).as("h"))
+      .persist()
+    withH
+      .select(col("doc_id"), array_distinct(transform(
         sequence(lit(1), size(col("h")) - (W - 1)),
-        i => array_min(slice(col("h"), i, lit(W))))))
+        i => array_min(slice(col("h"), i, lit(W))))).as("fps"))
+      .persist()
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fingerprints"),
         array_min(col("fps")).as("min_fp"),
