@@ -37,6 +37,18 @@ class FpOverlapSpec extends AnyFunSuite {
     assert(r.forall { case (a, b, _, c) => a < b && c <= 1.0 })
   }
 
+  test("plan: no cartesian/nested-loop; df join stays a shuffle join under broadcast kill") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = FpOverlap.overlapPairs(Tables.docsAug(spark, sf))
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("viral boilerplate fingerprints are cut before the self-join") {
     // 30 docs sharing one boilerplate sentence + unique tails: the
     // boilerplate prints have df=30 > maxDf and must produce NO pairs
