@@ -78,7 +78,7 @@ object Dedup {
        |ORDER BY keep_id""".stripMargin
 
   /** Shared SQL prelude: tokenized + shingled corpus. */
-  private val shingledSql: String =
+  private[operators] val shingledSql: String =
     s"""${Tables.docsAugSql},
        |toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -210,15 +210,14 @@ object Dedup {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
-  private val jaccardSql: String = TextSim.r6Sql(
+  private[operators] val jaccardSql: String = TextSim.r6Sql(
     "len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))")
 
   /** shingled corpus → minhash signatures → band buckets → candidate
     * pairs; shared by [[minhashSql]] and [[keepSql]].
     */
-  private val minhashCandSql: String =
-    s"""$shingledSql,
-       |sig AS (
+  private[operators] val minhashBodySql: String =
+    s"""sig AS (
        |  SELECT doc_id, sh, ${minhashSigSql("sh")} AS sig
        |  FROM shingled
        |), bands AS (
@@ -235,6 +234,10 @@ object Dedup {
        |  JOIN shingled y ON y.doc_id = c.b_id
        |  WHERE $jaccardSql >= 0.8
        |)""".stripMargin
+
+  private val minhashCandSql: String =
+    s"""$shingledSql,
+       |$minhashBodySql""".stripMargin
 
   val minhashContamSql: String =
     s"""WITH $shingledSql,

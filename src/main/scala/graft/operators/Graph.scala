@@ -213,4 +213,109 @@ object Graph {
        |      FROM l$LpaRounds GROUP BY label) s USING (label)
        |ORDER BY l.node""".stripMargin
   }
+
+  /** k for `q_kcore`. */
+  val KcoreK = 3
+
+  /** Peel-round bound. The oracle unrolls exactly this many rounds;
+    * peeling is monotone and idempotent at its fixpoint, so the early
+    * exit below (first round removing nothing) and the oracle's full
+    * unroll compute the same set — rounds past the fixpoint are
+    * no-ops by construction.
+    */
+  val KcoreRounds = 8
+
+  /** Bounded-round k-core peel over any `(src, dst)` edge frame
+    * (undirected; duplicates/reverses collapse): repeatedly delete
+    * every node whose degree in the surviving subgraph is below `k`.
+    * The k-core is the standard "dense backbone" extractor — crawl
+    * spam farms and isolated tendrils fall out of the core while
+    * topically-linked clusters stay — and the peel CASCADES: removing
+    * a tendril can drop its attachment point below k the next round,
+    * which is what distinguishes it from a one-shot degree filter.
+    *
+    * Scale shape: each round is two semi-joins of the edge set
+    * against the shrinking survivor set (id-keyed hash shuffles, the
+    * CC/LPA round shape) + one partial-agg degree count; rounds are
+    * lineage-cut ([[Iterate.materialize]], reliable-checkpoint knob).
+    * The `removed` count rides each round's materialization as an
+    * observe() metric — the fixpoint test costs zero extra jobs.
+    */
+  def kcore(edges: DataFrame, k: Int = KcoreK, rounds: Int = KcoreRounds,
+    checkpointDir: Option[String] = None): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persist()
+    val nodes = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node"))).distinct().persist()
+    var alive = Iterate.materialize(nodes, checkpointDir)
+    var round = 0
+    var done = false
+    while (round < rounds && !done) {
+      val live = und
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      val deg = live.select(col("a").as("node"))
+        .unionAll(live.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = Iterate.materialize(
+        alive.join(deg, Seq("node"), "left_outer")
+          .observe(obs, sum(when(coalesce(col("deg"), lit(0L)) < k, 1L)
+            .otherwise(0L)).as("removed"))
+          .filter(coalesce(col("deg"), lit(0L)) >= k)
+          .select(col("node")), checkpointDir)
+      alive = next
+      round += 1
+      done = obs.get("removed").asInstanceOf[Long] == 0L
+    }
+    val out = nodes
+      .join(alive.select(col("node"), lit(true).as("core")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("core"), lit(false)).as("in_core"))
+    und.unpersist()
+    out
+  }
+
+  /** q_kcore — [[kcore]] on the thinned crawl subgraph (the
+    * `q_labelprop` thinning: the full fixture graph is dense enough
+    * that nothing peels, which exercises nothing; the thinned form
+    * peels tendrils over multiple cascade rounds at every SF).
+    */
+  def kcoreQuery(s: SparkSession, d: String): DataFrame =
+    kcore(Tables.edges(s, d).filter((col("src") + col("dst")) % 4 === 0))
+      .orderBy(col("node"))
+
+  val kcoreSql: String = {
+    // AS MATERIALIZED: each round references the previous twice; the
+    // default CTE inlining would expand a8 into 2^8 copies of the
+    // whole chain (and 2^8 opens of the events scan)
+    val rounds = (1 to KcoreRounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT u.a AS node FROM und u
+         |    JOIN a${i - 1} x ON u.a = x.node JOIN a${i - 1} y ON u.b = y.node
+         |    UNION ALL
+         |    SELECT u.b AS node FROM und u
+         |    JOIN a${i - 1} x ON u.a = x.node JOIN a${i - 1} y ON u.b = y.node
+         |  ) GROUP BY node HAVING count(*) >= $KcoreK
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Tables.edgesSql},
+       |thinned AS (
+       |  SELECT src, dst FROM edges WHERE (src + dst) % 4 = 0
+       |), und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM thinned
+       |), a0 AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+       |  )
+       |),
+       |$rounds
+       |SELECT n.node, (e.node IS NOT NULL) AS in_core
+       |FROM a0 n LEFT JOIN a$KcoreRounds e ON e.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
 }

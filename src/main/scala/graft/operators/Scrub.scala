@@ -203,4 +203,84 @@ object Scrub {
        |         '$IpRe', '<IP>', 'g')) AS scrub_hash
        |FROM injected
        |ORDER BY doc_id""".stripMargin
+
+  /** Candidate payment-card pattern: 13–19 digit runs (ISO/IEC 7812
+    * PAN lengths). Detection alone over-redacts — invoice ids and
+    * timestamps are digit runs too — so candidates are CHECKSUM-
+    * validated below; only Luhn-passing runs are card-like.
+    */
+  val CardRe = "[0-9]{13,19}"
+
+  /** Luhn checksum validity of a digit-run column, no UDF: digits via
+    * split (empty-string artifacts filtered — Spark's limit=-1 split
+    * keeps a trailing ""), the double-every-second-from-the-right
+    * rule as an indexed transform, the sum one aggregate fold — all
+    * codegen'd HOFs riding the scan projection.
+    */
+  def luhnValid(num: Column): Column = {
+    val digits = filter(split(reverse(num), ""), c => c =!= lit(""))
+    val terms = transform(digits, (c, i) => {
+      val d = ascii(c) - lit(48)
+      when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(terms, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  /** Card-number screen over any `(doc_id, text)` frame: one row per
+    * candidate digit run — masked tail, run length, Luhn verdict.
+    * Per-row projection (regex extract + HOF fold), no shuffle.
+    */
+  def cardScreen(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(text, '$CardRe', 0)")).as("num"))
+      .select(col("doc_id"),
+        concat(lit("****"), substring(col("num"), -4, 4)).as("masked"),
+        length(col("num")).cast("long").as("n_digits"),
+        luhnValid(col("num")).as("luhn_valid"))
+
+  /** q_pii_luhn — [[cardScreen]] over the corpus with one
+    * deterministically synthesized 16-digit candidate appended to
+    * every 13th doc (the corpus is digit-free word soup; the
+    * injection is mirrored verbatim in the oracle). Roughly a tenth
+    * of the synthesized runs pass Luhn — the screen's value is that
+    * the rest do NOT get redacted.
+    */
+  def piiLuhn(s: SparkSession, d: String): DataFrame = {
+    val injected = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" card "),
+          lpad(((col("doc_id") * 7919) % lit(10000000000000000L))
+            .cast("string"), 16, "0")))
+        .otherwise(col("text")).as("text"))
+    cardScreen(injected).orderBy(col("doc_id"), col("masked"))
+  }
+
+  val piiLuhnSql: String = {
+    val digit = "substring(reverse(num), i, 1)::INT"
+    val luhn =
+      s"""list_sum(list_transform(range(1, length(num) + 1), i ->
+         |  CASE WHEN i % 2 = 0
+         |       THEN CASE WHEN 2 * $digit > 9 THEN 2 * $digit - 9
+         |                 ELSE 2 * $digit END
+         |       ELSE $digit END)) % 10 = 0""".stripMargin
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 13 = 0
+       |              THEN text || ' card ' ||
+       |                   lpad(((doc_id * 7919) % 10000000000000000)::VARCHAR, 16, '0')
+       |              ELSE text END AS text
+       |  FROM documents
+       |), cands AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$CardRe')) AS num
+       |  FROM injected
+       |)
+       |SELECT doc_id,
+       |       '****' || substring(num, length(num) - 3, 4) AS masked,
+       |       length(num)::BIGINT AS n_digits,
+       |       ($luhn) AS luhn_valid
+       |FROM cands
+       |ORDER BY doc_id, masked""".stripMargin
+  }
 }
