@@ -662,6 +662,31 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Audit-sample size. */
+  val AuditN = 200
+
+  /** q_audit_sample — exact-N deterministic global sample: the N docs
+    * with the smallest md5 rank hash — a uniform reproducible audit
+    * slice (human eval, manual QA, labeling batches) that is STABLE
+    * under corpus growth in the bottom-k sense: an insert displaces at
+    * most one sampled doc. The rate-based samplers (`q_mix_sample`,
+    * `q_sample_weighted`) give EXPECTED counts; audits need exactly N.
+    * Plans as TakeOrdered — per-partition partial top-N, k·partitions
+    * rows to the driver-side merge, never a global sort.
+    */
+  def auditSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("audit:"), col("doc_id"))).as("rk"))
+      .orderBy(col("rk"))
+      .limit(AuditN)
+
+  val auditSampleSql: String =
+    s"""SELECT doc_id, source, md5('audit:' || doc_id) AS rk
+       |FROM documents
+       |ORDER BY rk
+       |LIMIT $AuditN""".stripMargin
+
   val sampleWeightedSql: String = {
     val stop = TextAnalysis.hitsSql("t", TextAnalysis.Profiles.head._2)
     s"""WITH base AS (

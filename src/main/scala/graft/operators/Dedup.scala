@@ -317,6 +317,64 @@ object Dedup {
        |SELECT id AS doc_id, min(r) AS keep_id, min(r) = id AS is_kept
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q_dup_stats — the duplication-inflation report: the cluster-size
+    * histogram of the near-dup survivor labeling, with token mass and
+    * REMOVABLE token mass per size bucket — "how much of the corpus is
+    * duplicated text, and how much does dedup delete" as one bounded
+    * frame (the number a data-budget negotiation actually needs; the
+    * per-doc `q_dedup_keep` frame is its row-level source). Cluster
+    * size 1 = the unduplicated majority (dup_tokens 0 by construction).
+    *
+    * Scale shape: labels⋈token-counts keys on doc_id (bucket both at
+    * 100 TB → exchange-free), cluster fold shuffles ≤|docs| rows on
+    * keep_id with map-side partials, the histogram folds ≤|clusters|
+    * rows to ≤|distinct sizes|.
+    */
+  def dupStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.docsAug(s, d)
+    val toks = docs.select(col("doc_id"),
+      size(TextSim.tokens(col("text"))).cast("long").as("n_toks"))
+    val clusters = keep(s, d)
+      .join(toks, "doc_id")
+      .groupBy(col("keep_id"))
+      .agg(count(lit(1)).cast("long").as("sz"),
+        sum(col("n_toks")).cast("long").as("c_toks"),
+        sum(when(!col("is_kept"), col("n_toks")).otherwise(0L))
+          .cast("long").as("c_dup"))
+    clusters.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(col("sz")).cast("long").as("n_docs"),
+        sum(col("c_toks")).cast("long").as("n_tokens"),
+        sum(col("c_dup")).cast("long").as("dup_tokens"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val dupStatsSql: String =
+    s"""WITH RECURSIVE $minhashCandSql,
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM verified
+       |), walk(id, r) AS (
+       |  SELECT doc_id, doc_id FROM docs_aug
+       |  UNION
+       |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+       |), labels AS (
+       |  SELECT id AS doc_id, min(r) AS keep_id FROM walk GROUP BY id
+       |), per AS (
+       |  SELECT l.doc_id, l.keep_id, (l.keep_id = l.doc_id) AS is_kept,
+       |         len(t.t)::BIGINT AS n_toks
+       |  FROM labels l JOIN toks t ON t.doc_id = l.doc_id
+       |), clusters AS (
+       |  SELECT keep_id, count(*)::BIGINT AS sz, sum(n_toks)::BIGINT AS c_toks,
+       |         sum(CASE WHEN NOT is_kept THEN n_toks ELSE 0 END)::BIGINT AS c_dup
+       |  FROM per GROUP BY 1
+       |)
+       |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+       |       sum(sz)::BIGINT AS n_docs, sum(c_toks)::BIGINT AS n_tokens,
+       |       sum(c_dup)::BIGINT AS dup_tokens
+       |FROM clusters GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** 48-bit SimHash near-dup pairs (Hamming ≤ 3) over any
     * `(doc_id, text)` frame. 4 × 12-bit band blocking is exact for
     * Hamming ≤ 3 (pigeonhole: 3 differing bits can dirty at most 3 of

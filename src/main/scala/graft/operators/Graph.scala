@@ -318,4 +318,73 @@ object Graph {
        |FROM a0 n LEFT JOIN a$KcoreRounds e ON e.node = n.node
        |ORDER BY n.node""".stripMargin
   }
+
+  /** Per-node in/out degrees over a directed `(src, dst)` edge frame —
+    * zero-degree sides kept (a dangling node IS the observation:
+    * PageRank's leak term, a crawl frontier edge). Two partial-agg
+    * groupBys on the edge endpoints + id-keyed joins against the
+    * |V|-sized node universe.
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    val outd = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("out_deg"))
+    val ind = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).cast("long").as("in_deg"))
+    nodes.join(outd, Seq("node"), "left_outer")
+      .join(ind, Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** q_degree_dist — the degree-distribution histogram of the crawl
+    * graph: for each degree value, how many nodes have that out-degree
+    * and how many that in-degree (the degree-0 out bucket = dangling
+    * mass, the q_pagerank leak term made visible; a heavy tail =
+    * hubs, the salting/orientation rationale made measurable). Edge
+    * folds are map-side partial aggs; the histogram is a fold of the
+    * |V|-sized degree frame to ≤|distinct degrees| rows.
+    */
+  def degreeDistQuery(s: SparkSession, d: String): DataFrame = {
+    val deg = degrees(Tables.edges(s, d))
+    val outH = deg.groupBy(col("out_deg").as("degree"))
+      .agg(count(lit(1)).cast("long").as("n_out_nodes"))
+    val inH = deg.groupBy(col("in_deg").as("degree"))
+      .agg(count(lit(1)).cast("long").as("n_in_nodes"))
+    outH.join(inH, Seq("degree"), "full_outer")
+      .select(col("degree"),
+        coalesce(col("n_out_nodes"), lit(0L)).as("n_out_nodes"),
+        coalesce(col("n_in_nodes"), lit(0L)).as("n_in_nodes"))
+      .orderBy(col("degree"))
+  }
+
+  val degreeDistSql: String =
+    s"""WITH ${Tables.edgesSql},
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+       |  )
+       |), degs AS (
+       |  SELECT n.node,
+       |         coalesce(o.c, 0)::BIGINT AS out_deg,
+       |         coalesce(i.c, 0)::BIGINT AS in_deg
+       |  FROM nodes n
+       |  LEFT JOIN (SELECT src, count(*)::BIGINT AS c FROM edges GROUP BY 1) o
+       |    ON o.src = n.node
+       |  LEFT JOIN (SELECT dst, count(*)::BIGINT AS c FROM edges GROUP BY 1) i
+       |    ON i.dst = n.node
+       |), oh AS (
+       |  SELECT out_deg AS degree, count(*)::BIGINT AS n_out_nodes
+       |  FROM degs GROUP BY 1
+       |), ih AS (
+       |  SELECT in_deg AS degree, count(*)::BIGINT AS n_in_nodes
+       |  FROM degs GROUP BY 1
+       |)
+       |SELECT coalesce(oh.degree, ih.degree) AS degree,
+       |       coalesce(n_out_nodes, 0)::BIGINT AS n_out_nodes,
+       |       coalesce(n_in_nodes, 0)::BIGINT AS n_in_nodes
+       |FROM oh FULL OUTER JOIN ih ON oh.degree = ih.degree
+       |ORDER BY degree""".stripMargin
 }

@@ -86,10 +86,24 @@ object SliceOverlap {
       row_number().over(
         Window.partitionBy(col("pa"), col("pb")).orderBy(col("h"))))
       .filter(col("rh") <= k)
+    // containment |A∩B|/|A| reads off the same cut: restrict the
+    // uniform union sample to A's elements (an unbiased sample of A)
+    // and take the in-B share — the slice-level form of the
+    // [[FpOverlap]] asymmetry (a mirrored subset scores ~1 against
+    // its superset while Jaccard stays low).
     cut.groupBy(col("pa").as("source_a"), col("pb").as("source_b"))
       .agg(count(lit(1)).cast("long").as("n_sample"),
         TextSim.r6(sum(col("ia") * col("ib")).cast("double") /
-          count(lit(1)).cast("double")).as("est_jaccard"))
+          count(lit(1)).cast("double")).as("est_jaccard"),
+        // a side can contribute nothing to the cut only under extreme
+        // size asymmetry (all of A's hashes above B's k-th) — report
+        // null rather than an engine-dependent inf
+        when(sum(col("ia")) === 0, lit(null).cast("double"))
+          .otherwise(TextSim.r6(sum(col("ia") * col("ib")).cast("double") /
+            sum(col("ia")).cast("double"))).as("est_contain_a"),
+        when(sum(col("ib")) === 0, lit(null).cast("double"))
+          .otherwise(TextSim.r6(sum(col("ia") * col("ib")).cast("double") /
+            sum(col("ib")).cast("double"))).as("est_contain_b"))
   }
 
   /** q_slice_overlap — pairwise shingle-set Jaccard between sources
@@ -134,7 +148,11 @@ object SliceOverlap {
        |)
        |SELECT pa AS source_a, pb AS source_b,
        |       count(*)::BIGINT AS n_sample,
-       |       ${TextSim.r6Sql("sum(ia * ib)::DOUBLE / count(*)::DOUBLE")} AS est_jaccard
+       |       ${TextSim.r6Sql("sum(ia * ib)::DOUBLE / count(*)::DOUBLE")} AS est_jaccard,
+       |       CASE WHEN sum(ia) = 0 THEN NULL
+       |            ELSE ${TextSim.r6Sql("sum(ia * ib)::DOUBLE / sum(ia)::DOUBLE")} END AS est_contain_a,
+       |       CASE WHEN sum(ib) = 0 THEN NULL
+       |            ELSE ${TextSim.r6Sql("sum(ia * ib)::DOUBLE / sum(ib)::DOUBLE")} END AS est_contain_b
        |FROM cut WHERE rh <= $K
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin

@@ -90,4 +90,24 @@ class CorpusSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(headMerged == headWhole)
   }
+
+  test("audit sample: exactly N, TakeOrdered plan, bottom-k stability") {
+    val out = Corpus.auditSample(spark, sf)
+    assert(out.count() == Corpus.AuditN)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected partial top-N, got:\n$plan")
+    // growth stability: inserting m docs displaces at most m samples
+    val orig = out.select(col("doc_id")).as[Long].collect().toSet
+    val extra = (9000001L to 9000010L).map(i => (i, "srcX", "x", 1L, "en"))
+      .toDF("doc_id", "source", "text", "n_chars", "lang")
+    val grown = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"), col("lang"))
+      .unionByName(extra.select(col("doc_id"), col("source"), col("text"),
+        col("n_chars"), col("lang")))
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("audit:"), col("doc_id"))).as("rk"))
+      .orderBy(col("rk")).limit(Corpus.AuditN)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert((orig -- grown).size <= 10, "an insert displaces at most one sample each")
+  }
 }

@@ -39,6 +39,16 @@ class SliceOverlapSpec extends AnyFunSuite {
     assert(same == 1.0)
   }
 
+  test("containment is asymmetric: a subset scores 1 against its superset") {
+    // A ⊂ B: contain_a = 1 exactly, jaccard ~ 0.3
+    val out = SliceOverlap.overlapPairs(
+      SliceOverlap.signatures(slices(300, 0, 700), "key", "elem"))
+      .select(col("est_jaccard"), col("est_contain_a"), col("est_contain_b"))
+      .as[(Double, Double, Double)].head()
+    assert(out._2 == 1.0, s"subset containment must be exact: $out")
+    assert(math.abs(out._1 - 0.3) < 0.1 && out._3 < out._2, s"$out")
+  }
+
   test("signatures are bounded by k and duplicate-blind; merge ≡ one-shot") {
     val df = slices(300, 300, 300)
     val sig = SliceOverlap.signatures(df, "key", "elem", k = 64)
