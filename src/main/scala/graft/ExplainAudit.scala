@@ -239,6 +239,33 @@ object ExplainAudit {
       !swPlan.contains("SortMergeJoin") && !swPlan.contains("ShuffledHashJoin") &&
         !swPlan.contains("hashpartitioning"))
 
+    // round-5 late invariants
+    val blPlan = operators.Blocklist
+      .screen(Tables.documents(spark, d), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    flag("blocklist screen rides the scan (no Exchange, no Join)",
+      !blPlan.contains("Exchange") && !blPlan.contains("Join"))
+
+    val wcPlan = operators.WindowChunk
+      .slide(Tables.documents(spark, d), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    flag("window chunker rides the scan (no Exchange, no Join)",
+      !wcPlan.contains("Exchange") && !wcPlan.contains("Join"))
+
+    val asPlan = operators.Corpus.auditSample(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("audit sample: TakeOrdered partial top-N (no global Sort exchange)",
+      asPlan.contains("TakeOrdered"))
+
+    // slice-overlap signatures: the one corpus-sized fold is the
+    // ObjectHashAggregate with a map-side partial pass; pairwise joins
+    // downstream are signature-sized with the pair list broadcast
+    val soPlan = operators.SliceOverlap.sliceOverlap(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("slice overlap: partial-agg signature fold + broadcast pair list",
+      soPlan.contains("ObjectHashAggregate") &&
+        soPlan.contains("BroadcastHashJoin"))
+
     spark.stop()
   }
 }

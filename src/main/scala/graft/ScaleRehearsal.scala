@@ -171,6 +171,30 @@ object ScaleRehearsal {
     t("dsir_weights") {
       operators.Corpus.dsirWeights(docs).count()
     }
+    // blocklist gate: one per-row comparison fold over the scan —
+    // cost must track the corpus linearly, keep counts scale with mult
+    t("blocklist") {
+      operators.Blocklist.screen(docs, "doc_id", "text")
+        .filter(col("keep_strict")).count()
+    }
+    // sliding-window chunking: linear pass, output ~ input x W/S —
+    // the re-embed factor is the measured quantity, not a surprise
+    t("window_chunks") {
+      operators.WindowChunk.slide(docs, "doc_id", "text").count()
+    }
+    // slice-overlap signatures under replication: the one corpus fold
+    // bounds per-slice state at k rows regardless of mult; the
+    // pairwise stage never touches the corpus (synthetic 20-slice key)
+    t("slice_overlap") {
+      val sliced = docs
+        .select((col("doc_id") % 20).cast("string").as("slice"),
+          graft.functions.TextSim.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("slice"),
+          explode(graft.functions.TextSim.shingles3(col("t"))).as("g"))
+      operators.SliceOverlap.overlapPairs(
+        operators.SliceOverlap.signatures(sliced, "slice", "g")).count()
+    }
     // semantic dedup under maximal duplication: every clone set lands
     // in ONE cell, so the within-cell pair scan is exactly the viral
     // case the salted self-join exists for

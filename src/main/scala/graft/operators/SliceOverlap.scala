@@ -77,11 +77,15 @@ object SliceOverlap {
     val pairs = keys.as("ka").join(keys.as("kb"),
       col("ka.key") < col("kb.key"))
       .select(col("ka.key").as("pa"), col("kb.key").as("pb"))
-    val tagged = sig.join(broadcast(pairs),
-      col("key") === col("pa") || col("key") === col("pb"))
+    // two broadcast EQUI-joins (an OR-condition join would plan as a
+    // per-row nested loop over the pair list), unioned then folded
+    val ta = sig.join(broadcast(pairs), col("key") === col("pa"))
+      .select(col("pa"), col("pb"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+    val tb = sig.join(broadcast(pairs), col("key") === col("pb"))
+      .select(col("pa"), col("pb"), col("h"), lit(0).as("ia"), lit(1).as("ib"))
+    val tagged = ta.unionByName(tb)
       .groupBy(col("pa"), col("pb"), col("h"))
-      .agg(max(when(col("key") === col("pa"), 1).otherwise(0)).as("ia"),
-        max(when(col("key") === col("pb"), 1).otherwise(0)).as("ib"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
     val cut = tagged.withColumn("rh",
       row_number().over(
         Window.partitionBy(col("pa"), col("pb")).orderBy(col("h"))))
