@@ -334,7 +334,24 @@ object Dedup {
     val docs = Tables.docsAug(s, d)
     val toks = docs.select(col("doc_id"),
       size(TextSim.tokens(col("text"))).cast("long").as("n_toks"))
-    val clusters = keep(s, d)
+    statsFromKeep(keep(s, d), toks)
+  }
+
+  /** [[dupStats]] from an already-computed (or incrementally
+    * MAINTAINED, [[Components.mergePairs]]) label table and a
+    * `(doc_id, n_toks)` frame — the weekly-ingest form: the stored
+    * labels + two folds, no pair recompute, no iteration (the
+    * [[keepFromLabels]] last mile applied to the report).
+    */
+  def dupStatsFromLabels(nodes: DataFrame, labels: DataFrame,
+    toks: DataFrame): DataFrame =
+    statsFromKeep(keepFromLabels(nodes, labels), toks)
+
+  /** The two report folds over any `(doc_id, keep_id, is_kept)` frame:
+    * per-cluster sizes/masses, then the per-size histogram.
+    */
+  private def statsFromKeep(keepFrame: DataFrame, toks: DataFrame): DataFrame = {
+    val clusters = keepFrame
       .join(toks, "doc_id")
       .groupBy(col("keep_id"))
       .agg(count(lit(1)).cast("long").as("sz"),

@@ -24,4 +24,18 @@ class DupStatsSpec extends AnyFunSuite {
     // the injected exact+near copies guarantee multi-doc clusters exist
     assert(out.exists(_._1 >= 2L), "fixture must produce non-trivial clusters")
   }
+
+  test("report from maintained labels equals the direct path") {
+    val docs = Tables.docsAug(spark, sf)
+    val toks = docs.select(col("doc_id"),
+      size(graft.functions.TextSim.tokens(col("text"))).cast("long").as("n_toks"))
+    val pairs = Dedup.minhashPairs(docs).select(col("a_id"), col("b_id"))
+    val labels = graft.operators.Components.fromPairs(pairs)
+    val viaLabels = Dedup
+      .dupStatsFromLabels(docs.select(col("doc_id")), labels, toks)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Dedup.dupStats(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(viaLabels == direct)
+  }
 }
