@@ -224,6 +224,41 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q_quality_curve — the filter calibration curve: quality-score
+    * deciles vs the global filter's keep rate (plus exact mean quality
+    * per decile). The picture a threshold review reads — is the 0.5
+    * cutoff sitting on a cliff or a plateau, how much mass the next
+    * notch would cost — where `q_quality_domain` answers per-source
+    * placement. One fused signals projection into one ≤10-group
+    * partial agg; the decile key is floor(10·q) on the ALREADY
+    * r6-rounded score, so bucket membership is engine-identical.
+    */
+  def qualityCurve(s: SparkSession, d: String): DataFrame =
+    filterSignals(Tables.documents(s, d))
+      .withColumn("decile",
+        least(floor(col("quality") * 10).cast("long"), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_keep"),
+        TextSim.r6(sum(when(col("keep"), 1).otherwise(0)).cast("double") /
+          count(lit(1)).cast("double")).as("keep_rate"),
+        TextSim.r6(TextSim.dsum(col("quality")) /
+          count(lit(1)).cast("double")).as("mean_quality"))
+      .orderBy(col("decile"))
+
+  val qualityCurveSql: String = {
+    s"""WITH ${signalsSqlCte("")}
+       |SELECT least(floor(quality * 10), 9)::BIGINT AS decile,
+       |       count(*)::BIGINT AS n_docs,
+       |       sum(CASE WHEN quality >= 0.5 AND is_en AND dup_fraction <= 0.2
+       |                THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+       |       ${TextSim.r6Sql(
+      "sum(CASE WHEN quality >= 0.5 AND is_en AND dup_fraction <= 0.2 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE")} AS keep_rate,
+       |       ${TextSim.r6Sql(s"${TextSim.dsumSql("quality")} / count(*)::DOUBLE")} AS mean_quality
+       |FROM scored
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** base + scored CTEs of the fused filter; `pt` is an optional
     * ", col"-style passthrough fragment carried through both CTEs
     * (the SQL mirror of [[filterSignals]]'s `passthrough`).
