@@ -687,6 +687,49 @@ object Corpus {
        |ORDER BY rk
        |LIMIT $AuditN""".stripMargin
 
+  /** Per-group sample size for [[sampleGroup]]. */
+  val GroupSampleK = 25
+
+  /** q_sample_group — exact-k PER-SOURCE stratified audit sample: the
+    * k docs with the smallest md5 rank hash within each source. The
+    * global [[auditSample]] under-represents small sources (a 1%
+    * source expects 2 of 200 rows); per-stratum exact-k is what a
+    * balanced human-eval or labeling batch actually wants, with the
+    * same bottom-k stability (an insert into a source displaces at
+    * most one of THAT source's rows, other strata untouched).
+    *
+    * Scale shape: [[graft.functions.BottomKByHash]] plans as
+    * ObjectHashAggregate with a map-side partial pass — each partition
+    * reduces to ≤ k rows per source before the shuffle, so the
+    * exchange carries k·partitions rows per source, never the corpus.
+    * The row_number window it replaces would exchange and sort EVERY
+    * row on the skewed source key.
+    */
+  def sampleGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.BottomKByHash(GroupSampleK)
+    Tables.documents(s, d)
+      .select(col("source").as("key"),
+        md5(concat(lit("audit:"), col("doc_id"))).as("h"),
+        col("doc_id").cast("double").as("v"))
+      .as[graft.functions.HashedVal]
+      .groupByKey(_.key)
+      .agg(agg.toColumn.name("kept"))
+      .toDF("key", "kept")
+      .select(col("key").as("source"), explode(col("kept")).as("kv"))
+      .select(col("source"), col("kv.v").cast("long").as("doc_id"),
+        col("kv.h").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val sampleGroupSql: String =
+    s"""SELECT source, doc_id, rk FROM (
+       |  SELECT source, doc_id, md5('audit:' || doc_id) AS rk,
+       |         row_number() OVER (PARTITION BY source ORDER BY md5('audit:' || doc_id)) AS rn
+       |  FROM documents)
+       |WHERE rn <= $GroupSampleK
+       |ORDER BY source, rk""".stripMargin
+
   val sampleWeightedSql: String = {
     val stop = TextAnalysis.hitsSql("t", TextAnalysis.Profiles.head._2)
     s"""WITH base AS (

@@ -303,6 +303,84 @@ object Dedup {
         (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("is_kept"))
       .orderBy(col("doc_id"))
 
+  /** q_dedup_keep_best — survivors chosen by QUALITY, not by id: the
+    * min-id keeper of [[keep]] is arbitrary — when a near-dup cluster
+    * mixes a clean original with a boilerplate-wrapped scrape, a real
+    * curation pipeline keeps the highest-quality member. Same cluster
+    * labeling ([[Components.fromPairs]], pair members only), then one
+    * argmax per cluster over the [[TextAnalysis.qualityScoresOf]]
+    * composite (tie → smallest doc_id, so exact copies keep the
+    * original).
+    *
+    * Scale shape: identical to [[keep]] plus one partial-agg groupBy
+    * of PAIR MEMBERS ONLY on their cluster label (a `max(struct)`
+    * argmax — no window, no per-group sort, no collect_list); the
+    * isolated majority never enters any shuffle and rejoins as its
+    * own keeper via the final left join.
+    */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.docsAug(s, d)
+    keepBestFrom(
+      TextAnalysis.qualityScoresOf(docs).select(col("doc_id"), col("quality")),
+      minhashPairsRaw(minhashSignatures(shingleDocs(docs)))
+        .select(col("a_id"), col("b_id")))
+  }
+
+  /** Best-by-score survivor labeling for any `(doc_id, quality)` frame
+    * and `(a_id, b_id)` near-dup pair frame: `(doc_id, quality,
+    * keep_id, is_kept)`. The score column decides the keeper; any
+    * signal works (quality composite, length, recency rank).
+    */
+  def keepBestFrom(scored: DataFrame, pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.persist()
+    val labels = Components.fromPairs(pairs).select(col("id"), col("lbl"))
+    pairs.unpersist()
+    // argmax(quality, tie smallest id) per cluster: max of a
+    // (quality, -doc_id) struct — lexicographic struct comparison IS
+    // the composite order, with full partial aggregation.
+    val best = scored
+      .join(labels, scored("doc_id") === labels("id"), "inner")
+      .groupBy(col("lbl"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("lbl"), (-col("b.nid")).cast("long").as("best_id"))
+    scored
+      .join(labels, scored("doc_id") === labels("id"), "left_outer")
+      .select(col("doc_id"), col("quality"), col("lbl"))
+      .join(best, Seq("lbl"), "left_outer")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("best_id"), col("doc_id")).as("keep_id"),
+        (coalesce(col("best_id"), col("doc_id")) === col("doc_id")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val keepBestSql: String =
+    s"""WITH RECURSIVE $minhashCandSql,
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM verified
+       |), walk(id, r) AS (
+       |  SELECT doc_id, doc_id FROM docs_aug
+       |  UNION
+       |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+       |), labels AS (
+       |  SELECT id, min(r) AS lbl FROM walk GROUP BY id
+       |), ${TextAnalysis.qualityScoreCtesSql("docs_aug")},
+       |best AS (
+       |  SELECT lbl, doc_id AS best_id FROM (
+       |    SELECT l.lbl, q.doc_id,
+       |           row_number() OVER (PARTITION BY l.lbl
+       |                              ORDER BY q.quality DESC, q.doc_id) AS rn
+       |    FROM labels l JOIN q_scores q ON q.doc_id = l.id)
+       |  WHERE rn = 1
+       |)
+       |SELECT q.doc_id, q.quality, b.best_id AS keep_id,
+       |       b.best_id = q.doc_id AS is_kept
+       |FROM q_scores q
+       |JOIN labels l ON l.id = q.doc_id
+       |JOIN best b ON b.lbl = l.lbl
+       |ORDER BY doc_id""".stripMargin
+
   val keepSql: String =
     s"""WITH RECURSIVE $minhashCandSql,
        |sym AS (

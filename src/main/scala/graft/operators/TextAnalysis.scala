@@ -86,9 +86,16 @@ object TextAnalysis {
   /** The q_quality projection without its presentation sort — for
     * consumers (e.g. [[Corpus.sampleWeighted]]) that keep composing.
     */
-  def qualityScores(s: SparkSession, d: String): DataFrame = {
+  def qualityScores(s: SparkSession, d: String): DataFrame =
+    qualityScoresOf(Tables.documents(s, d))
+
+  /** [[qualityScores]] over ANY `(doc_id, text)` frame — the composite
+    * score as a reusable signal (e.g. [[Dedup.keepBest]] ranks dup-
+    * cluster members with it over the augmented corpus).
+    */
+  def qualityScoresOf(docs: DataFrame): DataFrame = {
     val en = Profiles.head._2
-    val base = Tables.documents(s, d)
+    val base = docs
       .select(col("doc_id"), col("text"), TextSim.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
       .select(col("doc_id"),
@@ -134,6 +141,34 @@ object TextAnalysis {
             |           + 0.2 * least(wlen_sum::DOUBLE / tok_count / 8.0, 1.0)""".stripMargin)} AS quality
        |FROM base
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** SQL mirror of [[qualityScoresOf]] as a reusable CTE pair
+    * `q_base`/`q_scores(doc_id, quality)` over any relation
+    * `rel(doc_id, text)` — the composable form of [[qualitySql]]'s
+    * score column for oracle queries that rank by quality.
+    */
+  def qualityScoreCtesSql(rel: String): String = {
+    val stop = hitsSql("t", Profiles.head._2)
+    s"""q_base AS (
+       |  SELECT doc_id, len(text)::BIGINT AS n_chars,
+       |         len(t)::BIGINT AS tok_count,
+       |         list_sum(list_transform(t, w -> len(w)))::BIGINT AS wlen_sum,
+       |         $stop::BIGINT AS stop_hits,
+       |         (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS punct
+       |  FROM (SELECT doc_id, text,
+       |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |        FROM $rel)
+       |  WHERE len(t) >= 1
+       |), q_scores AS (
+       |  SELECT doc_id,
+       |         ${TextSim.r6Sql(
+      """0.3 * least(tok_count::DOUBLE / 50.0, 1.0)
+        |           + 0.3 * (1.0 - punct::DOUBLE / n_chars)
+        |           + 0.2 * (stop_hits::DOUBLE / tok_count)
+        |           + 0.2 * least(wlen_sum::DOUBLE / tok_count / 8.0, 1.0)""".stripMargin)} AS quality
+       |  FROM q_base
+       |)""".stripMargin
   }
 
   /** q_repetition — duplicate word-3-gram fraction (the Gopher-rule
