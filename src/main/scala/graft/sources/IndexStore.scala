@@ -279,6 +279,61 @@ object IndexStore {
       .partitionBy("cent_id").parquet(listsPath(spark, path))
   }
 
+  /** Delete vectors from the stored index — the right-to-be-forgotten
+    * operation a production corpus owes its sources. Touches ONLY the
+    * lists that actually hold the ids: a column-pruned (vec_id,
+    * cent_id) scan finds the affected partitions (bounded by nlist),
+    * and a dynamic partition overwrite rewrites those partitions
+    * anti-joined — unaffected lists' files are never opened, never
+    * rewritten. Index geometry (centroids, codebooks, OPQ transform)
+    * is untouched: surviving vectors' codes and ADC scores are
+    * bit-identical before and after, so a physical forget equals the
+    * logical `Handle.searchFiltered(allowed = survivors)` exactly
+    * (asserted in ForgetSpec).
+    *
+    * The neighbor side table (`nbrs/`), if present, may keep rows
+    * naming deleted ids — harmless by construction: expansion
+    * candidates are ADC-scored by joining the LIST read, so an id
+    * absent from every list can never re-enter results. The rows are
+    * reclaimed by the next [[refreshNeighbors]]/[[buildNeighbors]].
+    *
+    * WRITER CONTRACT: same single-writer rule as [[compact]]. The
+    * dynamic overwrite commits per job; for a sealed-generation
+    * boundary after a deletion campaign, run [[compact]] + [[vacuum]]
+    * (which also purges the deleted rows from any older generation
+    * still on disk).
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Long = {
+    val lp = listsPath(spark, path)
+    val del = ids.select(col("vec_id")).distinct()
+    val lists = spark.read.parquet(lp)
+    val affected = lists.select(col("vec_id"), col("cent_id"))
+      .join(del, Seq("vec_id"))
+      .select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0))
+    if (affected.isEmpty) return 0L
+    val survivors = lists
+      .filter(col("cent_id").isin(affected.map(Integer.valueOf): _*))
+      .join(del, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("codes"), col("rec_nrm"), col("cent_id"))
+      .persist()
+    val keptCents = survivors.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    survivors.repartition(col("cent_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cent_id").parquet(lp)
+    survivors.unpersist()
+    // a fully-emptied list writes no partition, so dynamic overwrite
+    // leaves its old files in place — drop those directories directly
+    val fs = new org.apache.hadoop.fs.Path(lp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(keptCents).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$lp/cent_id=$c"), true)
+    }
+    affected.length.toLong
+  }
+
   /** Rewrite the list table so each `cent_id` partition holds ONE file.
     * Every [[append]] lands at least one new file per touched
     * partition; after a week of micro-batch ingest a probe pays

@@ -249,6 +249,62 @@ object PostingsStore {
     batchId.foreach(writeMarker(spark, path, _))
   }
 
+  /** Delete documents from the stored index — the lexical side of the
+    * right-to-be-forgotten pass ([[IndexStore.forget]]'s contract,
+    * same shape). A deleted doc's postings are scattered across the
+    * term buckets its vocabulary hashes into; a column-pruned
+    * (doc_id, dl, bkt) scan finds the affected buckets AND the exact
+    * stats decrement (dl is denormalized onto every posting row, so
+    * one distinct-per-doc fold recovers each deleted doc's length
+    * without touching text). Only affected buckets are rewritten
+    * (dynamic partition overwrite); stats seal as a new generation
+    * AFTER the postings commit, so a crash between the two leaves
+    * avgdl/n_docs stale by one op but df/tf/scores already exact
+    * (search derives df from the postings it reads — the append-side
+    * recovery story, in reverse).
+    *
+    * WRITER CONTRACT: single writer, serialized with append/compact.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Long = {
+    val pp = postingsPath(spark, path)
+    val del = ids.select(col("doc_id")).distinct()
+    val post = spark.read.parquet(pp)
+    val hit = post.select(col("doc_id"), col("dl"), col("bkt"))
+      .join(del, Seq("doc_id")).persist()
+    val affected = hit.select(col("bkt")).distinct()
+      .collect().map(_.getInt(0))
+    if (affected.isEmpty) { hit.unpersist(); return 0L }
+    // per-doc dl (constant per doc, max ≡ the value) → exact decrement
+    val st = hit.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("dl")).cast("long").as("s"))
+      .collect()(0)
+    hit.unpersist()
+    val survivors = post
+      .filter(col("bkt").isin(affected.map(Integer.valueOf): _*))
+      .join(del, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("bkt"))
+      .persist()
+    val keptBkts = survivors.select(col("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    survivors.repartition(col("bkt"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bkt").parquet(pp)
+    survivors.unpersist()
+    val fs = fsOf(spark, path)
+    affected.filterNot(keptBkts).foreach { b =>
+      fs.delete(new Path(s"$pp/bkt=$b"), true)
+    }
+    val statsGen = currentStatsGen(spark, path)
+    val statsRow = readStats(spark, path).collect()(0)
+    writeStatsGen(spark, path,
+      statsRow.getAs[Long]("n_docs") - st.getLong(0),
+      statsRow.getAs[Long]("dl_sum") - st.getLong(1),
+      lastBatch = statsRow.getAs[Long]("last_batch"), gen = statsGen + 1L)
+    pruneStatsGens(spark, path)
+    st.getLong(0)
+  }
+
   /** Rewrite the current postings generation as generation `n+1`:
     * one file per bucket (append debris merged), (doc_id, term) rows
     * re-aggregated so any replay-duplicated postings are physically

@@ -26,11 +26,67 @@ object SignatureStore {
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(table)
 
+  private def tombTable(table: String): String = s"${table}_del"
+
+  /** Stored signatures minus tombstoned docs — what every consumer
+    * reads. Deletion is a broadcast anti-join against the (bounded)
+    * tombstone table, not a table rewrite: a bucketed catalog table
+    * cannot be partially overwritten, so [[forget]] records intent in
+    * O(deletes) and [[compactTombstones]] folds it in physically on
+    * the maintenance schedule — the tombstone design every
+    * append-only store (and the IndexStore generation pattern)
+    * converges on.
+    */
+  def liveSignatures(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val sigs = spark.table(table)
+    if (!spark.catalog.tableExists(tombTable(table))) sigs
+    else sigs.join(broadcast(spark.table(tombTable(table))),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Tombstone docs — the dedup-store leg of the right-to-be-forgotten
+    * pass ([[IndexStore.forget]] / [[PostingsStore.forget]] are the
+    * physical-delete legs; here the bucketed layout makes logical
+    * deletion + scheduled compaction the cheaper contract). Effective
+    * immediately: [[pairs]] / [[incrementalPairs]] read through
+    * [[liveSignatures]].
+    */
+  def forget(ids: DataFrame, table: String): Unit =
+    ids.select("doc_id").distinct()
+      .write.mode(SaveMode.Append).saveAsTable(tombTable(table))
+
+  /** Fold tombstones into the physical table: rewrite the signature
+    * table filtered (same bucket spec, read off the catalog) and drop
+    * the tombstone table. Run on the compaction schedule, not per
+    * delete.
+    */
+  def compactTombstones(spark: SparkSession, table: String): Unit = {
+    if (!spark.catalog.tableExists(tombTable(table))) return
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not a bucketed signature store"))
+    val live = liveSignatures(spark, table).cache()
+    live.count() // materialize before the overwrite drops the source
+    val tmp = s"${table}_compact_tmp"
+    val w = live.write.mode(SaveMode.Overwrite)
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+      w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    else w).saveAsTable(tmp)
+    live.unpersist()
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE ${tombTable(table)}")
+  }
+
   /** Verified near-dup pairs reading signatures from the store — no
     * signature recompute, identical output to [[Dedup.minhashPairs]].
     */
   def pairs(spark: SparkSession, table: String): DataFrame =
-    Dedup.minhashPairsFrom(spark.table(table))
+    Dedup.minhashPairsFrom(liveSignatures(spark, table))
 
   /** Incremental dedup — the operator a weekly ingest actually runs:
     * near-dup pairs INVOLVING A NEW DOC, from a new `(doc_id, text)`
@@ -52,7 +108,7 @@ object SignatureStore {
     table: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val newSig = Dedup.minhashSignatures(Dedup.shingleDocs(newDocs))
-    val oldSig = spark.table(table)
+    val oldSig = liveSignatures(spark, table)
     val newNew = Dedup.minhashPairsRaw(newSig)
     val cand = Dedup.bandsOf(oldSig).as("o")
       .join(broadcast(Dedup.bandsOf(newSig).as("n")), Seq("band", "bsig"))
