@@ -687,6 +687,120 @@ object Corpus {
        |ORDER BY rk
        |LIMIT $AuditN""".stripMargin
 
+  /** q_split_stratified — EXACT per-source proportional split: within
+    * each source, docs rank by the same content-free split hash as
+    * [[split]], and rank ranges realize the 80/10/10 to ±1 doc per
+    * stratum. [[split]]'s pure-map form gives EXPECTED proportions —
+    * fine globally, but a 1% source can land 70/30 by luck; benchmark
+    * slices and per-domain eval sets want the stratified guarantee.
+    *
+    * Scale shape: one narrow shuffle — the window carries (doc_id,
+    * source, 32-char rank hash) only, never text. Stability is
+    * per-stratum bottom-k-ish: an insert into a source shifts only
+    * that source's boundary docs (±1 at each cut), other strata are
+    * byte-identical.
+    */
+  def splitStratified(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+    val ranked = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("split:"), col("doc_id"))).as("rk"))
+      .withColumn("rn", row_number().over(w.orderBy(col("rk"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+    ranked.select(col("doc_id"), col("source"),
+      when(col("rn") <= expr(s"cnt * $TrainPct div 100"), "train")
+        .when(col("rn") <= expr(s"cnt * ${TrainPct + ValPct} div 100"), "val")
+        .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitStratifiedSql: String =
+    s"""SELECT doc_id, source,
+       |       CASE WHEN rn <= cnt * $TrainPct // 100 THEN 'train'
+       |            WHEN rn <= cnt * ${TrainPct + ValPct} // 100 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY md5('split:' || doc_id)) AS rn,
+       |         count(*) OVER (PARTITION BY source) AS cnt
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Negatives per anchor for [[negSample]]. */
+  val NegK = 4
+
+  /** q_neg_sample — deterministic negative sampling for contrastive /
+    * embedding training: each anchor doc draws [[NegK]] pseudo-random
+    * partner docs by hashing (anchor, j) into the dense doc_id space
+    * (self-collisions step to the next id). Content-free and
+    * reproducible across engines and runs — the [[split]] rule applied
+    * to pair generation.
+    *
+    * Scale shape: candidate generation is a per-row map (explode ×K);
+    * the only shuffle is the equi-join that resolves each neg_id to
+    * its row — bucket both sides by id at 100 TB and it's
+    * exchange-free. The library face [[negativesFor]] composes an
+    * anti-join against a near-dup pair table so a positive can never
+    * be served as a negative.
+    */
+  def negSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nRow = docs.agg(count(lit(1)).cast("long").as("n"))
+    val cand = docs.select(col("doc_id"))
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(1), lit(NegK))).as("j"))
+      .select(col("doc_id"), col("j"), col("n"),
+        (conv(substring(md5(concat(lit("ns:"), col("doc_id"), lit(":"), col("j"))),
+          1, 7), 16, 10).cast("long") % col("n")).as("r"))
+      .select(col("doc_id"), col("j"),
+        when(col("r") === col("doc_id"), (col("r") + 1) % col("n"))
+          .otherwise(col("r")).as("neg_id"))
+    cand.join(docs.select(col("doc_id").as("neg_id"), col("source").as("neg_source")),
+      Seq("neg_id"))
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"),
+        col("neg_source"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
+  /** [[negSample]] over any dense-id `(doc_id, source)` frame, with
+    * near-dup positives excluded: candidates whose (anchor, negative)
+    * appears in `pairs` (either orientation) re-draw is NOT attempted
+    * — they are dropped, keeping the operator one pass (a training
+    * loader over-samples K and takes what survives).
+    */
+  def negativesFor(docs: DataFrame, pairs: DataFrame, k: Int = NegK): DataFrame = {
+    val nRow = docs.agg(count(lit(1)).cast("long").as("n"))
+    val cand = docs.select(col("doc_id"))
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .select(col("doc_id"), col("j"), col("n"),
+        (conv(substring(md5(concat(lit("ns:"), col("doc_id"), lit(":"), col("j"))),
+          1, 7), 16, 10).cast("long") % col("n")).as("r"))
+      .select(col("doc_id"), col("j"),
+        when(col("r") === col("doc_id"), (col("r") + 1) % col("n"))
+          .otherwise(col("r")).as("neg_id"))
+    val sym = pairs.select(col("a_id").as("doc_id"), col("b_id").as("neg_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id"), col("a_id").as("neg_id")))
+    cand.join(sym, Seq("doc_id", "neg_id"), "left_anti")
+  }
+
+  val negSampleSql: String =
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |cand AS (
+       |  SELECT d.doc_id, j.j, nn.n,
+       |         ('0x' || substr(md5('ns:' || d.doc_id || ':' || j.j), 1, 7))::BIGINT % nn.n AS r
+       |  FROM documents d, (SELECT unnest(range(1, ${NegK + 1})) AS j) j, nn
+       |)
+       |SELECT c.doc_id, c.j, c.neg_id, neg.source AS neg_source
+       |FROM (SELECT doc_id, j,
+       |             CASE WHEN r = doc_id THEN (r + 1) % n ELSE r END AS neg_id
+       |      FROM cand) c
+       |JOIN documents neg ON neg.doc_id = c.neg_id
+       |ORDER BY c.doc_id, c.j""".stripMargin
+
   /** Per-group sample size for [[sampleGroup]]. */
   val GroupSampleK = 25
 

@@ -110,4 +110,37 @@ class CorpusSpec extends AnyFunSuite {
       .select(col("doc_id")).as[Long].collect().toSet
     assert((orig -- grown).size <= 10, "an insert displaces at most one sample each")
   }
+
+  test("stratified split realizes 80/10/10 exactly (±1) within every source") {
+    val out = Corpus.splitStratified(spark, sf)
+      .groupBy(col("source"), col("split")).agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (src, rows) =>
+        src -> rows.map(r => r._2 -> r._3).toMap }
+    assert(out.nonEmpty)
+    out.foreach { case (src, m) =>
+      val n = m.values.sum
+      assert(m.getOrElse("train", 0L) == n * 80 / 100, s"$src train")
+      assert(m.getOrElse("val", 0L) == n * 90 / 100 - n * 80 / 100, s"$src val")
+    }
+  }
+
+  test("negative sampler never serves a known positive when pairs are supplied") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    // fabricate a pair table naming some (anchor, negative) collisions
+    // the plain sampler is known to emit
+    val plain = Corpus.negSample(spark, sf)
+      .select(col("doc_id").as("a_id"), col("neg_id").as("b_id"))
+      .limit(20)
+    val out = Corpus.negativesFor(docs, plain)
+      .select(col("doc_id"), col("neg_id"))
+      .join(plain, col("doc_id") === col("a_id") && col("neg_id") === col("b_id"))
+    assert(out.count() == 0, "excluded pairs must not appear")
+    // reverse orientation is excluded too
+    val rev = plain.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+    val out2 = Corpus.negativesFor(docs, rev)
+      .select(col("doc_id"), col("neg_id"))
+      .join(plain, col("doc_id") === col("a_id") && col("neg_id") === col("b_id"))
+    assert(out2.count() == 0, "pair exclusion must be orientation-free")
+  }
 }
