@@ -266,6 +266,33 @@ object ExplainAudit {
       soPlan.contains("ObjectHashAggregate") &&
         soPlan.contains("BroadcastHashJoin"))
 
+    // round-5 closing invariants: the new breadth keeps the shapes
+    val rpPlan = operators.RandProj
+      .projectFlat(Tables.embeddings(spark, d))
+      .queryExecution.executedPlan.toString
+    flag("random projection rides the scan (no Exchange, no Join)",
+      !rpPlan.contains("Exchange") && !rpPlan.contains("Join"))
+
+    val sgPlan = operators.Corpus.sampleGroup(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("per-group sample: bounded partial aggregate, no stratum Window",
+      sgPlan.contains("ObjectHashAggregate") && !sgPlan.contains("Window"))
+
+    val zPlan = sources.Layout.zorderCells(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("z-order cells: one partial-agg groupBy over the scan (no Join)",
+      !zPlan.contains("Join") && zPlan.contains("HashAggregate"))
+
+    val nsPlan = operators.Corpus.negSample(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("negative sampler: id equi-join only, no nested-loop/cartesian",
+      !nsPlan.contains("BroadcastNestedLoop") ||
+        // the 1-row count frame rides a broadcast nested loop by design;
+        // the id-resolving join itself must be hash-based
+        (nsPlan.contains("BroadcastHashJoin") || nsPlan.contains("SortMergeJoin")))
+    flag("negative sampler: no cartesian product",
+      !nsPlan.contains("CartesianProduct"))
+
     spark.stop()
   }
 }

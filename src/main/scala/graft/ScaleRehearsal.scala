@@ -278,6 +278,56 @@ object ScaleRehearsal {
         vecs.filter(col("vec_id") % 400 === 0), 10, 2).count()
     }
 
+    // quality-argmax survivors under clone stress: every clone set is
+    // one cluster of size mult, so the per-cluster argmax fold sees
+    // maximal group counts; cost = the keep recompute + one partial
+    // agg of pair members (isolated docs still skip every shuffle)
+    t("keep_best") {
+      val pairs = operators.Dedup.minhashPairs(docs)
+        .select(col("a_id"), col("b_id"))
+      operators.Dedup.keepBestFrom(
+        operators.TextAnalysis.qualityScoresOf(docs)
+          .select(col("doc_id"), col("quality")), pairs)
+        .filter(col("is_kept")).count()
+    }
+    // deletion under scale: forget a 1/16 id slice from the served
+    // index — cost must track the AFFECTED lists' rewrite, not the
+    // corpus (the build above is the yardstick)
+    t("index_forget") {
+      sources.IndexStore.forget(spark, idxDir,
+        vecs.filter(col("vec_id") % 16 === 3).select(col("vec_id")))
+      spark.read.parquet(sources.IndexStore.listsPath(spark, idxDir)).count()
+    }
+    // lexical store lifecycle on the replicated corpus: linear build,
+    // then a 1/16 deletion — the bucket-scoped rewrite plus the exact
+    // stats decrement off the denormalized dl
+    val postDir = java.nio.file.Files
+      .createTempDirectory("rehearsal_post_").toString
+    t("postings_build") {
+      sources.PostingsStore.build(docs, postDir)
+      spark.read.parquet(sources.PostingsStore.postingsPath(spark, postDir)).count()
+    }
+    t("postings_forget") {
+      sources.PostingsStore.forget(spark, postDir,
+        docs.filter(col("doc_id") % 16 === 3).select(col("doc_id")))
+    }
+    // signed random projection: a pure scan map — must stay linear and
+    // shuffle-free at any mult
+    t("rand_proj") {
+      operators.RandProj.projectFlat(vecs).count()
+    }
+    // z-order layout write of the replicated event stream: one range
+    // exchange + in-partition sort — the cost of any sorted write
+    t("zorder_write") {
+      val ev = replicateEvents(shiftUsers = true)
+        .select(col("user_id").as("x"), unix_micros(col("ts")).as("y"),
+          col("event_id"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("rehearsal_z_").toString + "/ev"
+      sources.Layout.writeZOrdered(ev, dir, "x", "y", numFiles = 32)
+      spark.read.parquet(dir).count()
+    }
+
     val qs = stages.reverse.map { case (k, v, n) =>
       s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")
     spark.stop()

@@ -111,6 +111,45 @@ class CorpusSpec extends AnyFunSuite {
     assert((orig -- grown).size <= 10, "an insert displaces at most one sample each")
   }
 
+  test("per-group sample plans as a bounded partial aggregate, never a window") {
+    val out = Corpus.sampleGroup(spark, sf)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the BottomKByHash partial aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"per-group bottom-k must not sort whole strata:\n$plan")
+    // consistency with the global audit sample: a doc sampled globally
+    // that survives into its source's top-k carries the same rank hash
+    val perSrc = out.select(col("doc_id"), col("rk"))
+      .as[(Long, String)].collect().toMap
+    val global = Corpus.auditSample(spark, sf)
+      .select(col("doc_id"), col("rk")).as[(Long, String)].collect()
+    global.filter(g => perSrc.contains(g._1)).foreach { case (id, rk) =>
+      assert(perSrc(id) == rk, s"rank-hash domains diverged for doc $id")
+    }
+  }
+
+  test("keepBest argmax is a partial aggregate and keeps ties on the original") {
+    import graft.operators.Dedup
+    val scored = Seq((1L, 0.5), (2L, 0.5), (3L, 0.9), (4L, 0.2), (9L, 0.7))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val out = Dedup.keepBestFrom(scored, pairs)
+      .as[(Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    // cluster {1,2}: equal quality -> smallest id wins
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false))
+    // cluster {3,4}: 3 has higher quality
+    assert(out(3L) == (3L, true) && out(4L) == (3L, false))
+    // isolated doc keeps itself
+    assert(out(9L) == (9L, true))
+    val plan = Dedup.keepBestFrom(scored, pairs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"cluster argmax must be max(struct), not a window:\n$plan")
+  }
+
   test("stratified split realizes 80/10/10 exactly (±1) within every source") {
     val out = Corpus.splitStratified(spark, sf)
       .groupBy(col("source"), col("split")).agg(count(lit(1)).as("c"))
