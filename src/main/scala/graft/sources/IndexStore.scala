@@ -872,7 +872,23 @@ object IndexStore {
   /** Open a stored index for repeated serving (pins the current list
     * generation — see [[Handle]]).
     */
-  def open(spark: SparkSession, path: String): Handle = {
+  def open(spark: SparkSession, path: String): Handle =
+    openAt(spark, path, currentGen(spark, path))
+
+  /** [[open]] pinned to an EXPLICIT generation — the time-travel read
+    * the sealed-generation layout gives for free: a sealed lists dir
+    * is immutable, so serving yesterday's index during a staged
+    * rollout (or reproducing a result against the exact generation
+    * that produced it) is just opening gen n-1 while ingest moves the
+    * pointer forward. Only generations not yet reclaimed by [[vacuum]]
+    * are openable — vacuum defines the retention window.
+    */
+  def openAt(spark: SparkSession, path: String, gen: Long): Handle = {
+    val ld = listsDir(path, gen)
+    val fs = new org.apache.hadoop.fs.Path(ld)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(ld)),
+      s"generation $gen of $path does not exist (vacuumed, or never sealed)")
     val metaDf = spark.read.parquet(s"$path/meta")
     val metaRow = metaDf.head()
     val dim = metaRow.getAs[Int]("dim")
@@ -883,7 +899,7 @@ object IndexStore {
       if (ktop == 0) Array.empty[org.apache.spark.sql.Row]
       else spark.read.parquet(s"$path/topcents")
         .select(col("cent_id"), col("c_emb"), col("c_nrm")).collect()
-    new Handle(spark, path, listsPath(spark, path), dim, centRows,
+    new Handle(spark, path, ld, dim, centRows,
       books(spark, path), permFromMeta(metaRow, metaDf.columns),
       rotation(spark, path), ktop, metaRow.getAs[Int]("nlist"), topRows)
   }

@@ -546,6 +546,34 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(rows == vecs.count() + 120, s"index row count $rows")
   }
 
+  test("openAt pins a sealed generation: yesterday's index serves unchanged past ingest") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ttravel_").toString
+    val oldV = vecs.filter(col("vec_id") % 2 === 0)
+    IndexStore.build(oldV, p, Dim, nlist = 8, m = 8, kcode = 16, iters = 3)
+    val q = queries.limit(5)
+    val before = IndexStore.search(spark, q, p, k = 10, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // seal gen 1, then ingest a new batch INTO gen 1
+    val g1 = IndexStore.compact(spark, p)
+    assert(g1 == 1L)
+    IndexStore.append(
+      vecs.filter(col("vec_id") % 2 === 1)
+        .withColumn("vec_id", col("vec_id") + lit(700000000L)), p)
+    // the pinned read reproduces the pre-ingest result bit-for-bit...
+    val pinned = IndexStore.openAt(spark, p, 0L).search(q, k = 10, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pinned == before, "gen-0 read must be unaffected by later ingest")
+    // ...while the current generation serves the appended vectors too
+    val now = IndexStore.open(spark, p).search(q, k = 10, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(now.exists(_._3 >= 700000000L), "current gen must see the new batch")
+    // a vacuumed generation refuses to open
+    IndexStore.vacuum(spark, p)
+    intercept[IllegalArgumentException] {
+      IndexStore.openAt(spark, p, 0L)
+    }
+  }
+
   /** Mean kept SDC cosine over the stored neighbor table — the
     * descent's objective, computed from codes alone. */
   private def meanKeptSim(p: String,
