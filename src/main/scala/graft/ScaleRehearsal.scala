@@ -285,7 +285,7 @@ object ScaleRehearsal {
     t("keep_best") {
       val pairs = operators.Dedup.minhashPairs(docs)
         .select(col("a_id"), col("b_id"))
-      operators.Dedup.keepBestFrom(
+      operators.Dedup.keepBestFrom(docs.select(col("doc_id")),
         operators.TextAnalysis.qualityScoresOf(docs)
           .select(col("doc_id"), col("quality")), pairs)
         .filter(col("is_kept")).count()

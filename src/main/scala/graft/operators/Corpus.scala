@@ -694,23 +694,42 @@ object Corpus {
     * fine globally, but a 1% source can land 70/30 by luck; benchmark
     * slices and per-domain eval sets want the stratified guarantee.
     *
-    * Scale shape: one narrow shuffle — the window carries (doc_id,
-    * source, 32-char rank hash) only, never text. Stability is
-    * per-stratum bottom-k-ish: an insert into a source shifts only
-    * that source's boundary docs (±1 at each cut), other strata are
-    * byte-identical.
+    * Scale shape: the global per-stratum rank DECOMPOSES — rank(doc)
+    * = (rows of the stratum in earlier hash-prefix buckets) + (rank
+    * within its bucket). The bucket histogram is a bounded partial
+    * agg (4096·|sources| rows, window'd and broadcast at that size),
+    * and the row_number window partitions by (source, bucket) — 4096
+    * balanced partitions per stratum, so a 90%-of-corpus source never
+    * lands on one reducer (the whole-stratum `Window.partitionBy
+    * (source)` sort this replaces is exactly the skew shape
+    * `sampleGroup` documents against). Rows carry (doc_id, source,
+    * rank hash) only, never text. Stability is per-stratum
+    * bottom-k-ish: an insert into a source shifts only that source's
+    * boundary docs (±1 at each cut), other strata are byte-identical.
     */
   def splitStratified(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-    val ranked = Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         md5(concat(lit("split:"), col("doc_id"))).as("rk"))
-      .withColumn("rn", row_number().over(w.orderBy(col("rk"))))
-      .withColumn("cnt", count(lit(1)).over(w))
-    ranked.select(col("doc_id"), col("source"),
-      when(col("rn") <= expr(s"cnt * $TrainPct div 100"), "train")
-        .when(col("rn") <= expr(s"cnt * ${TrainPct + ValPct} div 100"), "val")
-        .otherwise("test").as("split"))
+      .withColumn("bkt", substring(col("rk"), 1, 3))
+    // ordering by rk orders by its prefix first, so per-bucket ranks
+    // offset by the earlier-buckets count reproduce the stratum rank
+    val hist = base.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val bw = Window.partitionBy(col("source")).orderBy(col("bkt"))
+    val cum = hist
+      .withColumn("cum_before", sum(col("c")).over(bw) - col("c"))
+      .withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("bkt"), col("cum_before"), col("cnt"))
+    val rw = Window.partitionBy(col("source"), col("bkt")).orderBy(col("rk"))
+    base
+      .withColumn("rib", row_number().over(rw))
+      .join(broadcast(cum), Seq("source", "bkt"))
+      .withColumn("rn", col("cum_before") + col("rib"))
+      .select(col("doc_id"), col("source"),
+        when(col("rn") <= expr(s"cnt * $TrainPct div 100"), "train")
+          .when(col("rn") <= expr(s"cnt * ${TrainPct + ValPct} div 100"), "val")
+          .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -744,44 +763,48 @@ object Corpus {
     * anti-join against a near-dup pair table so a positive can never
     * be served as a negative.
     */
-  def negSample(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val nRow = docs.agg(count(lit(1)).cast("long").as("n"))
-    val cand = docs.select(col("doc_id"))
-      .crossJoin(broadcast(nRow))
-      .select(col("doc_id"), col("n"),
-        explode(sequence(lit(1), lit(NegK))).as("j"))
-      .select(col("doc_id"), col("j"), col("n"),
-        (conv(substring(md5(concat(lit("ns:"), col("doc_id"), lit(":"), col("j"))),
-          1, 7), 16, 10).cast("long") % col("n")).as("r"))
-      .select(col("doc_id"), col("j"),
-        when(col("r") === col("doc_id"), (col("r") + 1) % col("n"))
-          .otherwise(col("r")).as("neg_id"))
-    cand.join(docs.select(col("doc_id").as("neg_id"), col("source").as("neg_source")),
-      Seq("neg_id"))
-      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"),
-        col("neg_source"))
-      .orderBy(col("doc_id"), col("j"))
-  }
-
-  /** [[negSample]] over any dense-id `(doc_id, source)` frame, with
-    * near-dup positives excluded: candidates whose (anchor, negative)
-    * appears in `pairs` (either orientation) re-draw is NOT attempted
-    * — they are dropped, keeping the operator one pass (a training
-    * loader over-samples K and takes what survives).
+  /** Shared candidate generation for [[negSample]]/[[negativesFor]]:
+    * (anchor, j) hashes into [0, n) via 15 md5 hex chars (60 bits —
+    * a 7-char/28-bit draw would CAP the reachable id space at 2^28
+    * and silently bias any corpus beyond ~268 M docs), with the
+    * self-collision stepped forward.
     */
-  def negativesFor(docs: DataFrame, pairs: DataFrame, k: Int = NegK): DataFrame = {
+  private def negCandidates(docs: DataFrame, k: Int): DataFrame = {
     val nRow = docs.agg(count(lit(1)).cast("long").as("n"))
-    val cand = docs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .crossJoin(broadcast(nRow))
       .select(col("doc_id"), col("n"),
         explode(sequence(lit(1), lit(k))).as("j"))
       .select(col("doc_id"), col("j"), col("n"),
         (conv(substring(md5(concat(lit("ns:"), col("doc_id"), lit(":"), col("j"))),
-          1, 7), 16, 10).cast("long") % col("n")).as("r"))
+          1, 15), 16, 10).cast("long") % col("n")).as("r"))
       .select(col("doc_id"), col("j"),
         when(col("r") === col("doc_id"), (col("r") + 1) % col("n"))
           .otherwise(col("r")).as("neg_id"))
+  }
+
+  def negSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    negCandidates(docs, NegK)
+      .join(docs.select(col("doc_id").as("neg_id"), col("source").as("neg_source")),
+        Seq("neg_id"))
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"),
+        col("neg_source"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
+  /** [[negSample]] over any `(doc_id, source)` frame, with near-dup
+    * positives excluded. Two one-pass drops instead of re-draws (a
+    * training loader over-samples K and takes what survives):
+    * candidates that resolve to no document (the frame's ids need not
+    * be dense 0..n-1 — a filtered or re-keyed corpus draws into holes)
+    * go via the id-resolving semi-join, and candidates whose
+    * (anchor, negative) appears in `pairs` (either orientation) go
+    * via the anti-join.
+    */
+  def negativesFor(docs: DataFrame, pairs: DataFrame, k: Int = NegK): DataFrame = {
+    val cand = negCandidates(docs, k)
+      .join(docs.select(col("doc_id").as("neg_id")), Seq("neg_id"), "left_semi")
     val sym = pairs.select(col("a_id").as("doc_id"), col("b_id").as("neg_id"))
       .unionByName(pairs.select(col("b_id").as("doc_id"), col("a_id").as("neg_id")))
     cand.join(sym, Seq("doc_id", "neg_id"), "left_anti")
@@ -791,7 +814,7 @@ object Corpus {
     s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
        |cand AS (
        |  SELECT d.doc_id, j.j, nn.n,
-       |         ('0x' || substr(md5('ns:' || d.doc_id || ':' || j.j), 1, 7))::BIGINT % nn.n AS r
+       |         ('0x' || substr(md5('ns:' || d.doc_id || ':' || j.j), 1, 15))::BIGINT % nn.n AS r
        |  FROM documents d, (SELECT unnest(range(1, ${NegK + 1})) AS j) j, nn
        |)
        |SELECT c.doc_id, c.j, c.neg_id, neg.source AS neg_source
@@ -844,27 +867,12 @@ object Corpus {
        |WHERE rn <= $GroupSampleK
        |ORDER BY source, rk""".stripMargin
 
-  val sampleWeightedSql: String = {
-    val stop = TextAnalysis.hitsSql("t", TextAnalysis.Profiles.head._2)
-    s"""WITH base AS (
-       |  SELECT doc_id, len(text)::BIGINT AS n_chars,
-       |         len(t)::BIGINT AS tok_count,
-       |         list_sum(list_transform(t, w -> len(w)))::BIGINT AS wlen_sum,
-       |         $stop::BIGINT AS stop_hits,
-       |         (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS punct
-       |  FROM (SELECT doc_id, text,
-       |               list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |        FROM documents)
-       |  WHERE len(t) >= 1
-       |), q AS (
-       |  SELECT doc_id,
-       |         ${TextSim.r6Sql(
-      """0.3 * least(tok_count::DOUBLE / 50.0, 1.0)
-        |           + 0.3 * (1.0 - punct::DOUBLE / n_chars)
-        |           + 0.2 * (stop_hits::DOUBLE / tok_count)
-        |           + 0.2 * least(wlen_sum::DOUBLE / tok_count / 8.0, 1.0)""".stripMargin)} AS quality
-       |  FROM base
-       |), tot AS (
+  // the quality composite comes from the ONE shared CTE definition
+  // (TextAnalysis.qualityScoreCtesSql) — no second hand-maintained copy
+  val sampleWeightedSql: String =
+    s"""WITH ${TextAnalysis.qualityScoreCtesSql("documents")},
+       |q AS (SELECT doc_id, quality FROM q_scores),
+       |tot AS (
        |  SELECT ${TextSim.dsumSql("quality")} AS sw FROM q
        |)
        |SELECT doc_id, quality,
@@ -874,5 +882,4 @@ object Corpus {
        |WHERE ('0x' || substr(md5('samp:' || doc_id), 1, 7))::BIGINT <
        |      floor($SampleTarget.0 * quality * 268435456.0 / sw + 0.5)::BIGINT
        |ORDER BY doc_id""".stripMargin
-  }
 }

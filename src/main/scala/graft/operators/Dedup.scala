@@ -320,31 +320,41 @@ object Dedup {
     */
   def keepBest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.docsAug(s, d)
-    keepBestFrom(
+    keepBestFrom(docs.select(col("doc_id")),
       TextAnalysis.qualityScoresOf(docs).select(col("doc_id"), col("quality")),
       minhashPairsRaw(minhashSignatures(shingleDocs(docs)))
         .select(col("a_id"), col("b_id")))
   }
 
-  /** Best-by-score survivor labeling for any `(doc_id, quality)` frame
-    * and `(a_id, b_id)` near-dup pair frame: `(doc_id, quality,
-    * keep_id, is_kept)`. The score column decides the keeper; any
-    * signal works (quality composite, length, recency rank).
+  /** Best-by-score survivor labeling for any `(doc_id)` node frame,
+    * `(doc_id, quality)` score frame, and `(a_id, b_id)` near-dup
+    * pair frame: `(doc_id, quality, keep_id, is_kept)` — EVERY node
+    * appears, like [[keepFrom]] (a doc the scorer skipped, e.g. an
+    * empty text under the quality tokenizer's ≥1-token filter, must
+    * not silently vanish from the corpus labeling). Unscored docs
+    * compete with sentinel quality −1, strictly below the real [0, 1]
+    * composite range, so they keep themselves when isolated and lose
+    * to any scored member in a cluster. The score column is pluggable
+    * (quality composite, length, recency rank).
     */
-  def keepBestFrom(scored: DataFrame, pairFrame: DataFrame): DataFrame = {
+  def keepBestFrom(nodes: DataFrame, scored: DataFrame,
+    pairFrame: DataFrame): DataFrame = {
+    val withQ = nodes.select(col("doc_id"))
+      .join(scored.select(col("doc_id"), col("quality")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("quality"), lit(-1.0)).as("quality"))
     val pairs = pairFrame.persist()
     val labels = Components.fromPairs(pairs).select(col("id"), col("lbl"))
     pairs.unpersist()
     // argmax(quality, tie smallest id) per cluster: max of a
     // (quality, -doc_id) struct — lexicographic struct comparison IS
     // the composite order, with full partial aggregation.
-    val best = scored
-      .join(labels, scored("doc_id") === labels("id"), "inner")
+    val best = withQ
+      .join(labels, withQ("doc_id") === labels("id"), "inner")
       .groupBy(col("lbl"))
       .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
       .select(col("lbl"), (-col("b.nid")).cast("long").as("best_id"))
-    scored
-      .join(labels, scored("doc_id") === labels("id"), "left_outer")
+    withQ
+      .join(labels, withQ("doc_id") === labels("id"), "left_outer")
       .select(col("doc_id"), col("quality"), col("lbl"))
       .join(best, Seq("lbl"), "left_outer")
       .select(col("doc_id"), col("quality"),
@@ -366,20 +376,24 @@ object Dedup {
        |), labels AS (
        |  SELECT id, min(r) AS lbl FROM walk GROUP BY id
        |), ${TextAnalysis.qualityScoreCtesSql("docs_aug")},
+       |q_all AS (
+       |  SELECT d.doc_id, coalesce(q.quality, -1.0) AS quality
+       |  FROM docs_aug d LEFT JOIN q_scores q ON q.doc_id = d.doc_id
+       |),
        |best AS (
        |  SELECT lbl, doc_id AS best_id FROM (
        |    SELECT l.lbl, q.doc_id,
        |           row_number() OVER (PARTITION BY l.lbl
        |                              ORDER BY q.quality DESC, q.doc_id) AS rn
-       |    FROM labels l JOIN q_scores q ON q.doc_id = l.id)
+       |    FROM labels l JOIN q_all q ON q.doc_id = l.id)
        |  WHERE rn = 1
        |)
        |SELECT q.doc_id, q.quality, b.best_id AS keep_id,
        |       b.best_id = q.doc_id AS is_kept
-       |FROM q_scores q
+       |FROM q_all q
        |JOIN labels l ON l.id = q.doc_id
        |JOIN best b ON b.lbl = l.lbl
-       |ORDER BY doc_id""".stripMargin
+       |ORDER BY q.doc_id""".stripMargin
 
   val keepSql: String =
     s"""WITH RECURSIVE $minhashCandSql,

@@ -49,34 +49,56 @@ object RandProj {
   private def microVec(emb: Column): Column =
     transform(emb, v => floor(v.cast("double") * 1e6 + 0.5).cast("long"))
 
-  /** `(vec_id, j, proj_micro)` — the flat oracle-comparable form:
-    * projection j of each vector in micro units. `dim` is probed from
-    * the first row (a bounded 1-row driver action; the corpus dim is
-    * a schema-level constant).
+  /** The D projection columns over a `vm` micro-vector column, signs
+    * baked in as a dim×D literal. `dim` is probed from the first row
+    * (a bounded 1-row driver action; the corpus dim is a schema-level
+    * constant); an EMPTY frame short-circuits to None so callers
+    * return empty output instead of crashing on the probe.
     */
-  def projectFlat(vectors: DataFrame): DataFrame = {
-    val dim = vectors.select(size(col("embedding")).as("d")).head().getInt(0)
-    val projs = (0 until D).map { j =>
+  private def projArray(vectors: DataFrame): Option[Column] = {
+    val first = vectors.select(size(col("embedding")).as("d")).head(1)
+    if (first.isEmpty) return None
+    val dim = first(0).getInt(0)
+    Some(array((0 until D).map { j =>
       val signs = typedLit((0 until dim).map(i => sign(i, j)).toArray)
       aggregate(zip_with(col("vm"), signs, (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
-    }
-    vectors
-      .select(col("vec_id"), microVec(col("embedding")).as("vm"))
-      .select(col("vec_id"), posexplode(array(projs: _*)).as(Seq("j", "proj_micro")))
-      .select(col("vec_id"), col("j").cast("long").as("j"), col("proj_micro"))
+    }: _*))
+  }
+
+  /** `(vec_id, j, proj_micro)` — the flat oracle-comparable form:
+    * projection j of each vector in micro units.
+    */
+  def projectFlat(vectors: DataFrame): DataFrame = projArray(vectors) match {
+    case None =>
+      vectors.select(col("vec_id"), lit(0L).as("j"), lit(0L).as("proj_micro"))
+        .limit(0)
+    case Some(projs) =>
+      vectors
+        .select(col("vec_id"), microVec(col("embedding")).as("vm"))
+        .select(col("vec_id"), posexplode(projs).as(Seq("j", "proj_micro")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("proj_micro"))
   }
 
   /** The library face: `(vec_id, embedding)` in the reduced D-dim
     * space (micro units scaled back to floats) — drop-in input for
     * [[Ann.topKNeighbors]] blocking, [[KMeansVec]] routing, or
-    * [[SemDedup]] clustering at 1/8 the per-comparison cost.
+    * [[SemDedup]] clustering at 1/8 the per-comparison cost. Built
+    * per-row from the same projection array as [[projectFlat]] — no
+    * explode, no shuffle, no reassembly (the module's no-shuffle
+    * claim holds for the library face too).
     */
-  def projectedVectors(vectors: DataFrame): DataFrame =
-    projectFlat(vectors)
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("proj_micro")))),
-        s => (s("proj_micro").cast("double") / 1e6).cast("float")).as("embedding"))
+  def projectedVectors(vectors: DataFrame): DataFrame = projArray(vectors) match {
+    case None =>
+      vectors.select(col("vec_id"),
+        array().cast("array<float>").as("embedding")).limit(0)
+    case Some(projs) =>
+      vectors
+        .select(col("vec_id"), microVec(col("embedding")).as("vm"))
+        .select(col("vec_id"),
+          transform(projs, p => (p.cast("double") / 1e6).cast("float"))
+            .as("embedding"))
+  }
 
   /** q_rand_proj — [[projectFlat]] over the embeddings table. */
   def randProj(s: SparkSession, d: String): DataFrame =

@@ -117,31 +117,18 @@ object TextAnalysis {
       ).as("quality"))
   }
 
-  val qualitySql: String = {
-    val stop = hitsSql("t", Profiles.head._2)
-    s"""WITH base AS (
-       |  SELECT doc_id, len(text)::BIGINT AS n_chars,
-       |         len(t)::BIGINT AS tok_count,
-       |         list_sum(list_transform(t, w -> len(w)))::BIGINT AS wlen_sum,
-       |         $stop::BIGINT AS stop_hits,
-       |         (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS punct
-       |  FROM (SELECT doc_id, text,
-       |               list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |        FROM documents)
-       |  WHERE len(t) >= 1
-       |)
-       |SELECT doc_id, n_chars, tok_count,
-       |       ${TextSim.r6Sql("wlen_sum::DOUBLE / tok_count")} AS mean_wlen,
-       |       ${TextSim.r6Sql("punct::DOUBLE / n_chars")} AS punct_ratio,
-       |       ${TextSim.r6Sql("stop_hits::DOUBLE / tok_count")} AS stop_ratio,
-       |       ${TextSim.r6Sql(
-          """0.3 * least(tok_count::DOUBLE / 50.0, 1.0)
-            |           + 0.3 * (1.0 - punct::DOUBLE / n_chars)
-            |           + 0.2 * (stop_hits::DOUBLE / tok_count)
-            |           + 0.2 * least(wlen_sum::DOUBLE / tok_count / 8.0, 1.0)""".stripMargin)} AS quality
-       |FROM base
-       |ORDER BY doc_id""".stripMargin
-  }
+  // expressed through qualityScoreCtesSql so the 4-term composite has
+  // exactly ONE SQL definition — a tweak can't desynchronize q_quality
+  // from the oracles that rank by the same score
+  val qualitySql: String =
+    s"""WITH ${qualityScoreCtesSql("documents")}
+       |SELECT b.doc_id, b.n_chars, b.tok_count,
+       |       ${TextSim.r6Sql("b.wlen_sum::DOUBLE / b.tok_count")} AS mean_wlen,
+       |       ${TextSim.r6Sql("b.punct::DOUBLE / b.n_chars")} AS punct_ratio,
+       |       ${TextSim.r6Sql("b.stop_hits::DOUBLE / b.tok_count")} AS stop_ratio,
+       |       s.quality
+       |FROM q_base b JOIN q_scores s ON s.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 
   /** SQL mirror of [[qualityScoresOf]] as a reusable CTE pair
     * `q_base`/`q_scores(doc_id, quality)` over any relation

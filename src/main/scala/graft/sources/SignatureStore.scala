@@ -67,16 +67,16 @@ object SignatureStore {
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$table is not a bucketed signature store"))
-    val live = liveSignatures(spark, table).cache()
-    live.count() // materialize before the overwrite drops the source
+    // no materialization barrier needed: the filtered rewrite targets
+    // the tmp table while the source stays intact; the source drops
+    // only after the write committed
     val tmp = s"${table}_compact_tmp"
-    val w = live.write.mode(SaveMode.Overwrite)
+    val w = liveSignatures(spark, table).write.mode(SaveMode.Overwrite)
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
         spec.bucketColumnNames.tail: _*)
     (if (spec.sortColumnNames.nonEmpty)
       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
     else w).saveAsTable(tmp)
-    live.unpersist()
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     spark.sql(s"DROP TABLE ${tombTable(table)}")
@@ -144,5 +144,19 @@ object SignatureStore {
     (if (spec.sortColumnNames.nonEmpty)
       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
     else w).saveAsTable(table)
+    // a NEW observation of an id supersedes its tombstone (re-consent /
+    // takedown reversal): without this, a doc forgotten then re-ingested
+    // before the next compaction would stay hidden by the anti-join and
+    // then be PERMANENTLY erased when compactTombstones folds in — the
+    // tombstone table is bounded, so the rewrite is O(deletes)
+    if (spark.catalog.tableExists(tombTable(table))) {
+      import org.apache.spark.sql.functions.col
+      spark.table(tombTable(table))
+        .join(newDocs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .write.mode(SaveMode.Overwrite)
+        .saveAsTable(s"${tombTable(table)}_next")
+      spark.sql(s"DROP TABLE ${tombTable(table)}")
+      spark.sql(s"ALTER TABLE ${tombTable(table)}_next RENAME TO ${tombTable(table)}")
+    }
   }
 }

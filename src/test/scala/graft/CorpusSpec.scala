@@ -132,19 +132,24 @@ class CorpusSpec extends AnyFunSuite {
 
   test("keepBest argmax is a partial aggregate and keeps ties on the original") {
     import graft.operators.Dedup
+    val nodes = Seq(1L, 2L, 3L, 4L, 7L, 9L).toDF("doc_id")
+    // doc 7 is unscored (e.g. empty text under the quality tokenizer)
     val scored = Seq((1L, 0.5), (2L, 0.5), (3L, 0.9), (4L, 0.2), (9L, 0.7))
       .toDF("doc_id", "quality")
-    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
-    val out = Dedup.keepBestFrom(scored, pairs)
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 7L)).toDF("a_id", "b_id")
+    val out = Dedup.keepBestFrom(nodes, scored, pairs)
       .as[(Long, Double, Long, Boolean)].collect()
       .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(out.size == 6, "every node must appear, scored or not")
     // cluster {1,2}: equal quality -> smallest id wins
     assert(out(1L) == (1L, true) && out(2L) == (1L, false))
-    // cluster {3,4}: 3 has higher quality
+    // cluster {3,4,7}: 3 has highest quality; unscored 7 loses with
+    // sentinel quality but is still LABELED, not dropped
     assert(out(3L) == (3L, true) && out(4L) == (3L, false))
+    assert(out(7L) == (3L, false))
     // isolated doc keeps itself
     assert(out(9L) == (9L, true))
-    val plan = Dedup.keepBestFrom(scored, pairs)
+    val plan = Dedup.keepBestFrom(nodes, scored, pairs)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"cluster argmax must be max(struct), not a window:\n$plan")

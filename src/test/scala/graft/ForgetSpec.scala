@@ -119,4 +119,30 @@ class ForgetSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq.sorted
     assert(gotCompacted == want)
   }
+
+  test("re-ingesting a forgotten doc supersedes its tombstone") {
+    val docs = Tables.docsAug(spark, sf).filter(col("doc_id") % 5 === 0)
+    val table = "sig_reingest_t"
+    Seq(table, s"${table}_del", s"${table}_del_next", s"${table}_compact_tmp")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val victim = docs.filter(col("doc_id") === 0L)
+    SignatureStore.build(docs.filter(col("doc_id") =!= 0L), table)
+    SignatureStore.forget(victim.select(col("doc_id")), table)
+    // takedown reversed: the doc arrives again via normal ingest
+    SignatureStore.append(victim, table)
+    val wantAll = Dedup.minhashPairsFrom(
+      Dedup.minhashSignatures(Dedup.shingleDocs(docs)))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val live = SignatureStore.pairs(spark, table)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(live == wantAll,
+      "a re-ingested doc must be visible immediately after append")
+    // and compaction must KEEP it (the tombstone was superseded)
+    SignatureStore.compactTombstones(spark, table)
+    assert(spark.table(table).filter(col("doc_id") === 0L).count() > 0,
+      "compaction must not erase a re-ingested doc")
+    val after = SignatureStore.pairs(spark, table)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(after == wantAll)
+  }
 }

@@ -45,6 +45,16 @@ class RandProjSpec extends AnyFunSuite {
       s"signed projection must ride the scan:\n$plan")
   }
 
+  test("projectedVectors is scan-shaped too, and an empty frame is an empty result") {
+    val plan = RandProj.projectedVectors(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the library face must not explode-and-reassemble:\n$plan")
+    val empty = Tables.embeddings(spark, sf).filter(col("vec_id") < 0)
+    assert(RandProj.projectFlat(empty).count() == 0)
+    assert(RandProj.projectedVectors(empty).count() == 0)
+  }
+
   test("projectedVectors reassembles D-dim float vectors preserving dot structure") {
     val out = RandProj.projectedVectors(vecs)
       .as[(Long, Seq[Float])].collect().toMap
