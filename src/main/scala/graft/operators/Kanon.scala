@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k-anonymity generalization ladder — the release-side privacy gate
+  * next to [[Scrub]]'s content-side PII redaction: scrubbing deletes
+  * identifiers IN the text, but the METADATA tuple a published corpus
+  * carries (source, language, size band, ...) can re-identify on its
+  * own when a quasi-identifier combination is rare (Sweeney 2002: any
+  * group smaller than k is a linkage handle). Before release, every
+  * group must reach k members at SOME generalization level — drop the
+  * most identifying attribute until it does, suppress what never
+  * does.
+  *
+  * The ladder CASCADES like the [[Graph.kcore]] peel: docs whose full
+  * tuple is rare are re-pooled at the next-coarser level, where they
+  * may form a big-enough group — a one-shot "group < k → suppress"
+  * over-suppresses exactly the rows generalization would have saved.
+  * Levels here: 0 = (source, lang, len_bucket), 1 = (lang,
+  * len_bucket), 2 = (len_bucket), 3 = suppressed; generalized
+  * attributes are reported as NULL.
+  *
+  * Scale shape: each level is one partial-agg groupBy over the
+  * SHRINKING residue (level 1 sees only level-0 failures, ...), with
+  * the residue selected by a broadcast semi/anti-join on the
+  * ≤|groups| failing-key frame — the corpus is scanned once into the
+  * (qi..., doc) projection and never shuffles on doc id. Output is
+  * ≤|groups| verdict rows per level, never per-doc.
+  */
+object Kanon {
+
+  val K = 5
+  val BucketChars = 400L
+
+  /** The ladder over a caller frame with the fixture quasi-identifier
+    * columns (source, lang, len_bucket). Returns group-level rows:
+    * (source, lang, len_bucket, level, n_docs) with NULLs for the
+    * generalized attributes, level 3 = suppressed remainder.
+    */
+  def ladder(docs: DataFrame, k: Int = K): DataFrame = {
+    val qi = docs.select(col("source"), col("lang"), col("len_bucket"))
+    val g0 = qi.groupBy(col("source"), col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val pass0 = g0.filter(col("n_docs") >= k)
+      .select(col("source"), col("lang"), col("len_bucket"),
+        lit(0).as("level"), col("n_docs"))
+    val fail0 = qi.join(broadcast(g0.filter(col("n_docs") < k)
+      .select(col("source"), col("lang"), col("len_bucket"))),
+      Seq("source", "lang", "len_bucket"), "left_semi")
+    val g1 = fail0.groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val pass1 = g1.filter(col("n_docs") >= k)
+      .select(lit(null).cast("string").as("source"), col("lang"),
+        col("len_bucket"), lit(1).as("level"), col("n_docs"))
+    val fail1 = fail0.join(broadcast(g1.filter(col("n_docs") < k)
+      .select(col("lang"), col("len_bucket"))),
+      Seq("lang", "len_bucket"), "left_semi")
+    val g2 = fail1.groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val pass2 = g2.filter(col("n_docs") >= k)
+      .select(lit(null).cast("string").as("source"),
+        lit(null).cast("string").as("lang"), col("len_bucket"),
+        lit(2).as("level"), col("n_docs"))
+    val suppressed = g2.filter(col("n_docs") < k)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"))
+      .filter(col("n_docs") > 0)
+      .select(lit(null).cast("string").as("source"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("long").as("len_bucket"),
+        lit(3).as("level"), col("n_docs"))
+    pass0.unionByName(pass1).unionByName(pass2).unionByName(suppressed)
+  }
+
+  /** q_kanon — the ladder over the documents metadata tuple (source,
+    * lang, 400-char size band): the tuple mixes big groups with
+    * linkage handles at every SF, so all ladder levels do real work.
+    * SQL mirror: CTE `meta`.
+    */
+  def kanon(s: SparkSession, d: String): DataFrame =
+    ladder(meta(s, d))
+      .orderBy(col("level"), col("source"), col("lang"), col("len_bucket"))
+
+  def meta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("source"), col("lang"),
+      expr(s"n_chars div $BucketChars").as("len_bucket"))
+
+  val metaSql: String =
+    s"""meta AS (
+       |  SELECT source, lang, n_chars // $BucketChars AS len_bucket
+       |  FROM documents
+       |)""".stripMargin
+
+  val kanonSql: String =
+    s"""WITH $metaSql,
+       |g0 AS (
+       |  SELECT source, lang, len_bucket, count(*)::BIGINT AS n_docs
+       |  FROM meta GROUP BY source, lang, len_bucket
+       |),
+       |fail0 AS (
+       |  SELECT m.* FROM meta m
+       |  JOIN g0 ON g0.source = m.source AND g0.lang = m.lang
+       |         AND g0.len_bucket = m.len_bucket
+       |  WHERE g0.n_docs < $K
+       |),
+       |g1 AS (
+       |  SELECT lang, len_bucket, count(*)::BIGINT AS n_docs
+       |  FROM fail0 GROUP BY lang, len_bucket
+       |),
+       |fail1 AS (
+       |  SELECT f.* FROM fail0 f
+       |  JOIN g1 ON g1.lang = f.lang AND g1.len_bucket = f.len_bucket
+       |  WHERE g1.n_docs < $K
+       |),
+       |g2 AS (
+       |  SELECT len_bucket, count(*)::BIGINT AS n_docs
+       |  FROM fail1 GROUP BY len_bucket
+       |),
+       |out AS (
+       |  SELECT source, lang, len_bucket, 0 AS level, n_docs
+       |  FROM g0 WHERE n_docs >= $K
+       |  UNION ALL
+       |  SELECT NULL, lang, len_bucket, 1, n_docs
+       |  FROM g1 WHERE n_docs >= $K
+       |  UNION ALL
+       |  SELECT NULL, NULL, len_bucket, 2, n_docs
+       |  FROM g2 WHERE n_docs >= $K
+       |  UNION ALL
+       |  SELECT NULL, NULL, NULL, 3, sum(n_docs)::BIGINT
+       |  FROM g2 WHERE n_docs < $K
+       |  HAVING sum(n_docs) > 0
+       |)
+       |SELECT source, lang, len_bucket, level, n_docs
+       |FROM out
+       |ORDER BY level, source, lang, len_bucket""".stripMargin
+}

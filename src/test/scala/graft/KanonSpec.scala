@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Kanon
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KanonSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("every group at every level reaches k; accounting is exact") {
+    val out = Kanon.kanon(spark, sf)
+      .select(col("level"), col("n_docs")).as[(Int, Long)].collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(out.map(_._2).sum == n, "every doc lands in exactly one verdict row")
+    assert(out.filter(_._1 < 3).forall(_._2 >= Kanon.K),
+      "published groups must reach k")
+  }
+
+  test("the ladder cascades: generalization saves rows a one-shot filter suppresses") {
+    // rows published at level 1/2 are exactly the ones a flat
+    // "group < k -> suppress" rule would have dropped
+    val out = Kanon.kanon(spark, sf)
+      .select(col("level"), col("n_docs")).as[(Int, Long)].collect()
+    val saved = out.filter(r => r._1 == 1 || r._1 == 2).map(_._2).sum
+    assert(saved > 0, "fixture must exercise the generalization levels")
+    val suppressed = out.filter(_._1 == 3).map(_._2).sum
+    val oneShotSuppressed = saved + suppressed
+    assert(saved.toDouble / oneShotSuppressed > 0.5,
+      s"the ladder should rescue most of the one-shot suppression: $saved of $oneShotSuppressed")
+  }
+
+  test("level-0 groups discriminate on the corpus (big and rare both occur)") {
+    val meta = Kanon.meta(spark, sf)
+    val sizes = meta.groupBy(col("source"), col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n")).select(col("n")).as[Long].collect()
+    assert(sizes.exists(_ >= Kanon.K) && sizes.exists(_ < Kanon.K),
+      "fixture tuple must mix big groups with linkage handles")
+  }
+
+  test("sequential ladder parity on a hand fixture") {
+    val rows = Seq.fill(6)(("s1", "en", 0L)) ++ // level 0 pass
+      Seq.fill(3)(("s2", "en", 1L)) ++ Seq.fill(3)(("s3", "en", 1L)) ++ // pool to level 1
+      Seq.fill(2)(("s4", "de", 2L)) ++ Seq.fill(3)(("s5", "fr", 2L)) ++ // pool to level 2
+      Seq(("s6", "zh", 9L)) // suppressed
+    val got = Kanon.ladder(rows.toDF("source", "lang", "len_bucket"), k = 5)
+      .select(col("source"), col("lang"), col("len_bucket"), col("level"),
+        col("n_docs"))
+      .as[(Option[String], Option[String], Option[Long], Int, Long)]
+      .collect().toSet
+    assert(got == Set(
+      (Some("s1"), Some("en"), Some(0L), 0, 6L),
+      (None, Some("en"), Some(1L), 1, 6L),
+      (None, None, Some(2L), 2, 5L),
+      (None, None, None, 3, 1L)))
+  }
+
+  test("verdicts are group-level and bounded: output rows <= distinct tuples + 1") {
+    val out = Kanon.kanon(spark, sf)
+    val tuples = Kanon.meta(spark, sf).distinct().count()
+    assert(out.count() <= tuples + 1)
+  }
+}
