@@ -89,6 +89,39 @@ object Dq {
         col("c.pass"))
   }
 
+  /** The mergeable face of the three DISTRIBUTIVE doc checks: raw
+    * count sums per batch, merged by addition ([[Relevance.bm25Stats]]
+    * contract). Uniqueness and RI deliberately stay batch-side — a
+    * streaming distinct over an unbounded key set has no bounded
+    * state; the nightly verifier owns those.
+    */
+  def metricState(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n"),
+      count(col("lang")).as("nonnull_lang"),
+      sum(when(col("n_chars").between(1, 100000), 1L).otherwise(0L))
+        .as("in_range"))
+
+  /** Merge any number of [[metricState]] rows — plain addition. */
+  def mergeStates(states: DataFrame): DataFrame =
+    states.agg(sum(col("n")).as("n"),
+      sum(col("nonnull_lang")).as("nonnull_lang"),
+      sum(col("in_range")).as("in_range"))
+
+  /** The distributive subset of [[suite]]'s verdicts off a merged
+    * state — bit-identical rows to the one-shot suite's
+    * completeness/range/volume checks.
+    */
+  def verdictsFromState(state: DataFrame): DataFrame =
+    state.select(explode(array(
+      verdict("completeness_lang",
+        col("nonnull_lang").cast("double") / col("n"), 0.95),
+      verdict("range_n_chars",
+        col("in_range").cast("double") / col("n"), 0.99),
+      verdict("volume_min_rows", col("n").cast("double"), 100.0))).as("c"))
+      .select(col("c.check_name"), col("c.metric"), col("c.threshold"),
+        col("c.pass"))
+
   /** q_dq_checks — the suite over the dirty fixture + the real
     * referential pair (completeness/uniqueness/range fail by
     * construction; RI and volume pass).
