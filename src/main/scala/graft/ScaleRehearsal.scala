@@ -39,11 +39,17 @@ object ScaleRehearsal {
       Tables.embAug(spark, sfDir).select(col("vec_id"), col("embedding")), "vec_id")
 
     var stages = List.empty[(String, Double, Long)]
+    // SPARK_GRAFT_STAGES=a,b restricts the run — a local profiling
+    // knob (rehearse a new stage without re-paying the whole sweep)
+    val only = sys.env.get("SPARK_GRAFT_STAGES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      stages ::= ((name, (System.nanoTime() - t0) / 1e9, n))
-      spark.catalog.clearCache()
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val n = f
+        stages ::= ((name, (System.nanoTime() - t0) / 1e9, n))
+        spark.catalog.clearCache()
+      }
     }
 
     t("minhash_pairs") {
@@ -315,6 +321,73 @@ object ScaleRehearsal {
     // shuffle-free at any mult
     t("rand_proj") {
       operators.RandProj.projectFlat(vecs).count()
+    }
+    // dictionary matching under replication: the automaton is
+    // fixed-size task state (one reference object), the pass is
+    // linear, and output rows scale with mult — dictionary size never
+    // enters the cost
+    t("multimatch") {
+      operators.MultiMatch.matches(docs, "doc_id", "text").count()
+    }
+    // semantic decontamination under clone stress: the eval set stays
+    // FIXED (benchmarks don't replicate) while the corpus grows mult×,
+    // so the screen's cost is the linear broadcast scan and every
+    // clone of an eval member is one more flagged pair
+    t("embed_contam") {
+      val ev = Tables.embAug(spark, sfDir)
+        .filter(col("vec_id") % 20 === 0 && col("vec_id") < 1000000L)
+      operators.EmbedContam.screen(vecs, ev).count()
+    }
+    // latest-wins collapse of a mult×-page fetch log: one partial-agg
+    // fold keyed on the page — the shape that goes exchange-free when
+    // the log buckets by page at 100 TB
+    t("snapshot_fold") {
+      val log = replicate(
+        operators.Snapshots.fetchLog(spark, sfDir), "doc_id")
+      operators.Snapshots.latestWins(log, "doc_id").count()
+    }
+    // k-anonymity ladder with mult× the SOURCES (suffixed): group
+    // count grows, per-group size doesn't — the adversarial direction
+    // for the cascade (more residue work per level)
+    t("kanon_ladder") {
+      val meta = operators.Kanon.meta(spark, sfDir)
+      val rep = (0 until mult).map(i =>
+        meta.withColumn("source", concat(col("source"), lit(s"_$i"))))
+        .reduce(_ unionAll _)
+      operators.Kanon.ladder(rep).count()
+    }
+    // waterfill allocation: the corpus fold dominates (one groupBy to
+    // the stats frame); the allocation itself runs on ≤|domains| rows
+    // regardless of mult
+    t("waterfill") {
+      val doms = docs.select((col("doc_id") % 997).cast("string").as("source"),
+        size(functions.TextSim.tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy(col("source")).agg(sum(col("n_toks")).as("n_tokens"))
+        .persist()
+      val n = operators.Waterfill.allocate(doms).count()
+      doms.unpersist()
+      n
+    }
+    // join-cardinality planning state: the counter frame is ≤
+    // depth·width rows at ANY mult — the stage's "rows" records the F2
+    // estimate, which grows with the data while the state does not
+    t("join_card") {
+      val c = operators.JoinCard.counters(docs.select(col("doc_id")), "doc_id")
+      operators.JoinCard.estimate(c, c)
+        .collect().head.getLong(0)
+    }
+    // nearest as-of over the replicated timeline: two key-shuffled
+    // window passes (prior + negated-time forward), never a pair join
+    t("asof_nearest") {
+      val ev = replicateEvents(shiftUsers = true)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+      operators.TimeJoin.asOfNearest(purchases, clicks, "user_id", "ts_us",
+        operators.TimeJoin.NearTolUs).filter(col("near_dir").isNotNull).count()
     }
     // z-order layout write of the replicated event stream: one range
     // exchange + in-partition sort — the cost of any sorted write
