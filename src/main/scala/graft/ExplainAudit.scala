@@ -293,6 +293,54 @@ object ExplainAudit {
     flag("negative sampler: no cartesian product",
       !nsPlan.contains("CartesianProduct"))
 
+    // round-5 invariants: the curation-infrastructure block
+    val mmPlan = operators.MultiMatch.matches(
+      Tables.documents(spark, d), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    flag("multimatch rides the scan (automaton is task state, no Exchange)",
+      !mmPlan.contains("Exchange"))
+
+    val ecPlan = {
+      val aug = Tables.embAug(spark, d)
+      operators.EmbedContam.screen(
+        aug.filter(col("vec_id") % 20 =!= 0 || col("vec_id") >= 1000000L),
+        aug.filter(col("vec_id") % 20 === 0 && col("vec_id") < 1000000L))
+        .queryExecution.executedPlan.toString
+    }
+    flag("embed contamination: eval broadcast, corpus never shuffles",
+      !ecPlan.contains("Exchange hashpartitioning") &&
+        ecPlan.contains("Broadcast"))
+
+    val snPlan = operators.Snapshots.latestWins(
+      operators.Snapshots.fetchLog(spark, d), "doc_id")
+      .queryExecution.executedPlan.toString
+    flag("snapshot fold: every exchange keys on the page id",
+      "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(snPlan)
+        .forall(_.group(1).contains("doc_id")))
+
+    val kaPlan = operators.Kanon.kanon(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("kanon ladder: residues via broadcast semi-joins, never a corpus merge join",
+      !kaPlan.contains("SortMergeJoin") &&
+        kaPlan.contains("BroadcastHashJoin") && kaPlan.contains("LeftSemi"))
+
+    val wfPlan = operators.Waterfill.waterfill(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("waterfill: allocation branches read the stats barrier",
+      wfPlan.contains("InMemoryTableScan"))
+    spark.catalog.clearCache()
+
+    val jcPlan = operators.JoinCard.joinCard(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("join-card: no nested-loop joins beyond the 1-row stat frames",
+      !jcPlan.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+
+    val anPlan = operators.TimeJoin.asOfNearestQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("nearest as-of: union+window both directions, no nested loop",
+      !anPlan.contains("BroadcastNestedLoop") && !anPlan.contains("Cartesian"))
+
     spark.stop()
   }
 }
