@@ -405,4 +405,51 @@ object Analytics {
        |       (CASE WHEN agg.n_events IS NULL THEN 1 ELSE 0 END)::INT AS is_gap
        |FROM grid LEFT JOIN agg ON grid.h = agg.h AND grid.event_type = agg.event_type
        |ORDER BY hour, grid.event_type""".stripMargin
+
+  val EqDepthBuckets = 8
+
+  /** q_equidepth — per-group equi-depth histogram (the optimizer
+    * statistic for range-predicate selectivity: equal-mass buckets
+    * put resolution where the data is, where `q_histogram`'s fixed
+    * grid wastes buckets on empty ranges): per event type, 8 buckets
+    * of n/8 ± 1 rows each with exact [lo, hi] value bounds. Bucket
+    * membership is pure integer arithmetic on the rank —
+    * ⌊(rn−1)·B/n⌋ — so boundaries are exact order statistics, engine-
+    * identical (the `q_quantiles` discipline; interpolated histograms
+    * never hash-match). Per-KEY window like q_quantiles — this is the
+    * exact audit form; the rescan-free mergeable path at 100 TB is
+    * the [[graft.operators.Kmv]] bottom-k sketch.
+    */
+  def equidepth(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val w = byType.orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("bucket",
+        expr(s"CAST((rn - 1) * $EqDepthBuckets div n AS INT)"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        TextSim.r6(min(col("value"))).as("lo"),
+        TextSim.r6(max(col("value"))).as("hi"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val equidepthSql: String =
+    s"""WITH ranked AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY value, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events
+       |)
+       |SELECT event_type,
+       |       ((rn - 1) * $EqDepthBuckets // n)::INT AS bucket,
+       |       count(*)::BIGINT AS n_rows,
+       |       ${TextSim.r6Sql("min(value)")} AS lo,
+       |       ${TextSim.r6Sql("max(value)")} AS hi
+       |FROM ranked
+       |GROUP BY event_type, bucket
+       |ORDER BY event_type, bucket""".stripMargin
 }
