@@ -99,6 +99,46 @@ object Kanon {
        |  FROM documents
        |)""".stripMargin
 
+  /** Distinct-sensitive-value floor for [[lDiversity]]. */
+  val L = 3
+
+  /** q_l_diversity — l-diversity audit (Machanavajjhala et al. 2007),
+    * the second privacy bar k-anonymity alone misses: a group can
+    * have k members who ALL share the sensitive value, so group
+    * membership still discloses it. Quasi-identifier here is
+    * (source, size band), sensitive attribute is `lang`: per group,
+    * size, distinct sensitive values, and both verdicts (k_ok from
+    * [[K]], l_ok from [[L]]) — the q_gopher per-rule reporting
+    * discipline, so a release gate sees WHICH bar a group misses.
+    * One (qi, sensitive)-keyed partial-agg fold to ≤|groups| verdict
+    * rows; the distinct count is the only two-phase term, keyed on
+    * the same columns.
+    */
+  def lDiversity(s: SparkSession, d: String): DataFrame =
+    meta(s, d)
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_sensitive"))
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        col("n_sensitive"),
+        (col("n_docs") >= K).as("k_ok"),
+        (col("n_sensitive") >= L).as("l_ok"))
+      .orderBy(col("source"), col("len_bucket"))
+
+  val lDiversitySql: String =
+    s"""WITH meta AS (
+       |  SELECT source, lang, n_chars // $BucketChars AS len_bucket
+       |  FROM documents
+       |)
+       |SELECT source, len_bucket,
+       |       count(*)::BIGINT AS n_docs,
+       |       count(DISTINCT lang)::BIGINT AS n_sensitive,
+       |       (count(*) >= $K) AS k_ok,
+       |       (count(DISTINCT lang) >= $L) AS l_ok
+       |FROM meta
+       |GROUP BY source, len_bucket
+       |ORDER BY source, len_bucket""".stripMargin
+
   val kanonSql: String =
     s"""WITH $metaSql,
        |g0 AS (
