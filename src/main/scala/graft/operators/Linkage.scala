@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi–Sunter 1969) — entity
+  * resolution over STRUCTURED records, the registry-side counterpart of
+  * the text dedup family: two feeds describing the same real-world
+  * entities under different keys (a re-crawled workspace after an id
+  * migration, a vendor dump against the house registry — the reference
+  * pipeline's manifest matches files by id; linkage is what replaces it
+  * when ids DON'T carry over). Each candidate pair is scored by the sum
+  * of per-field log-likelihood ratios: agreement on field f adds
+  * ln(m_f/u_f), disagreement adds ln((1−m_f)/(1−u_f)), where m = P(agree
+  * | match) and u = P(agree | non-match); thresholds split the score
+  * into match / possible (clerical review) / non-match.
+  *
+  * Determinism: the weights are fixed to integer MICRO-NATS driver-side
+  * (the [[NaiveBayes]] discipline), so a pair's score is exact long
+  * arithmetic — order-independent, hash-oracle-verified; the verdict
+  * thresholds compare integers.
+  *
+  * Scale shape: candidate generation is a BLOCKED equi-join (here: the
+  * stable account-balance band) — one shuffle per side on the block
+  * key, never A×B; field comparisons and the score ride the join
+  * projection; output is cut at the non-match floor so it stays
+  * match-sized. A skewed block key goes through [[Skew.saltedJoin]];
+  * blocking recall (a pair perturbed IN the block key is never
+  * compared) is the standard F-S trade — block on the stablest field.
+  *
+  * m/u estimation: [[patternCounts]] folds candidates to the ≤2^F
+  * agreement-pattern histogram (exact longs, mergeable by addition);
+  * [[emFit]] runs the classic EM over that bounded table driver-side —
+  * the corpus is never rescanned per iteration.
+  */
+object Linkage {
+
+  /** Per-field conditional agreement probabilities (m, u) and the
+    * derived integer micro-nat weights.
+    */
+  final case class Field(name: String, m: Double, u: Double) {
+    val wAgree: Long = math.round(math.log(m / u) * 1e6)
+    val wDisagree: Long = math.round(math.log((1.0 - m) / (1.0 - u)) * 1e6)
+  }
+
+  /** The fixture's field model: name is near-unique (tiny u), exact
+    * balance cents nearly so; nation and segment are weak evidence.
+    */
+  val NameF = Field("name", 0.92, 0.0005)
+  val CentsF = Field("cents", 0.95, 0.002)
+  val NationF = Field("nation", 0.86, 0.04)
+  val SegF = Field("seg", 0.67, 0.2)
+  val AllFields: Seq[Field] = Seq(NameF, CentsF, NationF, SegF)
+
+  /** Verdict thresholds in micro-nats: ≥ upper → match, ≥ lower →
+    * possible (clerical review); below lower is dropped as non-match.
+    */
+  val Upper = 10000000L
+  val Lower = 0L
+
+  private def w(f: Field, agree: Column): Column =
+    when(agree, lit(f.wAgree)).otherwise(lit(f.wDisagree))
+
+  private def wSql(f: Field, agree: String): String =
+    s"CASE WHEN $agree THEN ${f.wAgree} ELSE ${f.wDisagree} END"
+
+  /** Score + verdict over a candidate-pair frame carrying boolean
+    * agreement columns named after each field. Pure projection — the
+    * caller owns blocking.
+    */
+  def score(cand: DataFrame, fields: Seq[Field] = AllFields): DataFrame = {
+    val total = fields.map(f => w(f, col("a_" + f.name))).reduce(_ + _)
+    cand.withColumn("score_micro", total)
+      .withColumn("verdict",
+        when(col("score_micro") >= Upper, lit("match"))
+          .when(col("score_micro") >= Lower, lit("possible"))
+          .otherwise(lit("nonmatch")))
+  }
+
+  /** Exact agreement-pattern histogram: one partial-agg groupBy to
+    * ≤ 2^F rows `(pattern bits…, n)` — the sufficient statistic EM
+    * needs, mergeable across batches by addition.
+    */
+  def patternCounts(cand: DataFrame, fields: Seq[Field] = AllFields): DataFrame =
+    cand.groupBy(fields.map(f => col("a_" + f.name)): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Classic F-S EM over the bounded pattern table (driver-side — the
+    * table is ≤ 2^F rows by construction, the bounded-statistic
+    * contract). Returns (p, m per field, u per field) after `iters`
+    * rounds from the given start point. Patterns are (bits, count).
+    */
+  def emFit(patterns: Seq[(Seq[Boolean], Long)], fields: Int, iters: Int = 50,
+    p0: Double = 0.1, m0: Double = 0.9, u0: Double = 0.1)
+    : (Double, Array[Double], Array[Double]) = {
+    var p = p0
+    var m = Array.fill(fields)(m0)
+    var u = Array.fill(fields)(u0)
+    val total = patterns.map(_._2).sum.toDouble
+    var it = 0
+    while (it < iters) {
+      // E-step: P(match | pattern) per pattern row
+      val g = patterns.map { case (bits, n) =>
+        var pm = p; var pu = 1.0 - p
+        var f = 0
+        while (f < fields) {
+          if (bits(f)) { pm *= m(f); pu *= u(f) }
+          else { pm *= 1.0 - m(f); pu *= 1.0 - u(f) }
+          f += 1
+        }
+        (bits, n, pm / (pm + pu))
+      }
+      // M-step
+      val wm = g.map { case (_, n, gi) => n * gi }.sum
+      val wu = g.map { case (_, n, gi) => n * (1.0 - gi) }.sum
+      p = wm / total
+      m = Array.tabulate(fields) { f =>
+        g.filter(_._1(f)).map { case (_, n, gi) => n * gi }.sum / wm
+      }
+      u = Array.tabulate(fields) { f =>
+        g.filter(_._1(f)).map { case (_, n, gi) => n * (1.0 - gi) }.sum / wu
+      }
+      it += 1
+    }
+    (p, m, u)
+  }
+
+  /** The B-side "vendor registry": every customer re-keyed (+100000)
+    * with deterministic field noise — every 5th name's last char
+    * mangled, every 7th nation off by one, every 3rd segment unknown.
+    * Balance survives intact (the block key must — the documented F-S
+    * blocking trade). SQL mirror: CTE `registry`.
+    */
+  def registry(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      (col("c_custkey") + 100000L).as("b_id"),
+      when(col("c_custkey") % 5 === 0,
+        concat(expr("substring(c_name, 1, length(c_name)-1)"), lit("X")))
+        .otherwise(col("c_name")).as("b_name"),
+      when(col("c_custkey") % 7 === 0, (col("c_nationkey") + 1) % 25)
+        .otherwise(col("c_nationkey")).cast("long").as("b_nation"),
+      when(col("c_custkey") % 3 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("b_seg"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("b_cents"))
+
+  val registrySql: String =
+    """registry AS (
+      |  SELECT c_custkey + 100000 AS b_id,
+      |         CASE WHEN c_custkey % 5 = 0
+      |              THEN substr(c_name, 1, length(c_name)-1) || 'X'
+      |              ELSE c_name END AS b_name,
+      |         (CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+      |               ELSE c_nationkey END)::BIGINT AS b_nation,
+      |         CASE WHEN c_custkey % 3 = 0 THEN 'UNKNOWN'
+      |              ELSE c_mktsegment END AS b_seg,
+      |         floor(c_acctbal * 100 + 0.5)::BIGINT AS b_cents
+      |  FROM customer
+      |)""".stripMargin
+
+  /** q_linkage — link the customer table against the noisy registry:
+    * block on the 100-currency-unit balance band, score the four-field
+    * agreement vector in exact micro-nats, keep pairs at or above the
+    * review floor. A clean true pair lands 'match'; a name-mangled one
+    * lands 'possible' (exactly the clerical-review semantics); block
+    * cross-pairs only surface on accidental cents collisions.
+    */
+  def linkage(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("a_id"),
+      col("c_name").as("nm"), col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("block", expr("(cents + 100000) div 10000"))
+    val b = registry(s, d)
+      .withColumn("block", expr("(b_cents + 100000) div 10000"))
+    val cand = a.join(b, Seq("block"))
+      .select(col("a_id"), col("b_id"),
+        (col("nm") === col("b_name")).as("a_name"),
+        (col("cents") === col("b_cents")).as("a_cents"),
+        (col("nat") === col("b_nation")).as("a_nation"),
+        (col("seg") === col("b_seg")).as("a_seg"))
+    score(cand)
+      .filter(col("score_micro") >= Lower)
+      .select(col("a_id"), col("b_id"), col("a_name"), col("a_cents"),
+        col("a_nation"), col("a_seg"), col("score_micro"), col("verdict"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val linkageSql: String = {
+    val total = Seq(
+      wSql(NameF, "a_name"), wSql(CentsF, "a_cents"),
+      wSql(NationF, "a_nation"), wSql(SegF, "a_seg")).mkString(" + ")
+    s"""WITH $registrySql,
+       |a AS (
+       |  SELECT c_custkey::BIGINT AS a_id, c_name AS nm,
+       |         c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
+       |         floor(c_acctbal * 100 + 0.5)::BIGINT AS cents,
+       |         (floor(c_acctbal * 100 + 0.5)::BIGINT + 100000) // 10000 AS block
+       |  FROM customer
+       |), b AS (
+       |  SELECT *, (b_cents + 100000) // 10000 AS block FROM registry
+       |), cand AS (
+       |  SELECT a_id, b_id,
+       |         nm = b_name AS a_name, cents = b_cents AS a_cents,
+       |         nat = b_nation AS a_nation, seg = b_seg AS a_seg
+       |  FROM a JOIN b USING (block)
+       |), scored AS (
+       |  SELECT *, ($total)::BIGINT AS score_micro FROM cand
+       |)
+       |SELECT a_id, b_id, a_name, a_cents, a_nation, a_seg, score_micro,
+       |       CASE WHEN score_micro >= $Upper THEN 'match'
+       |            WHEN score_micro >= $Lower THEN 'possible'
+       |            ELSE 'nonmatch' END AS verdict
+       |FROM scored WHERE score_micro >= $Lower
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+}
