@@ -184,7 +184,7 @@ object OPQ {
     * deterministic sweep order, converges quadratically; 64×64 runs in
     * microseconds. Returns (eigenvalues, eigenvector columns).
     */
-  private def eigSym(sIn: Array[Array[Double]],
+  private[operators] def eigSym(sIn: Array[Array[Double]],
     maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
     val n = sIn.length
     val s = sIn.map(_.clone())
