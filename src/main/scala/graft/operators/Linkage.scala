@@ -158,23 +158,23 @@ object Linkage {
       |  FROM customer
       |)""".stripMargin
 
-  /** q_linkage — link the customer table against the noisy registry:
-    * block on the 100-currency-unit balance band, score the four-field
-    * agreement vector in exact micro-nats, keep pairs at or above the
-    * review floor. A clean true pair lands 'match'; a name-mangled one
-    * lands 'possible' (exactly the clerical-review semantics); block
-    * cross-pairs only surface on accidental cents collisions.
-    */
-  def linkage(s: SparkSession, d: String): DataFrame = {
-    val a = Tables.customer(s, d).select(
+  /** The house side of the link: `(a_id, nm, nat, seg, cents)`. */
+  def houseSide(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
       col("c_custkey").cast("long").as("a_id"),
       col("c_name").as("nm"), col("c_nationkey").cast("long").as("nat"),
       col("c_mktsegment").as("seg"),
       floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
-      .withColumn("block", expr("(cents + 100000) div 10000"))
-    val b = registry(s, d)
-      .withColumn("block", expr("(b_cents + 100000) div 10000"))
-    val cand = a.join(b, Seq("block"))
+
+  /** Blocked candidates + scored verdicts, cut at the review floor —
+    * shared verbatim by the batch query and [[graft.streaming.StreamingLinkage]]
+    * (`b` may be a streaming frame: the block join is then
+    * stream-static, stateless and append-mode).
+    */
+  def linked(a: DataFrame, b: DataFrame): DataFrame = {
+    val ab = a.withColumn("block", expr("(cents + 100000) div 10000"))
+    val bb = b.withColumn("block", expr("(b_cents + 100000) div 10000"))
+    val cand = bb.join(ab, Seq("block"))
       .select(col("a_id"), col("b_id"),
         (col("nm") === col("b_name")).as("a_name"),
         (col("cents") === col("b_cents")).as("a_cents"),
@@ -184,8 +184,18 @@ object Linkage {
       .filter(col("score_micro") >= Lower)
       .select(col("a_id"), col("b_id"), col("a_name"), col("a_cents"),
         col("a_nation"), col("a_seg"), col("score_micro"), col("verdict"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** q_linkage — link the customer table against the noisy registry:
+    * block on the 100-currency-unit balance band, score the four-field
+    * agreement vector in exact micro-nats, keep pairs at or above the
+    * review floor. A clean true pair lands 'match'; a name-mangled one
+    * lands 'possible' (exactly the clerical-review semantics); block
+    * cross-pairs only surface on accidental cents collisions.
+    */
+  def linkage(s: SparkSession, d: String): DataFrame =
+    linked(houseSide(s, d), registry(s, d))
+      .orderBy(col("a_id"), col("b_id"))
 
   val linkageSql: String = {
     val total = Seq(
