@@ -341,6 +341,36 @@ object ExplainAudit {
     flag("nearest as-of: union+window both directions, no nested loop",
       !anPlan.contains("BroadcastNestedLoop") && !anPlan.contains("Cartesian"))
 
+    // round-5 continuation: profiling/linkage/runtime-filter block
+    val lkPlan = operators.Linkage.linkage(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("linkage: blocked equi-join (no nested loop, block key in the exchange)",
+      !lkPlan.contains("BroadcastNestedLoop") && !lkPlan.contains("Cartesian") &&
+        "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(lkPlan)
+          .forall(_.group(1).contains("block")))
+
+    val fkPlan = operators.FkDiscover.fkDiscover(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("fk-discover: bottom-k ObjectHashAggregate fold, no cartesian",
+      fkPlan.contains("ObjectHashAggregate") && !fkPlan.contains("CartesianProduct"))
+
+    val bjPlan = operators.RuntimeFilter.bloomJoinQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("bloom join: probe filter below the join (semi-join reduction in place)",
+      bjPlan.linesIterator.indexWhere(_.contains("bloomhits")) >
+        bjPlan.linesIterator.indexWhere(_.contains("Join")))
+
+    val pcPlan = {
+      import spark.implicits._
+      val agg = new functions.MicroCovSum(operators.Pca.Dim)
+      Tables.embeddings(spark, d).select(col("embedding").cast("array<float>"))
+        .as[Seq[Float]].select(agg.toColumn)
+        .queryExecution.executedPlan.toString
+    }
+    flag("pca covariance: map-side d2-buffer fold, corpus never hash-exchanged",
+      pcPlan.contains("ObjectHashAggregate") &&
+        !pcPlan.contains("Exchange hashpartitioning"))
+
     spark.stop()
   }
 }

@@ -401,6 +401,61 @@ object ScaleRehearsal {
       spark.read.parquet(dir).count()
     }
 
+    // record linkage under replication: replicating the registry side
+    // multiplies every balance block's B population by mult, so
+    // candidate pairs grow mult× (block sizes are the F-S cost knob);
+    // true-pair output also scales with mult by construction
+    t("linkage") {
+      val house = operators.Linkage.houseSide(spark, sfDir)
+      val reg = (0 until mult).map(i =>
+        operators.Linkage.registry(spark, sfDir)
+          .withColumn("b_id", col("b_id") + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+      operators.Linkage.linked(house, reg).count()
+    }
+    // FK discovery under replication: the profiled column frame grows
+    // mult× but each column still folds to a k-row signature — the
+    // pairwise stage is corpus-blind (the slice_overlap contract)
+    t("fk_discover") {
+      val vals = operators.FkDiscover.Columns.map { case (label, table, column) =>
+        Tables.table(spark, sfDir, table)
+          .select(lit(label).as("key"), col(column).cast("string").as("v"))
+      }.reduce(_ unionAll _)
+      val rep = (0 until mult).map(_ => vals).reduce(_ unionAll _)
+      operators.SliceOverlap.overlapPairs(
+        operators.SliceOverlap.signatures(rep, "key", "v")).count()
+    }
+    // bloom runtime-filter join under replication: the big side grows
+    // mult× while the filter stays bits-bounded; the probe's pruning
+    // fraction is invariant, so join-input volume tracks the TRUE
+    // match count, not the corpus
+    t("bloom_join") {
+      val big = (0 until mult).map(_ =>
+        Tables.lineitem(spark, sfDir).select(col("l_orderkey")))
+        .reduce(_ unionAll _)
+      val small = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      operators.RuntimeFilter.bloomJoin(big, small, "l_orderkey", "o_orderkey")
+        .count()
+    }
+    // k-center selection under replication: k scans of a mult× corpus,
+    // each a shuffle-free kernel pass + 1-row argmax — linear in mult,
+    // and clone replication never changes WHICH points are picked
+    // (clones of a center are distance-0, never farthest)
+    t("coreset") {
+      operators.Coreset.kCenters(vecs, 6).count()
+    }
+    // covariance fold under replication: one pass, d2 map-side buffers;
+    // time tracks the scan, the exchanged state is partitions×33 KB at
+    // any corpus size
+    t("pca_cov") {
+      import spark.implicits._
+      val agg = new functions.MicroCovSum(operators.Pca.Dim)
+      vecs.select(col("embedding").cast("array<float>"))
+        .as[Seq[Float]].select(agg.toColumn).head().length.toLong
+    }
+
     val qs = stages.reverse.map { case (k, v, n) =>
       s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")
     spark.stop()
