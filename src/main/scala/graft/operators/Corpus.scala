@@ -662,6 +662,54 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-N weighted-sample size. */
+  val TopWN = 200
+
+  /** q_sample_topw — EXACT-N weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES, 2006): each doc draws rank
+    * ln(u)/w from its deterministic md5 uniform u and its quality
+    * weight w, and the N LARGEST ranks are the sample — the missing
+    * cell of the sampling matrix (`q_sample_weighted` is
+    * weighted-but-expected-size, `q_audit_sample` exact-size-but-
+    * uniform). A-ES's theorem makes this a true weighted sample
+    * without replacement: P(doc in sample) is what sequential
+    * weighted draws would give. Zero-weight docs rank −∞ (excluded by
+    * construction).
+    *
+    * Determinism: u = (28-bit md5 bucket + 0.5)/2²⁸ is an exactly-
+    * representable double, the weight is the ROUNDED r6 composite,
+    * and the rank is micro-rounded before the cut (one libm ln per
+    * row — the bm25 rounding rule), ties to smallest doc_id. Plans as
+    * TakeOrdered: per-partition partial top-N, never a global sort;
+    * ranks ride the scan (no shuffle before the cut).
+    */
+  def sampleTopW(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScores(s, d).select(col("doc_id"), col("quality"))
+      .filter(col("quality") > 0)
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("aes:"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+          .cast("long"))
+      .withColumn("rank_micro",
+        floor(lit(1e6) * log((col("bucket").cast("double") + 0.5) / 268435456.0)
+          / col("quality") + 0.5).cast("long"))
+      .select(col("doc_id"), col("quality"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("doc_id"))
+      .limit(TopWN)
+
+  val sampleTopWSql: String =
+    s"""WITH ${TextAnalysis.qualityScoreCtesSql("documents")},
+       |q AS (SELECT doc_id, quality FROM q_scores WHERE quality > 0),
+       |ranked AS (
+       |  SELECT doc_id, quality,
+       |         floor(1000000.0 * ln((('0x' || substr(md5('aes:' || doc_id), 1, 7))::BIGINT::DOUBLE + 0.5) / 268435456.0)
+       |               / quality + 0.5)::BIGINT AS rank_micro
+       |  FROM q
+       |)
+       |SELECT doc_id, quality, rank_micro
+       |FROM ranked
+       |ORDER BY rank_micro DESC, doc_id
+       |LIMIT $TopWN""".stripMargin
+
   /** Audit-sample size. */
   val AuditN = 200
 
