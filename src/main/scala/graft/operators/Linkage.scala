@@ -186,6 +186,88 @@ object Linkage {
         col("a_nation"), col("a_seg"), col("score_micro"), col("verdict"))
   }
 
+  /** Graded name-agreement weights for [[linkedFuzzy]] (micro-nats):
+    * the F-S comparator generalized from binary to LEVELS (Winkler's
+    * string-comparator extension) — exact / close (Levenshtein ≤ 2,
+    * the typo band) / far, each with its own ln(m/u). A 1-char mangle
+    * is overwhelmingly more likely under a true match than across
+    * records, so 'close' carries strong positive weight where the
+    * binary comparator threw the evidence away.
+    */
+  val NameExactW: Long = NameF.wAgree
+  val NameCloseW: Long = math.round(math.log(0.08 / 0.002) * 1e6)
+  val NameFarW: Long = math.round(math.log(0.02 / 0.9975) * 1e6)
+
+  /** Graded-comparator linkage: the name field contributes by
+    * Levenshtein band (0 / ≤2 / far) instead of equality; other
+    * fields and the blocking are [[linked]]'s. The payoff is the
+    * mangled-twin band: a 1-char name edit plus the cents agreement
+    * now clears the MATCH threshold instead of landing in clerical
+    * review. Levenshtein cost is bounded by the block (candidate
+    * pairs only, never corpus²) — the [[EditSim]] discipline.
+    */
+  def linkedFuzzy(a: DataFrame, b: DataFrame): DataFrame = {
+    val ab = a.withColumn("block", expr("(cents + 100000) div 10000"))
+    val bb = b.withColumn("block", expr("(b_cents + 100000) div 10000"))
+    val cand = bb.join(ab, Seq("block"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("nm"), col("b_name")).cast("long").as("name_lev"),
+        (col("cents") === col("b_cents")).as("a_cents"),
+        (col("nat") === col("b_nation")).as("a_nation"),
+        (col("seg") === col("b_seg")).as("a_seg"))
+    val nameW = when(col("name_lev") === 0, lit(NameExactW))
+      .when(col("name_lev") <= 2, lit(NameCloseW))
+      .otherwise(lit(NameFarW))
+    val total = nameW + w(CentsF, col("a_cents")) +
+      w(NationF, col("a_nation")) + w(SegF, col("a_seg"))
+    cand.withColumn("score_micro", total)
+      .withColumn("verdict",
+        when(col("score_micro") >= Upper, lit("match"))
+          .when(col("score_micro") >= Lower, lit("possible"))
+          .otherwise(lit("nonmatch")))
+      .filter(col("score_micro") >= Lower)
+      .select(col("a_id"), col("b_id"), col("name_lev"), col("a_cents"),
+        col("a_nation"), col("a_seg"), col("score_micro"), col("verdict"))
+  }
+
+  /** q_linkage_fuzzy — [[linkedFuzzy]] over the same fixture. */
+  def linkageFuzzy(s: SparkSession, d: String): DataFrame =
+    linkedFuzzy(houseSide(s, d), registry(s, d))
+      .orderBy(col("a_id"), col("b_id"))
+
+  val linkageFuzzySql: String = {
+    val nameW =
+      s"""CASE WHEN name_lev = 0 THEN $NameExactW
+         |            WHEN name_lev <= 2 THEN $NameCloseW
+         |            ELSE $NameFarW END""".stripMargin
+    val total = Seq(nameW, wSql(CentsF, "a_cents"),
+      wSql(NationF, "a_nation"), wSql(SegF, "a_seg")).mkString(" + ")
+    s"""WITH $registrySql,
+       |a AS (
+       |  SELECT c_custkey::BIGINT AS a_id, c_name AS nm,
+       |         c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
+       |         floor(c_acctbal * 100 + 0.5)::BIGINT AS cents,
+       |         (floor(c_acctbal * 100 + 0.5)::BIGINT + 100000) // 10000 AS block
+       |  FROM customer
+       |), b AS (
+       |  SELECT *, (b_cents + 100000) // 10000 AS block FROM registry
+       |), cand AS (
+       |  SELECT a_id, b_id,
+       |         levenshtein(nm, b_name)::BIGINT AS name_lev,
+       |         cents = b_cents AS a_cents,
+       |         nat = b_nation AS a_nation, seg = b_seg AS a_seg
+       |  FROM a JOIN b USING (block)
+       |), scored AS (
+       |  SELECT *, ($total)::BIGINT AS score_micro FROM cand
+       |)
+       |SELECT a_id, b_id, name_lev, a_cents, a_nation, a_seg, score_micro,
+       |       CASE WHEN score_micro >= $Upper THEN 'match'
+       |            WHEN score_micro >= $Lower THEN 'possible'
+       |            ELSE 'nonmatch' END AS verdict
+       |FROM scored WHERE score_micro >= $Lower
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** q_linkage — link the customer table against the noisy registry:
     * block on the 100-currency-unit balance band, score the four-field
     * agreement vector in exact micro-nats, keep pairs at or above the

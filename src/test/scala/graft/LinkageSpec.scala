@@ -81,6 +81,27 @@ class LinkageSpec extends AnyFunSuite {
       (false, false, false, false, 1L)))
   }
 
+  test("graded comparator rescues mangled-name twins into certain matches") {
+    val fuzzy = Linkage.linkageFuzzy(spark, sf).persist()
+    val twins = fuzzy.filter(col("b_id") === col("a_id") + 100000L)
+    // a mangled name is Levenshtein 1 from its original — the 'close'
+    // band — so with the cents agreement every single-perturbation twin
+    // now clears the match threshold (binary linkage left them in
+    // clerical review)
+    val mangled = twins.filter(col("a_id") % 5 === 0)
+    assert(mangled.count() > 0)
+    assert(mangled.filter(col("name_lev") =!= 1).count() == 0)
+    val singlePerturb = mangled
+      .filter(col("a_id") % 7 =!= 0 && col("a_id") % 3 =!= 0)
+    assert(singlePerturb.filter(col("verdict") =!= "match").count() == 0)
+    // the binary form graded the same pairs 'possible'
+    val binaryMangled = linked
+      .filter(col("b_id") === col("a_id") + 100000L && col("a_id") % 5 === 0 &&
+        col("a_id") % 7 =!= 0 && col("a_id") % 3 =!= 0)
+    assert(binaryMangled.filter(col("verdict") === "match").count() == 0)
+    fuzzy.unpersist()
+  }
+
   test("candidate generation is a blocked equi-join: no nested loop in the plan") {
     val plan = linked.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
