@@ -161,6 +161,101 @@ object CorpusStats {
        |FROM probs
        |ORDER BY b""".stripMargin
 
+  /** q_embed_drift — SEMANTIC drift between two corpus slices: the
+    * [[drift]] JSD machinery applied to embedding-cluster occupancy
+    * instead of hashed unigrams. `q_drift` sees VOCABULARY movement; a
+    * paraphrased or translated shift keeps moving topics with mostly
+    * stable top words invisible to it, while the cluster histogram
+    * moves — "is this week's crawl ABOUT the same things", the
+    * embedding-space twin of lexical drift monitoring. Both slices
+    * assign through the SAME deterministic centroids (the shuffle-free
+    * [[graft.functions.NearestCentroids]] argmax — slice membership is
+    * a per-row flag, not a join), fold to one ≤|cents| cell frame
+    * (dense grid, zero-filled — an emptied cluster is exactly the
+    * signal), then per-cell Laplace-smoothed log-ratio and JSD
+    * contributions in the [[drift]] arithmetic (Σ jsd_micro ≤ ln 2 ·
+    * 1e6 is the alarm input; llr says which way each topic moved).
+    */
+  def embedDriftQuery(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Ann.norm(col("embedding")))
+    val cents = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    embedDrift(e.withColumn("is_ref", col("vec_id") % 2 === 0), cents)
+  }
+
+  /** Frame-based semantic drift over `(vec_id, embedding, is_ref)` and
+    * a centroid frame.
+    */
+  def embedDrift(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val nCents = cents.count()
+    val assigned = vectors
+      .withColumn("nc",
+        graft.functions.NearestCentroids.fromFrame(col("embedding"), cents, 1))
+      .select(col("is_ref"),
+        element_at(col("nc"), 1).getField("cent_id").as("cent_id"))
+    val counts = assigned.groupBy(col("cent_id"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cb"))
+    val dense = cents.select(col("cent_id"))
+      .join(counts, Seq("cent_id"), "left")
+      .withColumn("ca", coalesce(col("ca"), lit(0L)))
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+    val totals = dense.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    dense.crossJoin(broadcast(totals))
+      .withColumn("p", (col("ca") + 1).cast("double") / (col("ta") + nCents))
+      .withColumn("q", (col("cb") + 1).cast("double") / (col("tb") + nCents))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .select(col("cent_id"), col("ca"), col("cb"),
+        floor((log(col("p")) - log(col("q"))) * 1e6 + 0.5).cast("long").as("llr_micro"),
+        TextSim.r6((col("p") * log(col("p") / col("m")) / 2 +
+          col("q") * log(col("q") / col("m")) / 2) * 1e6).as("jsd_micro"))
+      .orderBy(col("cent_id"))
+  }
+
+  val embedDriftSql: String = {
+    import Ann.{cosineSql, dotSql}
+    val nrm = s"sqrt(${dotSql("embedding", "embedding")})"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $nrm AS nrm FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM e WHERE vec_id % 25 = 0
+       |), assigned AS (
+       |  SELECT vec_id, is_ref, cent_id FROM (
+       |    SELECT e.vec_id, e.vec_id % 2 = 0 AS is_ref, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${cosineSql("e.embedding", "e.nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |             c.cent_id) AS rk
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE rk = 1
+       |), counts AS (
+       |  SELECT cent_id,
+       |         sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)::BIGINT AS cb
+       |  FROM assigned GROUP BY cent_id
+       |), dense AS (
+       |  SELECT c.cent_id, coalesce(counts.ca, 0)::BIGINT AS ca,
+       |         coalesce(counts.cb, 0)::BIGINT AS cb
+       |  FROM cents c LEFT JOIN counts USING (cent_id)
+       |), tot AS (
+       |  SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb,
+       |         (SELECT count(*) FROM cents)::BIGINT AS nc
+       |  FROM dense
+       |), probs AS (
+       |  SELECT cent_id, ca, cb,
+       |         (ca + 1)::DOUBLE / (ta + nc) AS p,
+       |         (cb + 1)::DOUBLE / (tb + nc) AS q
+       |  FROM dense, tot
+       |)
+       |SELECT cent_id, ca, cb,
+       |       floor((ln(p) - ln(q)) * 1000000.0 + 0.5)::BIGINT AS llr_micro,
+       |       ${TextSim.r6Sql("(p * ln(p / ((p + q) / 2)) / 2 + q * ln(q / ((p + q) / 2)) / 2) * 1000000.0")} AS jsd_micro
+       |FROM probs
+       |ORDER BY cent_id""".stripMargin
+  }
+
   val TfidfTopK = 5
 
   /** q_tfidf_domain — each source's characteristic vocabulary: top-k
