@@ -40,16 +40,30 @@ object Pca {
     }
   }
 
-  /** One corpus pass → exact micro moment sums → driver-side Jacobi.
-    * Returns the top-`p` model (components p×d, eigenvalues all d,
-    * variance-descending).
+  /** The exact micro moment buffer of a corpus (d² pair sums ++ d
+    * component sums ++ count) — PCA's sufficient statistic. Being
+    * exact integers, buffers from disjoint batches MERGE BY ADDITION
+    * ([[mergeMoments]]) bit-exactly: refreshing the covariance after
+    * an ingest batch never rescans old vectors (the `bm25Stats` /
+    * `vocabCounts` contract applied to second moments).
     */
-  def fit(emb: DataFrame, p: Int): Model = {
+  def moments(emb: DataFrame): Array[Long] = {
     val s = emb.sparkSession
     import s.implicits._
     val agg = new MicroCovSum(Dim)
-    val b = emb.select(col("embedding").cast("array<float>"))
+    emb.select(col("embedding").cast("array<float>"))
       .as[Seq[Float]].select(agg.toColumn).head().toArray
+  }
+
+  /** Elementwise addition — exact, any order, any batch split. */
+  def mergeMoments(a: Array[Long], b: Array[Long]): Array[Long] =
+    a.zip(b).map { case (x, y) => x + y }
+
+  /** Deterministic eigensolve over a moment buffer (shared by the
+    * one-shot and incremental paths — same buffer, same model, bit
+    * for bit).
+    */
+  def fitFromMoments(b: Array[Long], p: Int): Model = {
     val n = b(Dim * Dim + Dim).toDouble
     val mean = Array.tabulate(Dim)(i => b(Dim * Dim + i) / n / 1e6)
     // covariance in embedding units: (Σmᵢmⱼ/n − μᵢμⱼ·1e12) · 1e-12
@@ -66,6 +80,9 @@ object Pca {
     }.toArray
     Model(mean, order.map(evals(_)).toArray, comps)
   }
+
+  /** One corpus pass → exact micro moment sums → driver-side Jacobi. */
+  def fit(emb: DataFrame, p: Int): Model = fitFromMoments(moments(emb), p)
 
   /** Project `(vec_id, embedding)` onto the model's components:
     * y = C·x − C·μ, the centering folded into a literal offset so the
@@ -89,10 +106,7 @@ object Pca {
     * list indexing.
     */
   def embedCov(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val agg = new MicroCovSum(Dim)
-    val b = Tables.embeddings(s, d).select(col("embedding").cast("array<float>"))
-      .as[Seq[Float]].select(agg.toColumn).head().toArray
+    val b = moments(Tables.embeddings(s, d))
     val n = b(Dim * Dim + Dim)
     val rows = for (i <- 0 until Dim; j <- i until Dim) yield
       Row((i + 1).toLong, (j + 1).toLong, b(i * Dim + j),

@@ -57,6 +57,19 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("moment buffers merge by addition: incremental fit is bit-identical to one-shot") {
+    val a = emb.filter(col("vec_id") % 3 === 0)
+    val b = emb.filter(col("vec_id") % 3 =!= 0)
+    val merged = Pca.mergeMoments(Pca.moments(a), Pca.moments(b))
+    val oneShot = Pca.moments(emb)
+    assert(merged.toSeq == oneShot.toSeq, "exact integer moments add")
+    val m1 = Pca.fitFromMoments(merged, 8)
+    val m2 = Pca.fitFromMoments(oneShot, 8)
+    assert(m1.mean.toSeq == m2.mean.toSeq)
+    assert(m1.eigvals.toSeq == m2.eigvals.toSeq)
+    assert(m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq)
+  }
+
   test("mean retained pairwise-distance mass tracks the explained-variance fraction") {
     import scala.util.Random
     val rnd = new Random(11)
