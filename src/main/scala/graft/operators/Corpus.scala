@@ -497,6 +497,69 @@ object Corpus {
        |FROM terms GROUP BY term
        |ORDER BY tf DESC, term LIMIT $VocabTopK""".stripMargin
 
+  /** Coverage-curve checkpoints (the fixture vocabulary holds 31
+    * terms at every SF; a real corpus would use 2^10..2^17).
+    */
+  val CoverageKs: Seq[Int] = Seq(4, 8, 16, 24)
+
+  /** q_vocab_coverage — token-coverage curve of the vocabulary head:
+    * what fraction of ALL corpus tokens the top-k terms cover, at the
+    * [[CoverageKs]] checkpoints — the tokenizer-SIZING input (`q_vocab`
+    * lists the head, `q_zipf` fits the curve's slope; this reads the
+    * budget question off it directly: a 4096-entry word vocab covering
+    * 97% projects a 3% OOV/byte-fallback rate, and the marginal gain
+    * between checkpoints says where growth stops paying — the same
+    * elbow logic [[Bpe]] training walks implicitly).
+    *
+    * Scale: the corpus folds once to the |vocab| count frame; the rank
+    * window and cumulative sum run over that bounded frame only, under
+    * the (tf desc, term) total order shared with `q_vocab`.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val counts = vocabCounts(Tables.documents(s, d)).persist()
+    val tot = counts.agg(sum(col("tf")).as("total"))
+    // head first (TakeOrdered partial merge — the q_vocab plan), THEN
+    // the rank/cumsum window over the ≤max(k) head rows only: a global
+    // window over the full vocab frame would single-partition a frame
+    // that grows with the corpus
+    val head = counts.orderBy(col("tf").desc, col("term"))
+      .limit(CoverageKs.max)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term"))
+    val ranked = head.withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("tf")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    ranked.filter(col("rk").isin(CoverageKs: _*))
+      .crossJoin(broadcast(tot))
+      .select(col("rk").cast("long").as("k"), col("cum").as("cum_tf"),
+        col("total").as("total_tf"),
+        TextSim.r6(col("cum").cast("double") / col("total")).as("coverage"))
+      .orderBy(col("k"))
+  }
+
+  val vocabCoverageSql: String = {
+    val ks = CoverageKs.mkString(", ")
+    s"""WITH terms AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |  FROM documents
+       |), counts AS (
+       |  SELECT term, count(*)::BIGINT AS tf FROM terms GROUP BY term
+       |), ranked AS (
+       |  SELECT tf,
+       |         row_number() OVER (ORDER BY tf DESC, term) AS rk,
+       |         sum(tf) OVER (ORDER BY tf DESC, term
+       |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+       |  FROM counts
+       |), tot AS (
+       |  SELECT sum(tf)::BIGINT AS total FROM counts
+       |)
+       |SELECT rk::BIGINT AS k, cum AS cum_tf, total AS total_tf,
+       |       ${TextSim.r6Sql("cum::DOUBLE / total")} AS coverage
+       |FROM ranked CROSS JOIN tot
+       |WHERE rk IN ($ks)
+       |ORDER BY k""".stripMargin
+  }
+
   /** Per-source LEXICAL DIVERSITY report — type-token ratio and hapax
     * fraction by domain: the Heaps'-law observability the mixing stage
     * reads next to [[domainMix]]'s volume shares (a domain with

@@ -186,6 +186,77 @@ object Linkage {
         col("a_nation"), col("a_seg"), col("score_micro"), col("verdict"))
   }
 
+  /** One-to-one assignment by MUTUAL best match — the classic F-S
+    * post-step: scoring emits every candidate pair above the floor,
+    * but an entity resolution wants each record matched at most once;
+    * a pair survives iff each side is the other's argmax (score desc,
+    * partner id asc). Competing pairs from block collisions (the
+    * accidental cents agreements) lose to the true twin wherever the
+    * twin outranks them — and a record whose best partner prefers
+    * someone else correctly matches NOTHING (no transitive chaining,
+    * unlike a greedy global assignment). Two partial-agg argmax folds
+    * (`max(struct)` — no window) + two id-keyed joins (bucket by id
+    * at scale).
+    */
+  def mutualBest(scored: DataFrame): DataFrame = {
+    val bestA = scored.groupBy(col("a_id"))
+      .agg(max(struct(col("score_micro").as("s"), (-col("b_id")).as("nb")))
+        .as("m"))
+      .select(col("a_id"), (-col("m.nb")).as("b_id"))
+    val bestB = scored.groupBy(col("b_id"))
+      .agg(max(struct(col("score_micro").as("s"), (-col("a_id")).as("na")))
+        .as("m"))
+      .select(col("b_id"), (-col("m.na")).as("a_id"))
+    scored
+      .join(bestA, Seq("a_id", "b_id"), "left_semi")
+      .join(bestB, Seq("a_id", "b_id"), "left_semi")
+  }
+
+  /** q_linkage_best — [[mutualBest]] over the scored fixture pairs. */
+  def linkageBest(s: SparkSession, d: String): DataFrame =
+    mutualBest(linked(houseSide(s, d), registry(s, d)))
+      .select(col("a_id"), col("b_id"), col("score_micro"), col("verdict"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  val linkageBestSql: String = {
+    val total = Seq(
+      wSql(NameF, "a_name"), wSql(CentsF, "a_cents"),
+      wSql(NationF, "a_nation"), wSql(SegF, "a_seg")).mkString(" + ")
+    s"""WITH $registrySql,
+       |a AS (
+       |  SELECT c_custkey::BIGINT AS a_id, c_name AS nm,
+       |         c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
+       |         floor(c_acctbal * 100 + 0.5)::BIGINT AS cents,
+       |         (floor(c_acctbal * 100 + 0.5)::BIGINT + 100000) // 10000 AS block
+       |  FROM customer
+       |), b AS (
+       |  SELECT *, (b_cents + 100000) // 10000 AS block FROM registry
+       |), cand AS (
+       |  SELECT a_id, b_id,
+       |         nm = b_name AS a_name, cents = b_cents AS a_cents,
+       |         nat = b_nation AS a_nation, seg = b_seg AS a_seg
+       |  FROM a JOIN b USING (block)
+       |), scored AS (
+       |  SELECT a_id, b_id, ($total)::BIGINT AS score_micro
+       |  FROM cand
+       |  WHERE ($total)::BIGINT >= $Lower
+       |), best_a AS (
+       |  SELECT a_id, -(max({'s': score_micro, 'nb': -b_id}).nb) AS b_id
+       |  FROM scored GROUP BY a_id
+       |), best_b AS (
+       |  SELECT b_id, -(max({'s': score_micro, 'na': -a_id}).na) AS a_id
+       |  FROM scored GROUP BY b_id
+       |)
+       |SELECT s.a_id, s.b_id, s.score_micro,
+       |       CASE WHEN s.score_micro >= $Upper THEN 'match'
+       |            WHEN s.score_micro >= $Lower THEN 'possible'
+       |            ELSE 'nonmatch' END AS verdict
+       |FROM scored s
+       |JOIN best_a ON best_a.a_id = s.a_id AND best_a.b_id = s.b_id
+       |JOIN best_b ON best_b.b_id = s.b_id AND best_b.a_id = s.a_id
+       |ORDER BY s.a_id, s.b_id""".stripMargin
+  }
+
   /** Graded name-agreement weights for [[linkedFuzzy]] (micro-nats):
     * the F-S comparator generalized from binary to LEVELS (Winkler's
     * string-comparator extension) — exact / close (Levenshtein ≤ 2,

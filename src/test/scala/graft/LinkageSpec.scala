@@ -102,6 +102,25 @@ class LinkageSpec extends AnyFunSuite {
     fuzzy.unpersist()
   }
 
+  test("mutual best match is one-to-one and keeps every clean twin") {
+    import org.apache.spark.sql.functions.countDistinct
+    val best = Linkage.linkageBest(spark, sf).persist()
+    val n = best.count()
+    assert(best.select(countDistinct(col("a_id"))).as[Long].head() == n)
+    assert(best.select(countDistinct(col("b_id"))).as[Long].head() == n)
+    // clean twins (no name mangle) always outrank any collision pair
+    val clean = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 5 =!= 0).count()
+    val cleanKept = best.filter(
+      col("b_id") === col("a_id") + 100000L && col("a_id") % 5 =!= 0).count()
+    assert(cleanKept == clean)
+    // no pair survives that beats a twin on one side only
+    val scored = Linkage.linked(
+      Linkage.houseSide(spark, sf), Linkage.registry(spark, sf))
+    assert(n <= scored.count())
+    best.unpersist()
+  }
+
   test("candidate generation is a blocked equi-join: no nested loop in the plan") {
     val plan = linked.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
