@@ -406,6 +406,81 @@ object Analytics {
        |FROM grid LEFT JOIN agg ON grid.h = agg.h AND grid.event_type = agg.event_type
        |ORDER BY hour, grid.event_type""".stripMargin
 
+  /** q_trend_slope — per-type volume trend as an exact OLS fit over
+    * the dense hour grid: is each event type's hourly count RISING or
+    * FALLING across the window, and how fast — the trend line behind
+    * `q_anomaly`'s point alarms (a level shift flags anomalies once; a
+    * slope says the baseline itself is moving) and `q_trending`'s
+    * decayed burst ranking (that weights recency; this fits direction).
+    * The grid is DENSE (the q_gapfill lesson — missing hours are
+    * y = 0 observations; skipping them biases the slope toward busy
+    * periods).
+    *
+    * Determinism: with t = 0..H−1 hour indexes and integer counts,
+    * every OLS moment (Σt, Σt², Σy, Σty) is an exact BIGINT, so
+    * slope = (nΣty − ΣtΣy)/(nΣt² − (Σt)²) divides exactly-computed
+    * integers ONCE in double (r6) — no libm anywhere, hash-verified.
+    *
+    * Scale shape: one corpus fold to (hour, type) counts, the grid is
+    * generated (never scanned), and the regression folds the
+    * |types|·H cell frame map-side to one moment row per type.
+    */
+  def trendSlope(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val span = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val hours = span.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"),
+      col("lo"))
+      .withColumn("t", ((unix_micros(col("h")) - unix_micros(col("lo"))) /
+        3600000000L).cast("long"))
+    val grid = hours.crossJoin(ev.select(col("event_type")).distinct())
+    val agg = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+    grid.join(agg, Seq("h", "event_type"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
+      .select(col("event_type"), col("n_hours"), col("sy").as("total"),
+        TextSim.r6(
+          (col("n_hours") * col("sty") - col("st") * col("sy")).cast("double") /
+            (col("n_hours") * col("stt") - col("st") * col("st")).cast("double"))
+          .as("slope_r6"))
+      .orderBy(col("event_type"))
+  }
+
+  val trendSlopeSql: String =
+    s"""WITH span AS (
+       |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+       |  FROM events
+       |), hours AS (
+       |  SELECT g.h, ((epoch_us(g.h) - epoch_us(s.lo)) // 3600000000)::BIGINT AS t
+       |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span) g
+       |  CROSS JOIN span s
+       |), grid AS (
+       |  SELECT hours.h, hours.t, ty.event_type
+       |  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events) ty
+       |), agg AS (
+       |  SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS y
+       |  FROM events GROUP BY 1, 2
+       |), cells AS (
+       |  SELECT grid.event_type, grid.t, coalesce(agg.y, 0)::BIGINT AS y
+       |  FROM grid LEFT JOIN agg ON grid.h = agg.h AND grid.event_type = agg.event_type
+       |), mom AS (
+       |  SELECT event_type, count(*)::BIGINT AS n_hours,
+       |         sum(t)::BIGINT AS st, sum(t * t)::BIGINT AS stt,
+       |         sum(y)::BIGINT AS sy, sum(t * y)::BIGINT AS sty
+       |  FROM cells GROUP BY event_type
+       |)
+       |SELECT event_type, n_hours, sy AS total,
+       |       ${TextSim.r6Sql("(n_hours * sty - st * sy)::DOUBLE / (n_hours * stt - st * st)::DOUBLE")} AS slope_r6
+       |FROM mom
+       |ORDER BY event_type""".stripMargin
+
   val EqDepthBuckets = 8
 
   /** q_equidepth — per-group equi-depth histogram (the optimizer
