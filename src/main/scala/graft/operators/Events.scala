@@ -1,3 +1,4 @@
+// (q_abtest lives in this file with the other event-analytics queries)
 package graft.operators
 
 import graft.Tables
@@ -206,4 +207,81 @@ object Events {
        |       (CASE WHEN abs((n_events::DOUBLE - mean) / sd) >= 2 THEN 1 ELSE 0 END)::INT AS is_anomaly
        |FROM hourly JOIN enriched ON hourly.event_type = enriched.event_type
        |ORDER BY hourly.event_type, hour""".stripMargin
+
+  /** q_abtest — two-sample proportion z-test between experiment arms
+    * (the experimentation-analytics primitive): variant = the user's
+    * stable hash parity (a deterministic stand-in for an assignment
+    * column), metric = did the user purchase. Per arm: exposed users,
+    * converters, rate; then the pooled two-proportion z statistic and
+    * the 95% verdict on the ROUNDED z (engine-identical decision).
+    * All inputs are exact BIGINT counts; the only irrational op is
+    * the one IEEE-correctly-rounded sqrt (the house sqrt-not-pow
+    * rule), so the statistic hash-verifies.
+    *
+    * Scale shape: one per-user fold (partial-agg groupBy on user_id —
+    * at 100 TB events bucket by user and the exchange disappears),
+    * one ≤2-row arm fold, the z computed on a 1-row frame. The test
+    * itself never sees row-level data again.
+    */
+  val AbConvertThreshold = 14
+
+  def abtest(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= AbConvertThreshold).cast("long").as("converted"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("arm:"), col("user_id").cast("string"))), 1, 7),
+          16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val arms = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val wide = arms.agg(
+      sum(when(col("variant") === "A", col("n_users"))).as("na"),
+      sum(when(col("variant") === "A", col("n_conv"))).as("ca"),
+      sum(when(col("variant") === "B", col("n_users"))).as("nb"),
+      sum(when(col("variant") === "B", col("n_conv"))).as("cb"))
+    // a degenerate pool (nobody or everybody converts) has zero pooled
+    // variance — the test is undefined, report NULL rather than ±inf
+    val zExpr = when(
+      col("ca") + col("cb") > 0 && col("ca") + col("cb") < col("na") + col("nb"),
+      TextSim.r6(
+        (col("ca").cast("double") / col("na") - col("cb").cast("double") / col("nb")) /
+          sqrt(((col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))) *
+            (lit(1.0) - (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))) *
+            (lit(1.0) / col("na") + lit(1.0) / col("nb")))))
+    wide.select(
+      col("na"), col("ca"), col("nb"), col("cb"),
+      TextSim.r6(col("ca").cast("double") / col("na")).as("rate_a"),
+      TextSim.r6(col("cb").cast("double") / col("nb")).as("rate_b"),
+      zExpr.as("z"))
+      .withColumn("significant_95", abs(col("z")) >= 1.959964)
+  }
+
+  val abtestSql: String =
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |         (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= $AbConvertThreshold)::BIGINT AS converted
+       |  FROM events GROUP BY user_id
+       |), arms AS (
+       |  SELECT CASE WHEN ('0x' || substr(md5('arm:' || user_id), 1, 7))::BIGINT % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |         count(*)::BIGINT AS n_users, sum(converted)::BIGINT AS n_conv
+       |  FROM users GROUP BY 1
+       |), wide AS (
+       |  SELECT sum(CASE WHEN variant = 'A' THEN n_users END)::BIGINT AS na,
+       |         sum(CASE WHEN variant = 'A' THEN n_conv END)::BIGINT AS ca,
+       |         sum(CASE WHEN variant = 'B' THEN n_users END)::BIGINT AS nb,
+       |         sum(CASE WHEN variant = 'B' THEN n_conv END)::BIGINT AS cb
+       |  FROM arms
+       |)
+       |SELECT na, ca, nb, cb,
+       |       ${TextSim.r6Sql("ca::DOUBLE / na")} AS rate_a,
+       |       ${TextSim.r6Sql("cb::DOUBLE / nb")} AS rate_b,
+       |       CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN
+       |       ${TextSim.r6Sql(
+         "(ca::DOUBLE / na - cb::DOUBLE / nb) / sqrt(((ca + cb)::DOUBLE / (na + nb)) * (1.0 - (ca + cb)::DOUBLE / (na + nb)) * (1.0 / na + 1.0 / nb))")} END AS z,
+       |       abs(CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN
+       |       ${TextSim.r6Sql(
+         "(ca::DOUBLE / na - cb::DOUBLE / nb) / sqrt(((ca + cb)::DOUBLE / (na + nb)) * (1.0 - (ca + cb)::DOUBLE / (na + nb)) * (1.0 / na + 1.0 / nb))")} END) >= 1.959964 AS significant_95
+       |FROM wide""".stripMargin
 }
