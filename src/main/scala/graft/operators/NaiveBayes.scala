@@ -152,6 +152,61 @@ object NaiveBayes {
       .withColumnRenamed("label", "lang")
       .orderBy(col("doc_id"))
 
+  /** Calibration band width in micro-nats (0.2 nats per band). */
+  val CalBandMicro = 200000L
+  val CalBands = 10L
+
+  /** q_nb_calibration — the reliability diagram of the trained
+    * classifier: scored docs banded by their runner-up MARGIN (the
+    * confidence `q_nb_classify` emits), per band the doc count,
+    * correct count, accuracy, and mean margin — the audit that says
+    * whether the margin the mixing stage thresholds on actually MEANS
+    * anything (a well-calibrated classifier's accuracy rises with the
+    * band; a flat curve says the threshold is theater). All inputs are
+    * the exact micro-nat scores; banding is integer division capped at
+    * the top band; accuracy and mean divide once in double, r6.
+    *
+    * Scale: scoring is the nb_classify scan; calibration adds one
+    * ≤[[CalBands]]-group partial-agg fold.
+    */
+  def nbCalibration(s: SparkSession, d: String): DataFrame =
+    calibration(
+      classify(Tables.documents(s, d)).withColumnRenamed("label", "lang"),
+      "lang")
+
+  /** Reliability fold over any scored frame carrying (pred,
+    * margin_micro, `labelCol`).
+    */
+  def calibration(scored: DataFrame, labelCol: String): DataFrame =
+    scored
+      .withColumn("band",
+        least(expr(s"margin_micro div $CalBandMicro"), lit(CalBands - 1))
+          .cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col(labelCol), 1L).otherwise(0L)).as("n_correct"),
+        sum(col("margin_micro")).as("sum_margin"))
+      .select(col("band"), col("n_docs"), col("n_correct"),
+        graft.functions.TextSim.r6(
+          col("n_correct").cast("double") / col("n_docs")).as("acc_r6"),
+        graft.functions.TextSim.r6(
+          col("sum_margin").cast("double") / col("n_docs") / 1e6).as("mean_margin"))
+      .orderBy(col("band"))
+
+  lazy val nbCalibrationSql: String = {
+    val r6 = graft.functions.TextSim.r6Sql _
+    s"""SELECT band, count(*)::BIGINT AS n_docs,
+       |       sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       |       ${r6("sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::DOUBLE / count(*)")} AS acc_r6,
+       |       ${r6("sum(margin_micro)::DOUBLE / count(*) / 1000000.0")} AS mean_margin
+       |FROM (
+       |  SELECT *, least(margin_micro // $CalBandMicro, ${CalBands - 1})::BIGINT AS band
+       |  FROM ($nbClassifySql)
+       |)
+       |GROUP BY band
+       |ORDER BY band""".stripMargin
+  }
+
   val nbClassifySql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS t

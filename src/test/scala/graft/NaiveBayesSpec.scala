@@ -37,6 +37,31 @@ class NaiveBayesSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration: confident bands are accurate on signal, noise lands low and near chance") {
+    // signal docs draw from disjoint vocabularies (high margin, correct);
+    // noise docs share ONE vocabulary across both labels (margin ~0,
+    // accuracy ~half) — the reliability curve must separate them
+    val code = Seq("parse", "compile", "lambda", "pointer")
+    val prose = Seq("river", "garden", "winter", "melody")
+    val shared = Seq("thing", "stuff", "item", "word")
+    val rows = (0 until 800).map { i =>
+      val signal = i < 400
+      val words = if (signal) { if (i % 2 == 0) code else prose } else shared
+      val text = (0 until 12).map(j => words((i * 7 + j * 3) % words.length))
+        .mkString(" ")
+      (i.toLong, if (i % 2 == 0) "code" else "prose", text)
+    }
+    val scored = NaiveBayes.classify(rows.toDF("doc_id", "lang", "text"))
+    val cal = NaiveBayes.calibration(scored, "label").collect()
+    assert(cal.map(_.getAs[Long]("n_docs")).sum == scored.count())
+    val byBand = cal.map(r => r.getAs[Long]("band") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Double]("acc_r6"))).toMap
+    val top = byBand(byBand.keys.max)
+    val bottom = byBand(byBand.keys.min)
+    assert(top._2 > 0.95, s"confident band accurate: $top")
+    assert(bottom._2 < 0.7, s"low-margin band near chance: $bottom")
+  }
+
   test("merged incremental counts equal one-shot counts exactly") {
     val a = corpus.filter(col("doc_id") < 200)
     val b = corpus.filter(col("doc_id") >= 200)
