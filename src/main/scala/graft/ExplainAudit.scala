@@ -371,6 +371,25 @@ object ExplainAudit {
       pcPlan.contains("ObjectHashAggregate") &&
         !pcPlan.contains("Exchange hashpartitioning"))
 
+    val lbPlan = operators.Linkage.linkageBest(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("linkage best: argmax folds + semi-joins, no window over pair frames",
+      !lbPlan.contains("Window") && lbPlan.contains("LeftSemi"))
+
+    val spPlan = operators.Paths.sessionPaths(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("session paths: per-user window only (no unpartitioned sort of events)",
+      !spPlan.linesIterator.exists(l =>
+        l.contains("Exchange SinglePartition") && l.contains("ENSURE")))
+
+    val tsPlan = operators.Analytics.trendSlope(spark, d)
+      .queryExecution.executedPlan.toString
+    // span + distinct-types + hourly agg: three bounded-column scans;
+    // the H·|types| grid itself is GENERATED, never a table
+    flag("trend slope: grid generated (no grid-sized events scan), moment fold map-side",
+      tsPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) <= 3)
+
     spark.stop()
   }
 }
