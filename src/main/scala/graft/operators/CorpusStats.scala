@@ -372,4 +372,82 @@ object CorpusStats {
        |       ${TextSim.r6Sql("(n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)")} AS slope,
        |       ${TextSim.r6Sql("(sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx) / n_terms")} AS intercept
        |FROM sums""".stripMargin
+
+  /** Per-source Shannon entropy of the term distribution + Pielou
+    * evenness (H / ln V) — the mix-diversity SCALAR next to
+    * [[Corpus.lexicalDiversity]]'s TTR (which counts distinct terms but
+    * is blind to their balance: a source that is 99% one template word
+    * plus a long unique tail keeps a decent TTR while its entropy
+    * collapses) and `q_zipf`'s whole-corpus slope (this is per-source,
+    * the granularity the mixing stage weights at). Low evenness =
+    * template/boilerplate mass; the entropy in nats is the source's
+    * per-token information content — what a token budget actually buys
+    * from that domain.
+    *
+    * Determinism (the [[LinkPred]] micro-unit rule): H = ln n −
+    * (Σ c·ln c)/n sums libm values across the vocabulary, and a double
+    * Σ folds in partition order — so each ln fixes to integer
+    * MICRO-NATS first (⌊1e6·ln c + 0.5⌋, one libm call per row of the
+    * vocab-bounded frame) and the numerator n·⌊1e6·ln n⌋ − Σ c·⌊1e6·ln c⌋
+    * is an exact BIGINT (order-free, engine-identical; < 2⁶³ through
+    * 10¹¹ tokens/source). Entropy and evenness each divide ONCE in
+    * double and r6-round. A single-term source has entropy exactly 0
+    * (numerator provably 0) and NULL evenness (ln V = 0 — reported as
+    * the degenerate it is, never ±inf; the `q_abtest` guard).
+    *
+    * Scale shape: one explode → one (source, term) partial-agg groupBy
+    * (map-side combine collapses repeats before the shuffle — the
+    * [[Corpus.lexicalDiversity]] plan); ln runs on the vocab-bounded
+    * frame, which then folds to ≤ |sources| rows. The corpus never
+    * shuffles on doc_id.
+    */
+  def domainEntropy(docs: DataFrame): DataFrame = {
+    def lnMicro(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val tf = docs
+      .select(col("source"), explode(TextSim.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val per = tf
+      .select(col("source"), col("tf"), (col("tf") * lnMicro(col("tf"))).as("clnc"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_terms"),
+        sum(col("clnc")).cast("long").as("sum_clnc"))
+    per
+      .withColumn("num", col("n_tokens") * lnMicro(col("n_tokens")) - col("sum_clnc"))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        TextSim.r6(col("num").cast("double") /
+          (col("n_tokens").cast("double") * 1e6)).as("entropy"),
+        when(col("n_terms") > 1L,
+          TextSim.r6(col("num").cast("double") /
+            (col("n_tokens").cast("double") *
+              lnMicro(col("n_terms")).cast("double")))).as("evenness"))
+  }
+
+  /** q_domain_entropy — [[domainEntropy]] over the documents corpus. */
+  def domainEntropyQuery(s: SparkSession, d: String): DataFrame =
+    domainEntropy(Tables.documents(s, d)).orderBy(col("source"))
+
+  val domainEntropySql: String =
+    s"""WITH terms AS (
+       |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT source, term, count(*)::BIGINT AS tf
+       |  FROM terms GROUP BY source, term
+       |), per AS (
+       |  SELECT source, sum(tf)::BIGINT AS n_tokens, count(*)::BIGINT AS n_terms,
+       |         sum(tf * CAST(floor(ln(tf::DOUBLE) * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS sum_clnc
+       |  FROM tf GROUP BY source
+       |), w AS (
+       |  SELECT source, n_tokens, n_terms,
+       |         n_tokens * CAST(floor(ln(n_tokens::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) - sum_clnc AS num,
+       |         CAST(floor(ln(n_terms::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS lnv
+       |  FROM per
+       |)
+       |SELECT source, n_tokens, n_terms,
+       |       ${TextSim.r6Sql("num::DOUBLE / (n_tokens::DOUBLE * 1000000.0)")} AS entropy,
+       |       CASE WHEN n_terms > 1 THEN ${TextSim.r6Sql("num::DOUBLE / (n_tokens::DOUBLE * lnv::DOUBLE)")} END AS evenness
+       |FROM w ORDER BY source""".stripMargin
 }
