@@ -64,14 +64,18 @@ object EditSim {
     val cand = Skew.saltedSelfJoin(keyed, "doc_id", Seq("k"), salt = 4)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val texts = docs.select(col("doc_id"), col("text"))
+    // thresholded levenshtein: the banded O(len·maxDist) form with
+    // early exit (returns -1 above the bound) — pairs beyond maxDist
+    // are filtered anyway, so the full O(len²) table is wasted work
+    // exactly on the pairs that cost the most
     cand
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")),
         "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   /** Two-sided pass: prefix-blocked ∪ suffix-blocked candidates, each

@@ -280,14 +280,20 @@ object Linkage {
   def linkedFuzzy(a: DataFrame, b: DataFrame): DataFrame = {
     val ab = a.withColumn("block", expr("(cents + 100000) div 10000"))
     val bb = b.withColumn("block", expr("(b_cents + 100000) div 10000"))
+    // thresholded levenshtein (banded O(len·2), early exit, -1 beyond
+    // the close band): the comparator only needs exact / ≤2 / far, so
+    // the full O(len²) distance on every far pair — the overwhelming
+    // majority of block candidates — is pure waste. `name_lev` is
+    // therefore BANDED in the output: the exact distance inside the
+    // typo band, -1 for far (mirrored in the oracle SQL).
     val cand = bb.join(ab, Seq("block"))
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("nm"), col("b_name")).cast("long").as("name_lev"),
+        levenshtein(col("nm"), col("b_name"), 2).cast("long").as("name_lev"),
         (col("cents") === col("b_cents")).as("a_cents"),
         (col("nat") === col("b_nation")).as("a_nation"),
         (col("seg") === col("b_seg")).as("a_seg"))
     val nameW = when(col("name_lev") === 0, lit(NameExactW))
-      .when(col("name_lev") <= 2, lit(NameCloseW))
+      .when(col("name_lev") > 0, lit(NameCloseW))
       .otherwise(lit(NameFarW))
     val total = nameW + w(CentsF, col("a_cents")) +
       w(NationF, col("a_nation")) + w(SegF, col("a_seg"))
@@ -307,9 +313,11 @@ object Linkage {
       .orderBy(col("a_id"), col("b_id"))
 
   val linkageFuzzySql: String = {
+    // name_lev is banded (-1 beyond the typo band) to mirror the Spark
+    // side's thresholded levenshtein; the weight keys off the raw lev
     val nameW =
-      s"""CASE WHEN name_lev = 0 THEN $NameExactW
-         |            WHEN name_lev <= 2 THEN $NameCloseW
+      s"""CASE WHEN lev = 0 THEN $NameExactW
+         |            WHEN lev <= 2 THEN $NameCloseW
          |            ELSE $NameFarW END""".stripMargin
     val total = Seq(nameW, wSql(CentsF, "a_cents"),
       wSql(NationF, "a_nation"), wSql(SegF, "a_seg")).mkString(" + ")
@@ -324,12 +332,13 @@ object Linkage {
        |  SELECT *, (b_cents + 100000) // 10000 AS block FROM registry
        |), cand AS (
        |  SELECT a_id, b_id,
-       |         levenshtein(nm, b_name)::BIGINT AS name_lev,
+       |         levenshtein(nm, b_name)::BIGINT AS lev,
        |         cents = b_cents AS a_cents,
        |         nat = b_nation AS a_nation, seg = b_seg AS a_seg
        |  FROM a JOIN b USING (block)
        |), scored AS (
-       |  SELECT *, ($total)::BIGINT AS score_micro FROM cand
+       |  SELECT *, CASE WHEN lev <= 2 THEN lev ELSE -1 END AS name_lev,
+       |         ($total)::BIGINT AS score_micro FROM cand
        |)
        |SELECT a_id, b_id, name_lev, a_cents, a_nation, a_seg, score_micro,
        |       CASE WHEN score_micro >= $Upper THEN 'match'
