@@ -38,32 +38,18 @@ object FpOverlap {
   import TextAnalysis.{K, W}
 
   /** `(doc_id, fp)` winnowing fingerprint postings — the exploded form
-    * of [[TextAnalysis.fingerprint]]'s per-doc set.
-    *
-    * The k-gram hash array is MATERIALIZED (persist barrier) before
-    * the window-min pass: the winnow lambda slices `h` once per
-    * window, so if `h` stays an inlined expression the optimizer's
-    * project-collapse makes every slice re-derive the ENTIRE md5
-    * k-gram array — O(len²) interpreted md5 per document, measured
-    * 100×+ at sf0.1 (the [[Dedup]] signature-barrier lesson in
-    * HOF-lambda form). Behind the barrier each row pays O(len) hashes
-    * once and O(len·W) window mins — the winnowing contract.
+    * of [[TextAnalysis.fingerprint]]'s per-doc set, via the fused
+    * native [[graft.functions.WinnowFps]] kernel (bit-identical to the
+    * composed md5-chargram → window-min → distinct chain the oracle
+    * mirrors; one byte-array pass per doc, no persist barrier — the
+    * HOF chain needed one to stop project-collapse re-deriving the
+    * gram array per window slice).
     */
-  private def prints(docs: DataFrame): DataFrame = {
-    val kgramHash: Column => Column = g =>
-      conv(substring(md5(g), 1, 7), 16, 10).cast("long")
-    val withH = docs
+  private def prints(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) >= K + W - 1)
-      .select(col("doc_id"), transform(
-        sequence(lit(1), length(col("text")) - (K - 1)),
-        i => kgramHash(col("text").substr(i, lit(K)))).as("h"))
-      .persist()
-    withH
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), size(col("h")) - (W - 1)),
-        i => array_min(slice(col("h"), i, lit(W))))).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
-  }
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFps(col("text"), K, W)).as("fp"))
 
   /** Containment pairs over any `(doc_id, text)` frame:
     * `(doc_a, doc_b, shared, containment)`, `doc_a < doc_b`,

