@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample Kolmogorov–Smirnov drift test over a NUMERIC column —
+  * the continuous-distribution complement of the engine's categorical
+  * drift tests: `q_drift`/`q_embed_drift` compare histogram SHAPES by
+  * JSD (bucketed — a within-bucket shift is invisible), `q_chi2`
+  * tests association between two categoricals, and `q_abtest`
+  * compares one proportion; none answers "did this metric's whole
+  * DISTRIBUTION move between last week and this week". KS does, with
+  * no binning choice to tune: D = sup |F₁(x) − F₂(x)| over the
+  * pooled empirical CDFs, rejected at α = 0.05 when
+  * D > 1.358·√((n₁+n₂)/(n₁n₂)) (the large-sample Smirnov critical
+  * value).
+  *
+  * Determinism: D's numerator is kept EXACT — over per-value counts,
+  * max |C₁(x)·n₂ − C₂(x)·n₁| is a BIGINT fold (no double CDFs to
+  * accumulate in partition order); D and the critical value each
+  * divide/sqrt ONCE in double (IEEE sqrt, the house rule) and the
+  * verdict compares the ROUNDED pair. A type with an empty arm
+  * reports NULL d/verdict (the degenerate guard), never 0/0.
+  *
+  * Scale shape: one events fold to per-(type, value, arm) counts
+  * (partial agg collapses repeats map-side); the running-sum window
+  * partitions by event_type over its DISTINCT values — per-type
+  * sorted state, the `q_quantiles` exact-audit shape (the rescan-free
+  * 100 TB path is KS over [[Kmv]] bottom-k quantile sketches, at
+  * ±ε CDF resolution); arm totals are a ≤|types| broadcast. The
+  * split point is the exact integer midpoint of the observed
+  * time span — slice membership is a per-row flag, not a join.
+  */
+object Ks {
+
+  /** Smirnov α = 0.05 coefficient. */
+  val CritCoef = 1.358
+
+  /** Per-type two-sample KS between the first and second half of the
+    * time window, over any `(event_type, ts, value)` frame:
+    * `(event_type, n_early, n_late, d, crit, drifted)`.
+    */
+  def ksDrift(ev: DataFrame): DataFrame = {
+    val span = ev.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+        .cast("long").as("mid"))
+    val flagged = ev.filter(col("value").isNotNull)
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("value"),
+        (unix_micros(col("ts")) < col("mid")).cast("long").as("early"))
+    val counts = flagged
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("early")).as("c1"), sum(lit(1L) - col("early")).as("c2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = counts
+      .withColumn("r1", sum(col("c1")).over(w))
+      .withColumn("r2", sum(col("c2")).over(w))
+    val tot = counts.groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    run.join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("r1") * col("n2") - col("r2") * col("n1"))).as("dnum"))
+      .select(col("event_type"),
+        col("n1").as("n_early"), col("n2").as("n_late"),
+        when(col("n1") > 0 && col("n2") > 0,
+          TextSim.r6(dbl(col("dnum")) / (dbl(col("n1")) * dbl(col("n2")))))
+          .as("d"),
+        when(col("n1") > 0 && col("n2") > 0,
+          TextSim.r6(lit(CritCoef) *
+            sqrt((dbl(col("n1")) + dbl(col("n2"))) /
+              (dbl(col("n1")) * dbl(col("n2")))))).as("crit"),
+        when(col("n1") > 0 && col("n2") > 0,
+          (TextSim.r6(dbl(col("dnum")) / (dbl(col("n1")) * dbl(col("n2")))) >
+            TextSim.r6(lit(CritCoef) *
+              sqrt((dbl(col("n1")) + dbl(col("n2"))) /
+                (dbl(col("n1")) * dbl(col("n2")))))).cast("int"))
+          .as("drifted"))
+  }
+
+  /** q_ks_test — [[ksDrift]] of the event `value` metric between the
+    * two halves of the observed window.
+    */
+  def ksQuery(s: SparkSession, d: String): DataFrame =
+    ksDrift(Tables.events(s, d)).orderBy(col("event_type"))
+
+  val ksSql: String =
+    s"""WITH span AS (
+       |  SELECT ((min(epoch_us(ts)) + max(epoch_us(ts))) // 2)::BIGINT AS mid
+       |  FROM events
+       |), flagged AS (
+       |  SELECT event_type, value,
+       |         (CASE WHEN epoch_us(ts) < span.mid THEN 1 ELSE 0 END)::BIGINT AS early
+       |  FROM events CROSS JOIN span
+       |  WHERE value IS NOT NULL
+       |), counts AS (
+       |  SELECT event_type, value,
+       |         sum(early)::BIGINT AS c1, sum(1 - early)::BIGINT AS c2
+       |  FROM flagged GROUP BY event_type, value
+       |), run AS (
+       |  SELECT event_type, c1, c2,
+       |         sum(c1) OVER (PARTITION BY event_type ORDER BY value
+       |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS r1,
+       |         sum(c2) OVER (PARTITION BY event_type ORDER BY value
+       |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS r2
+       |  FROM counts
+       |), tot AS (
+       |  SELECT event_type, sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+       |  FROM counts GROUP BY event_type
+       |), agg AS (
+       |  SELECT run.event_type, max(tot.n1)::BIGINT AS n1, max(tot.n2)::BIGINT AS n2,
+       |         max(abs(run.r1 * tot.n2 - run.r2 * tot.n1))::BIGINT AS dnum
+       |  FROM run JOIN tot ON tot.event_type = run.event_type
+       |  GROUP BY run.event_type
+       |)
+       |SELECT event_type, n1 AS n_early, n2 AS n_late,
+       |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |         ${TextSim.r6Sql("dnum::DOUBLE / (n1::DOUBLE * n2::DOUBLE)")}
+       |       END AS d,
+       |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |         ${TextSim.r6Sql(
+      s"$CritCoef * sqrt((n1::DOUBLE + n2::DOUBLE) / (n1::DOUBLE * n2::DOUBLE))")}
+       |       END AS crit,
+       |       CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |         (CASE WHEN ${TextSim.r6Sql("dnum::DOUBLE / (n1::DOUBLE * n2::DOUBLE)")} >
+       |                    ${TextSim.r6Sql(
+      s"$CritCoef * sqrt((n1::DOUBLE + n2::DOUBLE) / (n1::DOUBLE * n2::DOUBLE))")}
+       |               THEN 1 ELSE 0 END)::INT
+       |       END AS drifted
+       |FROM agg
+       |ORDER BY event_type""".stripMargin
+}
