@@ -181,4 +181,89 @@ object Kanon {
        |SELECT source, lang, len_bucket, level, n_docs
        |FROM out
        |ORDER BY level, source, lang, len_bucket""".stripMargin
+
+  /** Total-variation ceiling for [[tCloseness]]. */
+  val T = 0.2
+
+  /** q_t_closeness — t-closeness audit (Li et al. ICDE'07), the third
+    * privacy bar: a group can be k-anonymous AND l-diverse while its
+    * sensitive-value DISTRIBUTION still leaks (90/10 where the
+    * population is 50/50 — membership shifts an attacker's posterior
+    * hard). Per QI group, the distance from the group's sensitive
+    * distribution to the GLOBAL one must stay ≤ t; for a categorical
+    * sensitive attribute the EMD ground distance is uniform, so the
+    * distance IS total variation ½Σ|p_g(v) − p(v)|.
+    *
+    * Determinism: over the common denominator n_g·N the numerator
+    * Σ_v |c_gv·N − c_v·n_g| is an exact BIGINT fold on the DENSE
+    * group×value grid (absent values contribute |0 − c_v·n_g| — the
+    * q_embed_drift zero-fill lesson: a missing value is exactly the
+    * signal); one double division (r6) and the verdict compares the
+    * ROUNDED distance to t.
+    *
+    * Scale shape: one fold to (qi, value) counts; the dense grid is
+    * ≤|groups|·|values| cells (both audit-bounded); group sizes and
+    * global value counts broadcast back. The corpus never shuffles
+    * by doc.
+    */
+  def tCloseness(s: SparkSession, d: String): DataFrame =
+    tClosenessOf(meta(s, d))
+
+  /** [[tCloseness]] over any `(source, lang, len_bucket)` meta frame. */
+  def tClosenessOf(m: DataFrame): DataFrame = {
+    val cell = m.groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("c_gv"))
+    val groups = cell.groupBy(col("source"), col("len_bucket"))
+      .agg(sum(col("c_gv")).cast("long").as("n_g"))
+    val vals = cell.groupBy(col("lang"))
+      .agg(sum(col("c_gv")).cast("long").as("c_v"))
+    val nTot = vals.agg(sum(col("c_v")).cast("long").as("n_tot"))
+    val grid = groups.crossJoin(broadcast(vals))
+      .join(cell, Seq("source", "len_bucket", "lang"), "left")
+      .withColumn("c_gv", coalesce(col("c_gv"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+    grid
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(max(col("n_g")).as("n_g"), max(col("n_tot")).as("n_tot"),
+        sum(abs(col("c_gv") * col("n_tot") - col("c_v") * col("n_g")))
+          .as("num"))
+      .select(col("source"), col("len_bucket"), col("n_g").as("n_docs"),
+        graft.functions.TextSim.r6(col("num").cast("double") /
+          (lit(2.0) * col("n_g").cast("double") * col("n_tot").cast("double")))
+          .as("tv_dist"))
+      .withColumn("t_ok", col("tv_dist") <= T)
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
+  val tClosenessSql: String =
+    s"""WITH $metaSql,
+       |cell AS (
+       |  SELECT source, len_bucket, lang, count(*)::BIGINT AS c_gv
+       |  FROM meta GROUP BY source, len_bucket, lang
+       |), groups AS (
+       |  SELECT source, len_bucket, sum(c_gv)::BIGINT AS n_g
+       |  FROM cell GROUP BY source, len_bucket
+       |), vals AS (
+       |  SELECT lang, sum(c_gv)::BIGINT AS c_v FROM cell GROUP BY lang
+       |), n_tot AS (
+       |  SELECT sum(c_v)::BIGINT AS n_tot FROM vals
+       |), grid AS (
+       |  SELECT g.source, g.len_bucket, g.n_g, v.lang, v.c_v,
+       |         coalesce(c.c_gv, 0)::BIGINT AS c_gv, n_tot.n_tot
+       |  FROM groups g CROSS JOIN vals v CROSS JOIN n_tot
+       |  LEFT JOIN cell c ON c.source = g.source
+       |    AND c.len_bucket = g.len_bucket AND c.lang = v.lang
+       |), agg AS (
+       |  SELECT source, len_bucket, max(n_g)::BIGINT AS n_docs,
+       |         max(n_tot)::BIGINT AS n_tot,
+       |         sum(abs(c_gv * n_tot - c_v * n_g))::BIGINT AS num
+       |  FROM grid GROUP BY source, len_bucket
+       |)
+       |SELECT source, len_bucket, n_docs,
+       |       ${graft.functions.TextSim.r6Sql(
+      "num::DOUBLE / (2.0::DOUBLE * n_docs::DOUBLE * n_tot::DOUBLE)")} AS tv_dist,
+       |       (${graft.functions.TextSim.r6Sql(
+      "num::DOUBLE / (2.0::DOUBLE * n_docs::DOUBLE * n_tot::DOUBLE)")} <= $T) AS t_ok
+       |FROM agg
+       |ORDER BY source, len_bucket""".stripMargin
 }

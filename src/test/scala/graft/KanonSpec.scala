@@ -60,4 +60,52 @@ class KanonSpec extends AnyFunSuite {
     val tuples = Kanon.meta(spark, sf).distinct().count()
     assert(out.count() <= tuples + 1)
   }
+
+  test("t-closeness: population-mirroring groups score 0; a skewed group leaks even when l-diverse") {
+    val rows = Kanon.tCloseness(spark, sf).collect()
+    // tv ∈ [0, 1] and a group that IS the population scores near 0 —
+    // sanity band on the corpus
+    assert(rows.forall(r => {
+      val d = r.getAs[Double]("tv_dist"); d >= 0.0 && d <= 1.0
+    }))
+    // sequential recompute parity: exact integer numerator per group
+    val m = Kanon.meta(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(1)))
+    val byVal = m.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val nTot = m.length.toLong
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = rows.map(r => (r.getString(0), r.getLong(1)) ->
+      r.getAs[Double]("tv_dist")).toMap
+    for (((src, lb), grp) <- m.groupBy(x => (x._1, x._2))) {
+      val nG = grp.length.toLong
+      val cgv = grp.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val num = byVal.map { case (v, cv) =>
+        math.abs(cgv.getOrElse(v, 0L) * nTot - cv * nG)
+      }.sum
+      assert(got((src, lb)) == r6(num.toDouble / (2.0 * nG * nTot)), (src, lb))
+    }
+  }
+
+  test("t-closeness catches what l-diversity cannot: skewed-but-diverse hand fixture") {
+    // population 14/6 over two langs; both groups hold 2 distinct
+    // values (l-diverse at L=2) yet both sit tv = 0.2 from the 70/30
+    // population — the 9/1 skew group leaks despite passing
+    // l-diversity, exactly the gap t-closeness exists to close
+    val m = ((0 until 10).map(i => ("A", if (i % 2 == 0) "en" else "de", 0L)) ++
+      (0 until 10).map(i => ("B", if (i < 9) "en" else "de", 0L)))
+      .toDF("source", "lang", "len_bucket")
+    val out = Kanon.tClosenessOf(m).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("tv_dist")).toMap
+    // exact rationals: A = |100−140|+|100−60| = 80 → 80/400 = 0.2
+    //                  B = |180−140|+|20−60| = 80 → 0.2
+    assert(out == Map("A" -> 0.2, "B" -> 0.2))
+    // make the leak visible: equal-size mirror groups → tv 0 for both;
+    // then skew ONE group and only it moves away from the population
+    val mirror = ((0 until 10).map(i => ("A", if (i % 2 == 0) "en" else "de", 0L)) ++
+      (0 until 10).map(i => ("B", if (i % 2 == 0) "en" else "de", 0L)))
+      .toDF("source", "lang", "len_bucket")
+    val m2 = Kanon.tClosenessOf(mirror).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("tv_dist")).toMap
+    assert(m2 == Map("A" -> 0.0, "B" -> 0.0))
+  }
 }
