@@ -257,6 +257,127 @@ object Events {
       .withColumn("significant_95", abs(col("z")) >= 1.959964)
   }
 
+  /** q_cuped — CUPED variance reduction for the experiment readout
+    * (Deng, Xu, Kohavi & Walker WSDM'13): adjust each user's metric by
+    * their PRE-period behavior, Y_cv = Y − θ(X − X̄), θ = cov(X,Y)/
+    * var(X) pooled — the industry-standard sensitivity lever on top of
+    * [[abtest]]'s raw z-test (heavy users stay heavy across periods,
+    * so the covariate soaks up between-user variance the treatment
+    * never caused; the arm DIFFERENCE is unbiased because θ and X̄ are
+    * arm-blind). Per arm: user count, raw and adjusted metric means,
+    * raw and adjusted variances, and the realized variance reduction
+    * 1 − var_adj/var_y (≈ ρ² by theory).
+    *
+    * X = the user's event count in the first half of the window, Y =
+    * in the second half (the Ks split), arms = the [[abtest]] md5
+    * parity. Determinism: all six moments per arm are exact BIGINTs
+    * off one per-user fold; θ, means and variances run in double on
+    * identical exact inputs with mirrored expression shapes, r6 at
+    * the output. Zero pre-period variance (no covariate signal)
+    * reports NULL adjusted columns — the degenerate guard.
+    *
+    * Scale shape: one per-user partial-agg fold (bucket by user at
+    * 100 TB → exchange-free), one ≤2-row arm fold, pooled θ a 1-row
+    * broadcast. The test never re-sees row-level data.
+    */
+  def cuped(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val span = ev.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+        .cast("long").as("mid"))
+    val users = ev.crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(sum((unix_micros(col("ts")) < col("mid")).cast("long")).as("x"),
+        sum((unix_micros(col("ts")) >= col("mid")).cast("long")).as("y"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("arm:"), col("user_id").cast("string"))), 1, 7),
+          16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val arms = users.groupBy(col("variant"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+    val pooled = arms.agg(
+      sum(col("n")).cast("long").as("pn"),
+      sum(col("sx")).cast("long").as("psx"),
+      sum(col("sy")).cast("long").as("psy"),
+      sum(col("sxx")).cast("long").as("psxx"),
+      sum(col("sxy")).cast("long").as("psxy"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val varXPooled = dbl(col("pn")) * dbl(col("psxx")) -
+      dbl(col("psx")) * dbl(col("psx"))
+    val theta = (dbl(col("pn")) * dbl(col("psxy")) -
+      dbl(col("psx")) * dbl(col("psy"))) / varXPooled
+    val xbar = dbl(col("psx")) / dbl(col("pn"))
+    val meanY = dbl(col("sy")) / dbl(col("n"))
+    val varY = (dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / dbl(col("n"))) /
+      (dbl(col("n")) - 1.0)
+    val varX = (dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / dbl(col("n"))) /
+      (dbl(col("n")) - 1.0)
+    val covXY = (dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")) / dbl(col("n"))) /
+      (dbl(col("n")) - 1.0)
+    val varAdj = varY - theta * covXY * 2.0 + theta * theta * varX
+    arms.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n").as("n_users"),
+        TextSim.r6(meanY).as("mean_y"),
+        when(varXPooled > 0d,
+          TextSim.r6(meanY - theta * (dbl(col("sx")) / dbl(col("n")) - xbar)))
+          .as("mean_adj"),
+        TextSim.r6(varY).as("var_y"),
+        when(varXPooled > 0d, TextSim.r6(varAdj)).as("var_adj"),
+        when(varXPooled > 0d, TextSim.r6(lit(1.0) - varAdj / varY))
+          .as("var_reduction"))
+      .orderBy(col("variant"))
+  }
+
+  val cupedSql: String = {
+    val theta = "(pn::DOUBLE * psxy::DOUBLE - psx::DOUBLE * psy::DOUBLE) / (pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE)"
+    val varXPooled = "pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE"
+    val meanY = "sy::DOUBLE / n::DOUBLE"
+    val varY = "(syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0::DOUBLE)"
+    val varX = "(sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0::DOUBLE)"
+    val covXY = "(sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0::DOUBLE)"
+    val varAdj = s"$varY - ($theta) * ($covXY) * 2.0::DOUBLE + ($theta) * ($theta) * ($varX)"
+    s"""WITH span AS (
+       |  SELECT ((min(epoch_us(ts)) + max(epoch_us(ts))) // 2)::BIGINT AS mid
+       |  FROM events
+       |), users AS (
+       |  SELECT user_id,
+       |         sum((epoch_us(ts) < span.mid)::BIGINT)::BIGINT AS x,
+       |         sum((epoch_us(ts) >= span.mid)::BIGINT)::BIGINT AS y
+       |  FROM events CROSS JOIN span
+       |  GROUP BY user_id
+       |), arms AS (
+       |  SELECT CASE WHEN ('0x' || substr(md5('arm:' || user_id), 1, 7))::BIGINT % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |         count(*)::BIGINT AS n,
+       |         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+       |         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+       |         sum(x * y)::BIGINT AS sxy
+       |  FROM users GROUP BY 1
+       |), pooled AS (
+       |  SELECT sum(n)::BIGINT AS pn, sum(sx)::BIGINT AS psx,
+       |         sum(sy)::BIGINT AS psy, sum(sxx)::BIGINT AS psxx,
+       |         sum(sxy)::BIGINT AS psxy
+       |  FROM arms
+       |)
+       |SELECT variant, n AS n_users,
+       |       ${TextSim.r6Sql(meanY)} AS mean_y,
+       |       CASE WHEN $varXPooled > 0 THEN
+       |         ${TextSim.r6Sql(
+      s"$meanY - ($theta) * (sx::DOUBLE / n::DOUBLE - psx::DOUBLE / pn::DOUBLE)")}
+       |       END AS mean_adj,
+       |       ${TextSim.r6Sql(varY)} AS var_y,
+       |       CASE WHEN $varXPooled > 0 THEN ${TextSim.r6Sql(varAdj)} END AS var_adj,
+       |       CASE WHEN $varXPooled > 0 THEN
+       |         ${TextSim.r6Sql(s"1.0::DOUBLE - ($varAdj) / ($varY)")}
+       |       END AS var_reduction
+       |FROM arms CROSS JOIN pooled
+       |ORDER BY variant""".stripMargin
+  }
+
   val abtestSql: String =
     s"""WITH users AS (
        |  SELECT user_id,
