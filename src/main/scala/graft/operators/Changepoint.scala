@@ -44,16 +44,32 @@ object Changepoint {
     * gain, explained)` — cut AFTER the k'th dense hour, `cut_hour`
     * the first hour of the new regime.
     */
-  def changepoint(ev: DataFrame): DataFrame = {
-    val span = ev.agg(
-      date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
+  def changepoint(ev: DataFrame): DataFrame =
+    detect(cells(ev))
+
+  /** Sparse per-(type, hour) counts — the maintained state a STREAM
+    * keeps incrementally ([[graft.streaming.StreamingChangepoint]]);
+    * the batch form is one corpus fold.
+    */
+  def cells(ev: DataFrame): DataFrame =
+    ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("y"))
+
+  /** Detection over a sparse `(h, event_type, y)` cell frame: densify
+    * over the observed span (missing hours are y = 0), then the
+    * prefix-sum argmax. Runs on H·|types| rows — the shape a
+    * per-trigger streaming detector re-runs without touching events.
+    */
+  def detect(agg: DataFrame): DataFrame = {
+    val span = agg.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
     val hours = span.select(
       explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
-    val grid = hours.crossJoin(ev.select(col("event_type")).distinct())
-    val agg = ev
-      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
-      .agg(count(lit(1)).as("y"))
+    // alias through a fresh attribute: the grid branch and the cell
+    // branch both descend from `agg`, and a VIEW input (the streaming
+    // per-trigger sink) hits the conflicting-reference check without it
+    val types = agg.select(col("event_type").as("et")).distinct()
+      .select(col("et").as("event_type"))
+    val grid = hours.crossJoin(types)
     val cells = grid.join(agg, Seq("h", "event_type"), "left")
       .withColumn("y", coalesce(col("y"), lit(0L)))
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
