@@ -390,6 +390,47 @@ object ExplainAudit {
       tsPlan.linesIterator.count(l =>
         l.contains("FileScan") && l.contains("events")) <= 3)
 
+    // round-5 continuation: monitoring/eval/retrieval block
+    val cpPlan = operators.Changepoint.changepointQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // the cell fold is cached (InMemoryTableScan): span/types/grid all
+    // read the barrier — the events corpus is scanned ONCE at cache
+    // fill, not once per reference (FileScan lines inside
+    // InMemoryRelation are the printed fill plan, not extra scans)
+    flag("changepoint: cell barrier cached, window partitioned by type",
+      cpPlan.contains("InMemoryTableScan") &&
+        "Window \\[[^\\]]*\\], \\[event_type".r.findFirstIn(cpPlan).isDefined)
+
+    val ksPlan = operators.Ks.ksQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("ks test: running-sum window partitioned by type (no global sort of values)",
+      "Window \\[[^\\]]*\\], \\[event_type".r.findFirstIn(ksPlan).isDefined)
+
+    val silPlan = operators.Silhouette.silhouetteQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("silhouette: broadcast-argmax assignment (no Window, no join before the fold)",
+      !silPlan.contains("Window") && !silPlan.contains("SortMergeJoin"))
+
+    val corrPlan = operators.Corr.corrQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("corr: one lineitem scan, moment fold map-side (no hashpartitioning exchange)",
+      corrPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("lineitem")) == 1 &&
+        !corrPlan.contains("Exchange hashpartitioning"))
+
+    val prfPlan = operators.Prf.prfQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("prf: query-term table broadcast onto the corpus (no corpus-sized term join)",
+      prfPlan.contains("BroadcastHashJoin"))
+
+    val aucLines = operators.Auc.aucQuery(spark, d)
+      .queryExecution.executedPlan.toString.linesIterator.toList
+    val aucWin = aucLines.indexWhere(_.contains("Window"))
+    val aucScan = aucLines.indexWhere(l => l.contains("FileScan"), aucWin)
+    flag("auc: ranking window fed by the grid aggregate, not corpus rows",
+      aucWin >= 0 && aucLines.slice(aucWin, aucScan)
+        .exists(l => l.contains("HashAggregate") && l.contains("keys=[sm")))
+
     spark.stop()
   }
 }

@@ -60,7 +60,12 @@ object Changepoint {
     * prefix-sum argmax. Runs on H·|types| rows — the shape a
     * per-trigger streaming detector re-runs without touching events.
     */
-  def detect(agg: DataFrame): DataFrame = {
+  def detect(aggRaw: DataFrame): DataFrame = {
+    // barrier: span, the type list, and the grid join all read the
+    // cell frame — unpersisted, each reference re-derives the whole
+    // events fold (3 corpus scans, caught by the ExplainAudit bounded-
+    // scan invariant). The frame is H·|types| rows — cache-trivial.
+    val agg = aggRaw.persist()
     val span = agg.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
     val hours = span.select(
       explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))

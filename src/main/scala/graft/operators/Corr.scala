@@ -50,19 +50,26 @@ object Corr {
         }.toSeq
     val m = li.agg(moments.head, moments.tail: _*)
     val dbl = (c: Column) => c.cast("double")
-    val pairRows = Cols.combinations(2).map { case Seq(a, b) =>
+    // one explode over literal pair structs, NOT a union of per-pair
+    // selects: a union re-derives the whole moment aggregate (and its
+    // corpus scan) once per pair — 6 scans for 6 pairs, caught by the
+    // ExplainAudit one-scan invariant
+    val pairStructs = Cols.combinations(2).map { case Seq(a, b) =>
       val num = dbl(col("n")) * dbl(col(s"sp_${a}_$b")) -
         dbl(col(s"s_$a")) * dbl(col(s"s_$b"))
       val va = dbl(col("n")) * dbl(col(s"ss_$a")) -
         dbl(col(s"s_$a")) * dbl(col(s"s_$a"))
       val vb = dbl(col("n")) * dbl(col(s"ss_$b")) -
         dbl(col(s"s_$b")) * dbl(col(s"s_$b"))
-      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
         col("n").cast("long").as("n"),
         when(va > 0d && vb > 0d,
           TextSim.r6(num / sqrt(va * vb))).as("r"))
     }.toSeq
-    pairRows.reduce(_ unionAll _).orderBy(col("col_a"), col("col_b"))
+    m.select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.n").as("n"), col("p.r").as("r"))
+      .orderBy(col("col_a"), col("col_b"))
   }
 
   val corrSql: String = {
