@@ -456,6 +456,31 @@ object ScaleRehearsal {
         .as[Seq[Float]].select(agg.toColumn).head().length.toLong
     }
 
+    // events replicated by event_id: same users/hours, mult× rows per
+    // cell — the per-key state (hour grid, value grid) must NOT grow
+    val evs = (0 until mult).map(i =>
+      Tables.events(spark, sfDir)
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+      .reduce(_ unionAll _)
+    // KS under replication: every count scales ×mult so D is EXACTLY
+    // unchanged (c1·n2 − c2·n1 scales ×mult²; the max argmax too);
+    // time tracks the scan + the fixed value grid
+    t("ks_drift") {
+      operators.Ks.ksDrift(evs).count()
+    }
+    // changepoint under replication: y ×mult → gain ×mult², cut
+    // UNCHANGED; the dense grid is time-bounded, so only the one
+    // events fold grows
+    t("changepoint") {
+      operators.Changepoint.changepoint(evs).count()
+    }
+    // PRF under replication: clone docs multiply tf/df proportionally;
+    // the vocab fold and the ≤(|q|+E)-term broadcast rescoring are the
+    // only corpus-scaling stages
+    t("prf") {
+      operators.Prf.prf(docs).count()
+    }
+
     val qs = stages.reverse.map { case (k, v, n) =>
       s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")
     spark.stop()
