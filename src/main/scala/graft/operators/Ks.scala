@@ -51,9 +51,28 @@ object Ks {
       .crossJoin(broadcast(span))
       .select(col("event_type"), col("value"),
         (unix_micros(col("ts")) < col("mid")).cast("long").as("early"))
-    val counts = flagged
+    fromCells(cellsOf(flagged))
+  }
+
+  /** Per-(type, value) arm counts from a flagged `(event_type, value,
+    * early)` frame — the MERGEABLE state of the test: counts add, so
+    * per-batch cells merge with [[mergeCells]] and the nightly drift
+    * check never rescans old events (the `bm25Stats` incremental
+    * contract applied to a distribution test; merge ≡ one-shot
+    * asserted in KsSpec).
+    */
+  def cellsOf(flagged: DataFrame): DataFrame =
+    flagged
       .groupBy(col("event_type"), col("value"))
       .agg(sum(col("early")).as("c1"), sum(lit(1L) - col("early")).as("c2"))
+
+  /** Add cell tables from disjoint event batches. */
+  def mergeCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("event_type"), col("value"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+
+  /** The KS statistic from a (possibly merged) cell table. */
+  def fromCells(counts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run = counts

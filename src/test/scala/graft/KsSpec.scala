@@ -42,6 +42,22 @@ class KsSpec extends AnyFunSuite {
     assert(!out("both").isNullAt(out("both").fieldIndex("d")))
   }
 
+  test("cells merge by addition: per-batch union equals the one-shot test exactly") {
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+    val span = ev.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+        .cast("long").as("mid"))
+    val flagged = ev.crossJoin(broadcast(span))
+      .select(col("event_type"), col("value"),
+        (unix_micros(col("ts")) < col("mid")).cast("long").as("early"))
+    val a = flagged.filter(col("value") < 50.0)
+    val b = flagged.filter(col("value") >= 50.0)
+    val merged = Ks.fromCells(
+      Ks.mergeCells(Ks.cellsOf(a), Ks.cellsOf(b))).collect().toSet
+    val oneShot = Ks.fromCells(Ks.cellsOf(flagged)).collect().toSet
+    assert(merged == oneShot)
+  }
+
   test("sequential exact-numerator recompute parity on the events corpus") {
     val got = Ks.ksQuery(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getAs[Long]("n_early"),
