@@ -252,6 +252,34 @@ object Ann {
     rankTopK(s, scored, k)
   }
 
+  /** NDCG@k of an approximate shortlist against the exact one — the
+    * ORDERING-quality metric the recall ladder doesn't measure:
+    * recall counts how many of the true top-k survive the
+    * approximation, NDCG weights WHERE they land (a shortlist that
+    * finds all k but inverts the head serves a worse first page than
+    * one that misses the tail). Graded relevance is positional —
+    * rel(truth-rank r) = k−r+1, zero off the truth list — so the
+    * metric is rank arithmetic over two k-row-per-query frames (the
+    * discount 1/log₂(p+1) is the one transcendental, applied per
+    * bounded position); exact top-k against itself scores exactly 1.
+    * Both inputs are `(query_id, rank, vec_id, ...)` shortlists
+    * ([[rankTopK]] shape); the join keys on (query, vec) —
+    * |Q|·k rows, nothing corpus-sized.
+    */
+  def ndcg(truth: DataFrame, approx: DataFrame, k: Int = TopK): DataFrame = {
+    val rel = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        (lit(k + 1L) - col("rank")).as("rel"))
+    val idcg = (1 to k).map(p =>
+      (k - p + 1).toDouble / (math.log(p + 1.0) / math.log(2.0))).sum
+    approx.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "vec_id"), "left")
+      .withColumn("g", coalesce(col("rel"), lit(0L)).cast("double") /
+        (log(col("rank").cast("double") + 1.0) / math.log(2.0)))
+      .groupBy(col("query_id"))
+      .agg((sum(col("g")) / idcg).as("ndcg"))
+  }
+
   /** q_ann_ivf — [[ivfSearch]] with deterministic coarse centroids
     * (vec_id % 25 = 0) and the % 100 query set.
     */
