@@ -55,9 +55,15 @@ object PrefixJoin {
   /** Complete τ-similar pairs `(a_id, b_id, jaccard)` of any
     * `(doc_id, text)` frame, without the presentation sort.
     */
-  def prefixPairsRaw(docs: DataFrame): DataFrame = {
-    // one shingle barrier feeds postings AND both verify sides
-    val sh = Dedup.shingleDocs(docs).persist()
+  def prefixPairsRaw(docs: DataFrame): DataFrame =
+    prefixPairsFromShingles(Dedup.shingleDocs(docs).persist())
+
+  /** [[prefixPairsRaw]] over an already-shingled (ideally persisted)
+    * `(doc_id, sh)` frame — the shared-barrier entry
+    * [[detectorEval]] uses so the detector and the truth join pay the
+    * shingle pass ONCE.
+    */
+  def prefixPairsFromShingles(sh: DataFrame): DataFrame = {
     val postings = sh.select(col("doc_id"),
       size(col("sh")).cast("long").as("n"), explode(col("sh")).as("shingle"))
     val dfreq = postings.groupBy(col("shingle"))
@@ -135,9 +141,13 @@ object PrefixJoin {
     */
   def detectorEval(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.docsAug(s, d)
-    val truth = prefixPairsRaw(docs).select(col("a_id"), col("b_id")).persist()
-    val det = Dedup.minhashPairsRaw(
-      Dedup.minhashSignatures(Dedup.shingleDocs(docs)))
+    // ONE shingle barrier for both arms: the exact join and the LSH
+    // detector consume the same persisted frame instead of paying the
+    // tokenize+shingle pass twice
+    val sh = Dedup.shingleDocs(docs).persist()
+    val truth = prefixPairsFromShingles(sh)
+      .select(col("a_id"), col("b_id")).persist()
+    val det = Dedup.minhashPairsRaw(Dedup.minhashSignatures(sh))
       .select(col("a_id"), col("b_id")).persist()
     val hit = det.join(truth, Seq("a_id", "b_id"), "left_semi")
     truth.agg(count(lit(1)).cast("long").as("n_truth"))
