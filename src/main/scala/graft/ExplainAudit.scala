@@ -423,6 +423,28 @@ object ExplainAudit {
     flag("prf: query-term table broadcast onto the corpus (no corpus-sized term join)",
       prfPlan.contains("BroadcastHashJoin"))
 
+    val iuPlan = operators.IntervalUnion.intervalUnionQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("interval union: per-user windows only, no interval self-join",
+      !iuPlan.contains("Join") &&
+        "Window \\[[^\\]]*\\], \\[user_id".r.findFirstIn(iuPlan).isDefined)
+
+    val wzPlan = operators.Winsorize.winsorizeQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("winsorize: rank window per type, bounds broadcast back",
+      "Window \\[[^\\]]*\\], \\[event_type".r.findFirstIn(wzPlan).isDefined &&
+        wzPlan.contains("BroadcastHashJoin"))
+
+    val basketPlan = operators.Assoc.assocQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // one BroadcastNestedLoopJoin is the legitimate 1-row n_sessions
+    // stats cross; the PAIR join must be hash-keyed on the session id
+    flag("assoc: pair join keys on the session id (never a type-only or cartesian join)",
+      basketPlan.linesIterator.count(_.contains("BroadcastNestedLoop")) <= 1 &&
+        !basketPlan.contains("CartesianProduct") &&
+        "BroadcastHashJoin \\[user_id[^\\]]*session_seq".r
+          .findFirstIn(basketPlan).isDefined)
+
     val aucLines = operators.Auc.aucQuery(spark, d)
       .queryExecution.executedPlan.toString.linesIterator.toList
     val aucWin = aucLines.indexWhere(_.contains("Window"))
