@@ -393,12 +393,13 @@ object ExplainAudit {
     // round-5 continuation: monitoring/eval/retrieval block
     val cpPlan = operators.Changepoint.changepointQuery(spark, d)
       .queryExecution.executedPlan.toString
-    // the cell fold is cached (InMemoryTableScan): span/types/grid all
-    // read the barrier — the events corpus is scanned ONCE at cache
-    // fill, not once per reference (FileScan lines inside
-    // InMemoryRelation are the printed fill plan, not extra scans)
-    flag("changepoint: cell barrier cached, window partitioned by type",
-      cpPlan.contains("InMemoryTableScan") &&
+    // the cell fold is materialized (localCheckpoint → ExistingRDD):
+    // span/types/grid all read the barrier — the events corpus is
+    // scanned ONCE at materialization, not once per reference, and
+    // unlike a cache entry the blocks are GC'd with the frame (the
+    // per-trigger streaming detector must not accumulate state)
+    flag("changepoint: cell barrier materialized, window partitioned by type",
+      cpPlan.contains("ExistingRDD") && !cpPlan.contains("FileScan") &&
         "Window \\[[^\\]]*\\], \\[event_type".r.findFirstIn(cpPlan).isDefined)
 
     val ksPlan = operators.Ks.ksQuery(spark, d)

@@ -270,14 +270,26 @@ object Ann {
     val rel = truth.filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"),
         (lit(k + 1L) - col("rank")).as("rel"))
-    val idcg = (1 to k).map(p =>
-      (k - p + 1).toDouble / (math.log(p + 1.0) / math.log(2.0))).sum
+    // IDCG per QUERY from its actual truth-list length (prefix-sum
+    // lookup table): a query whose exact shortlist is shorter than k
+    // must still score 1.0 on a perfect match — a fixed k-term idcg
+    // would penalize list length instead of ordering
+    val idcgPrefix = (1 to k).scanLeft(0.0) { (acc, p) =>
+      acc + (k - p + 1).toDouble / (math.log(p + 1.0) / math.log(2.0))
+    }.tail
+    val idcgLut = array(idcgPrefix.map(lit): _*)
+    val perQ = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("n_truth"))
+      .select(col("query_id"),
+        element_at(idcgLut, col("n_truth")).as("idcg"))
     approx.filter(col("rank") <= k)
       .join(rel, Seq("query_id", "vec_id"), "left")
       .withColumn("g", coalesce(col("rel"), lit(0L)).cast("double") /
         (log(col("rank").cast("double") + 1.0) / math.log(2.0)))
       .groupBy(col("query_id"))
-      .agg((sum(col("g")) / idcg).as("ndcg"))
+      .agg(sum(col("g")).as("dcg"))
+      .join(perQ, "query_id")
+      .select(col("query_id"), (col("dcg") / col("idcg")).as("ndcg"))
   }
 
   /** q_ann_ivf — [[ivfSearch]] with deterministic coarse centroids

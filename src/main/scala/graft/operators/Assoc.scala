@@ -39,16 +39,22 @@ object Assoc {
 
   def assocQuery(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // barrier: n_sessions, item counts and BOTH pair-join sides read
+    // the basket frame — unpersisted, each reference re-runs the
+    // corpus-wide sessionize window. The gap is Paths.GapUs, the ONE
+    // house constant, so q_assoc can never silently sessionize
+    // differently from q_session_paths/q_markov.
     val baskets = Tables.events(s, d)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > Paths.GapUs, 1)
           .otherwise(0))
       .withColumn("session_seq",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("user_id"), col("session_seq"), col("event_type"))
       .distinct()
+      .persist()
     val nSessions = baskets.select(col("user_id"), col("session_seq")).distinct()
       .agg(count(lit(1)).cast("long").as("n_sessions"))
     val items = baskets.groupBy(col("event_type"))
@@ -77,7 +83,7 @@ object Assoc {
     s"""WITH marked AS (
        |  SELECT user_id, event_id, event_type, ts,
        |         CASE WHEN lag(ts) OVER w IS NULL
-       |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${Paths.GapUs}
        |              THEN 1 ELSE 0 END AS new_session
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

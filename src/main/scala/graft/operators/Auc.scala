@@ -40,10 +40,14 @@ object Auc {
     */
   def aucQuery(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // barrier: the quality-composite scan feeds the global grid, the
+    // per-source grid and the total — unpersisted it re-derives the
+    // corpus score three times (the Conformal discipline)
     val scored = TextAnalysis.qualityScoresOf(docs)
       .select(col("doc_id"),
         floor(col("quality") * 1e6 + 0.5).cast("long").as("sm"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .persist()
     val byVal = scored.groupBy(col("sm"))
       .agg(count(lit(1)).cast("long").as("cnt"))
     val w = Window.orderBy(col("sm"))
@@ -54,7 +58,8 @@ object Auc {
         (lit(2L) * (col("c_le") - col("cnt")) + col("cnt") + 1L).as("mr2"))
     val pos = scored.groupBy(col("source"), col("sm"))
       .agg(count(lit(1)).cast("long").as("c_pos"))
-    val tot = scored.agg(count(lit(1)).cast("long").as("n_all"))
+    // the total is free off the grid — never a third corpus pass
+    val tot = byVal.agg(sum(col("cnt")).cast("long").as("n_all"))
     pos.join(ranked, "sm")
       .groupBy(col("source"))
       .agg(sum(col("c_pos")).cast("long").as("n_pos"),

@@ -62,10 +62,14 @@ object Changepoint {
     */
   def detect(aggRaw: DataFrame): DataFrame = {
     // barrier: span, the type list, and the grid join all read the
-    // cell frame — unpersisted, each reference re-derives the whole
+    // cell frame — unmaterialized, each reference re-derives the whole
     // events fold (3 corpus scans, caught by the ExplainAudit bounded-
-    // scan invariant). The frame is H·|types| rows — cache-trivial.
-    val agg = aggRaw.persist()
+    // scan invariant). localCheckpoint, NOT persist: a per-trigger
+    // streaming detector calls this every batch, and CacheManager
+    // entries are never auto-released — checkpoint blocks are GC'd
+    // with the frame reference (the ContextCleaner contract), so a
+    // long-lived monitor cannot accumulate cache entries.
+    val agg = Iterate.materialize(aggRaw, None)
     val span = agg.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
     val hours = span.select(
       explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))

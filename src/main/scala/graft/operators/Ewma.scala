@@ -39,32 +39,27 @@ object Ewma {
 
   def ewmaQuery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d)
-    val span = ev.agg(
-      date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
-    val hours = span.select(
-      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
-    val types = ev.select(col("event_type").as("et")).distinct()
-      .select(col("et").as("event_type"))
-    val cells = hours.crossJoin(types)
-      .join(Changepoint.cells(ev), Seq("h", "event_type"), "left")
-      .withColumn("y", coalesce(col("y"), lit(0L)))
+    // ONE corpus scan: the sparse cell fold is collected (TIME-bounded)
+    // and the dense grid, span and type list all derive from it on the
+    // driver — span/types as separate frames would each re-scan events
+    val sparse = Changepoint.cells(Tables.events(s, d))
       .select(col("event_type"), unix_micros(col("h")).as("hu"), col("y"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val out = cells.groupBy(_._1).toSeq.map { case (tpe, rows) =>
-      val ys = rows.sortBy(_._2).map(_._3)
+    val lo = sparse.map(_._2).min
+    val hi = sparse.map(_._2).max
+    val nH = ((hi - lo) / 3600000000L).toInt + 1
+    val out = sparse.groupBy(_._1).toSeq.map { case (tpe, rows) =>
+      val ys = Array.fill(nH)(0L)
+      rows.foreach { case (_, hu, y) => ys(((hu - lo) / 3600000000L).toInt) = y }
       var s0 = ys.head * 1000000L
       var absErr = 0L
       for (y <- ys.tail) {
         absErr += math.abs(y * 1000000L - s0)
         s0 = (AlphaNum * y * 1000000L + (AlphaDen - AlphaNum) * s0) / AlphaDen
       }
-      (tpe, ys.length.toLong, s0)  -> absErr
+      (tpe, nH.toLong, s0, absErr)
     }
-    out.map { case ((tpe, n, level), absErr) =>
-      (tpe, n, level, absErr)
-    }.toDF("event_type", "n_hours", "level_micro", "abs_err_micro")
+    out.toDF("event_type", "n_hours", "level_micro", "abs_err_micro")
       .select(col("event_type"), col("n_hours"), col("level_micro"),
         TextSim.r6(col("level_micro").cast("double") / 1e6).as("forecast"),
         TextSim.r6(col("abs_err_micro").cast("double") /

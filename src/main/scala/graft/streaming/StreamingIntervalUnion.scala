@@ -65,7 +65,11 @@ object StreamingIntervalUnion {
     }
     var st = state.getOption.getOrElse(IuState(Nil, Nil, Nil))
     events.foreach { e =>
-      val s = e.ts.getTime * 1000
+      // exact MICROSECONDS (getTime is ms-truncated; the fixture
+      // carries sub-ms precision and the batch operator compares
+      // unix_micros — a ms-truncated stream would merge spans the
+      // batch sweep splits by a sub-ms gap)
+      val s = (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L
       st = insert(st, s, s + W)
     }
     // finalize spans that the watermark has sealed: no future event

@@ -63,11 +63,16 @@ class KsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getAs[Long]("n_early"),
         r.getAs[Long]("n_late"), r.getAs[Double]("d")))).toMap
 
+    // midpoint over ALL events (the operator computes the span BEFORE
+    // the null-value filter — mirror that, or a null at a span extreme
+    // would shift arm membership only on one side)
+    val allTs = Tables.events(spark, sf)
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    val mid = (allTs.min + allTs.max) / 2
     val rows = Tables.events(spark, sf)
       .filter(col("value").isNotNull)
       .select(col("event_type"), unix_micros(col("ts")), col("value"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    val mid = (rows.map(_._2).min + rows.map(_._2).max) / 2
     for ((tpe, grp) <- rows.groupBy(_._1)) {
       val early = grp.filter(_._2 < mid).map(_._3).sorted
       val late = grp.filter(_._2 >= mid).map(_._3).sorted

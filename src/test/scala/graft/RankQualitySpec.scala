@@ -19,6 +19,12 @@ class RankQualitySpec extends AnyFunSuite {
 
     val self = Ann.ndcg(truth, truth).collect()
     assert(self.nonEmpty && self.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
+    // short truth lists (n < k) still score exactly 1 on a perfect
+    // match — idcg is per-query, not a fixed k-term constant
+    val short = truth.filter(col("rank") <= 4)
+    val shortSelf = Ann.ndcg(short, short, k = 10).collect()
+    assert(shortSelf.nonEmpty &&
+      shortSelf.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
 
     def meanNdcg(nprobe: Int): Double = {
       val approx = Ann.ivfSearch(spark, e, queries, cents, nprobe = nprobe)

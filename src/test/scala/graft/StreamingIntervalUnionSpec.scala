@@ -43,8 +43,10 @@ class StreamingIntervalUnionSpec extends AnyFunSuite {
 
     // sequential batch sweep over the same events
     val expect = rows.groupBy(_.user_id).flatMap { case (u, es) =>
-      val iv = es.sortBy(e => (e.ts.getTime, e.event_id))
-        .map(e => (e.ts.getTime * 1000, e.ts.getTime * 1000 + IntervalUnion.WindowUs))
+      def us(t: java.sql.Timestamp): Long =
+        (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      val iv = es.sortBy(e => (us(e.ts), e.event_id))
+        .map(e => (us(e.ts), us(e.ts) + IntervalUnion.WindowUs))
       val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
       var s0 = iv.head._1; var e1 = iv.head._2; var n = 1L
       for ((s, e) <- iv.tail) {
