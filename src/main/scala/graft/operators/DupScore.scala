@@ -77,7 +77,12 @@ object DupScore {
     scoreWith(docs, fitCorpus(docs)).orderBy(col("doc_id"))
   }
 
-  val dupScoreSql: String = {
+  /** The CMS self-scoring chain over `rel(doc_id, text)`, ending in
+    * `ds_scores(doc_id, n_shingles, est_sum, dup_score)` — ONE SQL
+    * definition shared by q_dup_score and q_lift (the
+    * qualityScoreCtesSql discipline).
+    */
+  def dupScoreCtesSql(rel: String): String = {
     // row r of the sketch reads hex window [7r+1, 7r+7] of ONE digest
     // (Md5Kit.multiBuckets)
     def bSql(r: Int, g: String): String =
@@ -89,20 +94,26 @@ object DupScore {
       s"JOIN c$r ON c$r.b = ${bSql(r, "sh.g")}"
     }.mkString(" ")
     val leastOf = (0 until Cms.Depth).map(r => s"c$r.c").mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |  FROM documents
+       |  FROM $rel
        |), sh AS (
        |  SELECT doc_id, unnest(${TextSim.shingles3Sql("t")}) AS g
        |  FROM toks WHERE len(t) >= 3
        |), $cnts, est AS (
        |  SELECT sh.doc_id, least($leastOf) AS e
        |  FROM sh $joins
-       |)
-       |SELECT doc_id, count(*)::BIGINT AS n_shingles,
-       |       sum(e)::BIGINT AS est_sum,
-       |       ${TextSim.r6Sql("sum(e)::DOUBLE / count(*)")} AS dup_score
-       |FROM est GROUP BY doc_id
-       |ORDER BY doc_id""".stripMargin
+       |), ds_scores AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       |         sum(e)::BIGINT AS est_sum,
+       |         ${TextSim.r6Sql("sum(e)::DOUBLE / count(*)")} AS dup_score
+       |  FROM est GROUP BY doc_id
+       |)""".stripMargin
   }
+
+  val dupScoreSql: String =
+    s"""WITH ${dupScoreCtesSql("documents")}
+       |SELECT doc_id, n_shingles, est_sum, dup_score
+       |FROM ds_scores
+       |ORDER BY doc_id""".stripMargin
 }
