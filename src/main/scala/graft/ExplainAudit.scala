@@ -344,10 +344,16 @@ object ExplainAudit {
     // round-5 continuation: profiling/linkage/runtime-filter block
     val lkPlan = operators.Linkage.linkage(spark, d)
       .queryExecution.executedPlan.toString
-    flag("linkage: blocked equi-join (no nested loop, block key in the exchange)",
+    // bounded multi-pass blocking (r6): every exchange keys on a
+    // blocking column (name key / cents / rank bucket) — and both
+    // rank windows are PARTITIONED by the cents block, so no
+    // single-partition sort anywhere in candidate generation
+    flag("linkage: bounded blocked equi-joins (no nested loop, no unpartitioned window)",
       !lkPlan.contains("BroadcastNestedLoop") && !lkPlan.contains("Cartesian") &&
+        !lkPlan.contains("Exchange SinglePartition") &&
         "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(lkPlan)
-          .forall(_.group(1).contains("block")))
+          .forall(m => Seq("nkey", "cents", "_bk")
+            .exists(k => m.group(1).contains(k))))
 
     val fkPlan = operators.FkDiscover.fkDiscover(spark, d)
       .queryExecution.executedPlan.toString
@@ -373,8 +379,11 @@ object ExplainAudit {
 
     val lbPlan = operators.Linkage.linkageBest(spark, d)
       .queryExecution.executedPlan.toString
-    flag("linkage best: argmax folds + semi-joins, no window over pair frames",
-      !lbPlan.contains("Window") && lbPlan.contains("LeftSemi"))
+    // the only windows are the per-cents-block ranks inside candidate
+    // generation (partitioned — no single-partition exchange); the
+    // mutual-best step itself is argmax folds + semi-joins
+    flag("linkage best: argmax folds + semi-joins, no unpartitioned window",
+      !lbPlan.contains("Exchange SinglePartition") && lbPlan.contains("LeftSemi"))
 
     val spPlan = operators.Paths.sessionPaths(spark, d)
       .queryExecution.executedPlan.toString

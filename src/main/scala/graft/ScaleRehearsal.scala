@@ -413,6 +413,31 @@ object ScaleRehearsal {
         .reduce(_ unionAll _)
       operators.Linkage.linked(house, reg).count()
     }
+    // linkage candidate-growth curve (the r5 `weak` fix, measured):
+    // grow BOTH sides mult× with per-replica distinct names but the
+    // SAME cents values — every exact-cents block's population
+    // multiplies by mult on each side, the exact regime where a
+    // fixed-cardinality block key went quadratic (mult²). Bounded
+    // multi-pass blocking must keep the 1x→multx candidate ratio at
+    // ~mult: name-key blocks stay constant-size (keys replicate), and
+    // the sorted-neighborhood budget caps per-record cents-block
+    // comparisons. SURVEY §5 reads the two counts off this pair.
+    def growLinkSide(df: DataFrame, idCol: String, nameCol: String): DataFrame =
+      (0 until mult).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * 100000000L))
+          .withColumn(nameCol, concat(lit(s"$i~"), col(nameCol))))
+        .reduce(_ unionAll _)
+    t("linkage_cand_1x") {
+      operators.Linkage.candidates(
+        operators.Linkage.houseSide(spark, sfDir),
+        operators.Linkage.registry(spark, sfDir)).count()
+    }
+    t(s"linkage_cand_${mult}x") {
+      operators.Linkage.candidates(
+        growLinkSide(operators.Linkage.houseSide(spark, sfDir), "a_id", "nm"),
+        growLinkSide(operators.Linkage.registry(spark, sfDir), "b_id", "b_name"))
+        .count()
+    }
     // FK discovery under replication: the profiled column frame grows
     // mult× but each column still folds to a k-row signature — the
     // pairwise stage is corpus-blind (the slice_overlap contract)

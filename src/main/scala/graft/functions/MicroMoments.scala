@@ -25,7 +25,12 @@ class MicroCovSum(d: Int)
   override def zero: Array[Long] = new Array[Long](d * d + d + 1)
 
   override def reduce(b: Array[Long], v: Seq[Float]): Array[Long] = {
-    val n = math.min(d, v.length)
+    // ragged input fails FAST: a short vector would contribute zero to
+    // the missing components' sums while still incrementing n —
+    // silently skewing the hash-verified covariance instead of erroring
+    require(v.length >= d,
+      s"MicroCovSum(d=$d) fed a ${v.length}-component vector")
+    val n = d
     val m = new Array[Long](n)
     var i = 0
     while (i < n) {

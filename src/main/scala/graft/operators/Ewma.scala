@@ -62,8 +62,11 @@ object Ewma {
     out.toDF("event_type", "n_hours", "level_micro", "abs_err_micro")
       .select(col("event_type"), col("n_hours"), col("level_micro"),
         TextSim.r6(col("level_micro").cast("double") / 1e6).as("forecast"),
-        TextSim.r6(col("abs_err_micro").cast("double") /
-          ((col("n_hours") - 1L).cast("double") * 1e6)).as("mae"))
+        // single-hour span: 0/0 would yield NaN (and engines disagree
+        // on NaN rendering) — report NULL, the q_abtest degenerate rule
+        when(col("n_hours") > 1L,
+          TextSim.r6(col("abs_err_micro").cast("double") /
+            ((col("n_hours") - 1L).cast("double") * 1e6))).as("mae"))
       .orderBy(col("event_type"))
   }
 
@@ -97,8 +100,8 @@ object Ewma {
        |)
        |SELECT event_type, n_hours::BIGINT AS n_hours, level_micro::BIGINT AS level_micro,
        |       ${TextSim.r6Sql("level_micro::DOUBLE / 1000000.0")} AS forecast,
-       |       ${TextSim.r6Sql(
-      "abs_err::DOUBLE / ((n_hours - 1)::DOUBLE * 1000000.0)")} AS mae
+       |       CASE WHEN n_hours > 1 THEN ${TextSim.r6Sql(
+      "abs_err::DOUBLE / ((n_hours - 1)::DOUBLE * 1000000.0)")} END AS mae
        |FROM last
        |ORDER BY event_type""".stripMargin
 }

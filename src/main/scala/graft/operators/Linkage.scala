@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Probabilistic record linkage (Fellegi–Sunter 1969) — entity
@@ -21,13 +22,24 @@ import org.apache.spark.sql.functions._
   * arithmetic — order-independent, hash-oracle-verified; the verdict
   * thresholds compare integers.
   *
-  * Scale shape: candidate generation is a BLOCKED equi-join (here: the
-  * stable account-balance band) — one shuffle per side on the block
-  * key, never A×B; field comparisons and the score ride the join
-  * projection; output is cut at the non-match floor so it stays
-  * match-sized. A skewed block key goes through [[Skew.saltedJoin]];
-  * blocking recall (a pair perturbed IN the block key is never
-  * compared) is the standard F-S trade — block on the stablest field.
+  * Scale shape: candidate generation is MULTI-PASS blocking (the
+  * standard F-S design) with the candidate count bounded PER RECORD,
+  * not per block value — a fixed-cardinality block key alone makes
+  * within-block pairs grow quadratically with the corpus. Pass 1
+  * blocks on a HIGH-CARDINALITY stable name key (the name minus its
+  * volatile last character — key count scales with the corpus, so
+  * block populations stay constant); pass 2 is a per-block SORTED
+  * NEIGHBORHOOD (Hernández–Stolfo 1995) inside the exact-cents block:
+  * records rank by name within their block and only pairs within
+  * [[SnBudget]] rank positions are compared — ≤ 2·[[SnBudget]]
+  * comparisons per record no matter how hot the block. The passes are
+  * DISJOINT by construction (pass 2 requires the name keys to
+  * differ), so the union needs no distinct. Output is cut at the
+  * non-match floor so it stays match-sized. Blocking recall (a true
+  * pair perturbed in BOTH the name key and beyond the cents window is
+  * never compared) is the documented F-S trade — each pass covers the
+  * other's perturbation. A skewed key goes through
+  * [[Skew.saltedJoin]].
   *
   * m/u estimation: [[patternCounts]] folds candidates to the ≤2^F
   * agreement-pattern histogram (exact longs, mergeable by addition);
@@ -58,6 +70,14 @@ object Linkage {
     */
   val Upper = 10000000L
   val Lower = 0L
+
+  /** Sorted-neighborhood comparison budget: within an exact-cents
+    * block, a record is compared only to the other side's records
+    * within this many name-rank positions — the per-record candidate
+    * bound that keeps a hot block from going quadratic. (Declared
+    * before [[candSql]], whose initializer embeds it.)
+    */
+  val SnBudget = 8
 
   private def w(f: Field, agree: Column): Column =
     when(agree, lit(f.wAgree)).otherwise(lit(f.wDisagree))
@@ -158,6 +178,37 @@ object Linkage {
       |  FROM customer
       |)""".stripMargin
 
+  /** Shared oracle CTE chain mirroring [[candidates]]: raw sides
+    * `a`/`b`, name keys + per-cents-block name ranks, and the disjoint
+    * two-pass union (name-key equi-join ∪ cents sorted-neighborhood
+    * restricted to name-key mismatches).
+    */
+  private val candSql: String =
+    s"""a AS (
+       |  SELECT c_custkey::BIGINT AS a_id, c_name AS nm,
+       |         c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
+       |         floor(c_acctbal * 100 + 0.5)::BIGINT AS cents
+       |  FROM customer
+       |), b AS (
+       |  SELECT * FROM registry
+       |), an AS (
+       |  SELECT a.*, substr(nm, 1, length(nm)-1) AS nkey,
+       |         row_number() OVER (PARTITION BY cents ORDER BY nm, a_id) AS rk
+       |  FROM a
+       |), bn AS (
+       |  SELECT b.*, substr(b_name, 1, length(b_name)-1) AS nkey,
+       |         row_number() OVER (PARTITION BY b_cents ORDER BY b_name, b_id) AS rk
+       |  FROM b
+       |), cand AS (
+       |  SELECT a_id, b_id, nm, b_name, cents, b_cents, nat, b_nation, seg, b_seg
+       |  FROM an JOIN bn USING (nkey)
+       |  UNION ALL
+       |  SELECT an.a_id, bn.b_id, an.nm, bn.b_name, an.cents, bn.b_cents,
+       |         an.nat, bn.b_nation, an.seg, bn.b_seg
+       |  FROM an JOIN bn ON bn.b_cents = an.cents
+       |   AND abs(an.rk - bn.rk) <= $SnBudget AND an.nkey <> bn.nkey
+       |)""".stripMargin
+
   /** The house side of the link: `(a_id, nm, nat, seg, cents)`. */
   def houseSide(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(
@@ -166,25 +217,93 @@ object Linkage {
       col("c_mktsegment").as("seg"),
       floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
 
-  /** Blocked candidates + scored verdicts, cut at the review floor —
-    * shared verbatim by the batch query and [[graft.streaming.StreamingLinkage]]
-    * (`b` may be a streaming frame: the block join is then
-    * stream-static, stateless and append-mode).
+  private val aNkey = expr("substring(nm, 1, length(nm)-1)")
+  private val bNkey = expr("substring(b_name, 1, length(b_name)-1)")
+
+  /** Multi-pass blocked candidate pairs with BOUNDED per-record cost,
+    * carrying the raw fields of both sides. Pass 1: equi-join on the
+    * stable name key (name minus its volatile last char — cardinality
+    * scales with the corpus, so blocks don't grow with it; catches
+    * every pair whose name survives up to a last-char edit, any
+    * cents). Pass 2: per-cents-block sorted neighborhood — both sides
+    * rank by (name, id) inside their exact-cents block and only pairs
+    * within [[SnBudget]] rank positions are compared, via a rank-bucket
+    * equi-join (the a-side fans out to 3 bucket keys, so a record
+    * meets ≤ 3·[[SnBudget]] partners however hot the block; catches
+    * name-perturbed pairs whose cents survive). Pass 2 requires the
+    * name keys to DIFFER, so the passes are disjoint and the union
+    * needs no dedup shuffle.
     */
-  def linked(a: DataFrame, b: DataFrame): DataFrame = {
-    val ab = a.withColumn("block", expr("(cents + 100000) div 10000"))
-    val bb = b.withColumn("block", expr("(b_cents + 100000) div 10000"))
-    val cand = bb.join(ab, Seq("block"))
-      .select(col("a_id"), col("b_id"),
-        (col("nm") === col("b_name")).as("a_name"),
-        (col("cents") === col("b_cents")).as("a_cents"),
-        (col("nat") === col("b_nation")).as("a_nation"),
-        (col("seg") === col("b_seg")).as("a_seg"))
-    score(cand)
+  def candidates(a: DataFrame, b: DataFrame): DataFrame = {
+    val wA = Window.partitionBy(col("cents")).orderBy(col("nm"), col("a_id"))
+    val wB = Window.partitionBy(col("b_cents")).orderBy(col("b_name"), col("b_id"))
+    val an = a.withColumn("a_nkey", aNkey)
+      .withColumn("a_rk", row_number().over(wA).cast("long"))
+    val bn = b.withColumn("b_nkey", bNkey)
+      .withColumn("b_rk", row_number().over(wB).cast("long"))
+    val fields = Seq("a_id", "b_id", "nm", "b_name", "cents", "b_cents",
+      "nat", "b_nation", "seg", "b_seg").map(col)
+    val pass1 = an.join(bn, col("a_nkey") === col("b_nkey"))
+      .select(fields: _*)
+    val bkOf = (rk: Column) => floor(rk / SnBudget).cast("long")
+    val aK = an.withColumn("a_bk",
+      explode(array(bkOf(col("a_rk")) - 1, bkOf(col("a_rk")),
+        bkOf(col("a_rk")) + 1)))
+    val bK = bn.withColumn("b_bk", bkOf(col("b_rk")))
+    val pass2 = aK.join(bK,
+      col("cents") === col("b_cents") && col("a_bk") === col("b_bk") &&
+        abs(col("a_rk") - col("b_rk")) <= SnBudget &&
+        col("a_nkey") =!= col("b_nkey"))
+      .select(fields: _*)
+    pass1.unionByName(pass2)
+  }
+
+  /** Stream-compatible candidate generation: the same two passes with
+    * pass 2 degraded from sorted-neighborhood to a plain exact-cents
+    * equi-join (a rank over the incoming stream isn't expressible
+    * statelessly) — identical pairs whenever every cents block fits
+    * the [[SnBudget]] window, which LinkageSpec asserts on the
+    * fixture. Both passes are stream-static joins: no state store, no
+    * watermark, append mode.
+    */
+  def candidatesEqui(a: DataFrame, b: DataFrame): DataFrame = {
+    val an = a.withColumn("a_nkey", aNkey)
+    val bn = b.withColumn("b_nkey", bNkey)
+    val fields = Seq("a_id", "b_id", "nm", "b_name", "cents", "b_cents",
+      "nat", "b_nation", "seg", "b_seg").map(col)
+    val pass1 = bn.join(an, col("a_nkey") === col("b_nkey"))
+      .select(fields: _*)
+    val pass2 = bn.join(an,
+      col("cents") === col("b_cents") && col("a_nkey") =!= col("b_nkey"))
+      .select(fields: _*)
+    pass1.unionByName(pass2)
+  }
+
+  /** Agreement bits + scored verdicts over a raw-field candidate
+    * frame, cut at the review floor.
+    */
+  private def scoredFrom(cand: DataFrame): DataFrame =
+    score(cand.select(col("a_id"), col("b_id"),
+      (col("nm") === col("b_name")).as("a_name"),
+      (col("cents") === col("b_cents")).as("a_cents"),
+      (col("nat") === col("b_nation")).as("a_nation"),
+      (col("seg") === col("b_seg")).as("a_seg")))
       .filter(col("score_micro") >= Lower)
       .select(col("a_id"), col("b_id"), col("a_name"), col("a_cents"),
         col("a_nation"), col("a_seg"), col("score_micro"), col("verdict"))
-  }
+
+  /** Bounded-blocking candidates + scored verdicts, cut at the review
+    * floor — the batch linkage.
+    */
+  def linked(a: DataFrame, b: DataFrame): DataFrame =
+    scoredFrom(candidates(a, b))
+
+  /** [[candidatesEqui]] + the same scoring — shared verbatim by
+    * [[graft.streaming.StreamingLinkage]] (`b` may be a streaming
+    * frame) and its batch parity check.
+    */
+  def linkedEqui(a: DataFrame, b: DataFrame): DataFrame =
+    scoredFrom(candidatesEqui(a, b))
 
   /** One-to-one assignment by MUTUAL best match — the classic F-S
     * post-step: scoring emits every candidate pair above the floor,
@@ -223,22 +342,15 @@ object Linkage {
       wSql(NameF, "a_name"), wSql(CentsF, "a_cents"),
       wSql(NationF, "a_nation"), wSql(SegF, "a_seg")).mkString(" + ")
     s"""WITH $registrySql,
-       |a AS (
-       |  SELECT c_custkey::BIGINT AS a_id, c_name AS nm,
-       |         c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
-       |         floor(c_acctbal * 100 + 0.5)::BIGINT AS cents,
-       |         (floor(c_acctbal * 100 + 0.5)::BIGINT + 100000) // 10000 AS block
-       |  FROM customer
-       |), b AS (
-       |  SELECT *, (b_cents + 100000) // 10000 AS block FROM registry
-       |), cand AS (
+       |$candSql,
+       |agreed AS (
        |  SELECT a_id, b_id,
        |         nm = b_name AS a_name, cents = b_cents AS a_cents,
        |         nat = b_nation AS a_nation, seg = b_seg AS a_seg
-       |  FROM a JOIN b USING (block)
+       |  FROM cand
        |), scored AS (
        |  SELECT a_id, b_id, ($total)::BIGINT AS score_micro
-       |  FROM cand
+       |  FROM agreed
        |  WHERE ($total)::BIGINT >= $Lower
        |), best_a AS (
        |  SELECT a_id, -(max({'s': score_micro, 'nb': -b_id}).nb) AS b_id
@@ -278,15 +390,13 @@ object Linkage {
     * pairs only, never corpus²) — the [[EditSim]] discipline.
     */
   def linkedFuzzy(a: DataFrame, b: DataFrame): DataFrame = {
-    val ab = a.withColumn("block", expr("(cents + 100000) div 10000"))
-    val bb = b.withColumn("block", expr("(b_cents + 100000) div 10000"))
     // thresholded levenshtein (banded O(len·2), early exit, -1 beyond
     // the close band): the comparator only needs exact / ≤2 / far, so
     // the full O(len²) distance on every far pair — the overwhelming
     // majority of block candidates — is pure waste. `name_lev` is
     // therefore BANDED in the output: the exact distance inside the
     // typo band, -1 for far (mirrored in the oracle SQL).
-    val cand = bb.join(ab, Seq("block"))
+    val cand = candidates(a, b)
       .select(col("a_id"), col("b_id"),
         levenshtein(col("nm"), col("b_name"), 2).cast("long").as("name_lev"),
         (col("cents") === col("b_cents")).as("a_cents"),
@@ -322,23 +432,16 @@ object Linkage {
     val total = Seq(nameW, wSql(CentsF, "a_cents"),
       wSql(NationF, "a_nation"), wSql(SegF, "a_seg")).mkString(" + ")
     s"""WITH $registrySql,
-       |a AS (
-       |  SELECT c_custkey::BIGINT AS a_id, c_name AS nm,
-       |         c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
-       |         floor(c_acctbal * 100 + 0.5)::BIGINT AS cents,
-       |         (floor(c_acctbal * 100 + 0.5)::BIGINT + 100000) // 10000 AS block
-       |  FROM customer
-       |), b AS (
-       |  SELECT *, (b_cents + 100000) // 10000 AS block FROM registry
-       |), cand AS (
+       |$candSql,
+       |agreed AS (
        |  SELECT a_id, b_id,
        |         levenshtein(nm, b_name)::BIGINT AS lev,
        |         cents = b_cents AS a_cents,
        |         nat = b_nation AS a_nation, seg = b_seg AS a_seg
-       |  FROM a JOIN b USING (block)
+       |  FROM cand
        |), scored AS (
        |  SELECT *, CASE WHEN lev <= 2 THEN lev ELSE -1 END AS name_lev,
-       |         ($total)::BIGINT AS score_micro FROM cand
+       |         ($total)::BIGINT AS score_micro FROM agreed
        |)
        |SELECT a_id, b_id, name_lev, a_cents, a_nation, a_seg, score_micro,
        |       CASE WHEN score_micro >= $Upper THEN 'match'
@@ -349,11 +452,12 @@ object Linkage {
   }
 
   /** q_linkage — link the customer table against the noisy registry:
-    * block on the 100-currency-unit balance band, score the four-field
-    * agreement vector in exact micro-nats, keep pairs at or above the
-    * review floor. A clean true pair lands 'match'; a name-mangled one
-    * lands 'possible' (exactly the clerical-review semantics); block
-    * cross-pairs only surface on accidental cents collisions.
+    * bounded multi-pass blocking (stable name key ∪ exact-cents sorted
+    * neighborhood), score the four-field agreement vector in exact
+    * micro-nats, keep pairs at or above the review floor. A clean true
+    * pair lands 'match'; a name-mangled one lands 'possible' (exactly
+    * the clerical-review semantics); cross-pairs only surface on
+    * accidental cents collisions.
     */
   def linkage(s: SparkSession, d: String): DataFrame =
     linked(houseSide(s, d), registry(s, d))
@@ -364,21 +468,14 @@ object Linkage {
       wSql(NameF, "a_name"), wSql(CentsF, "a_cents"),
       wSql(NationF, "a_nation"), wSql(SegF, "a_seg")).mkString(" + ")
     s"""WITH $registrySql,
-       |a AS (
-       |  SELECT c_custkey::BIGINT AS a_id, c_name AS nm,
-       |         c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
-       |         floor(c_acctbal * 100 + 0.5)::BIGINT AS cents,
-       |         (floor(c_acctbal * 100 + 0.5)::BIGINT + 100000) // 10000 AS block
-       |  FROM customer
-       |), b AS (
-       |  SELECT *, (b_cents + 100000) // 10000 AS block FROM registry
-       |), cand AS (
+       |$candSql,
+       |agreed AS (
        |  SELECT a_id, b_id,
        |         nm = b_name AS a_name, cents = b_cents AS a_cents,
        |         nat = b_nation AS a_nation, seg = b_seg AS a_seg
-       |  FROM a JOIN b USING (block)
+       |  FROM cand
        |), scored AS (
-       |  SELECT *, ($total)::BIGINT AS score_micro FROM cand
+       |  SELECT *, ($total)::BIGINT AS score_micro FROM agreed
        |)
        |SELECT a_id, b_id, a_name, a_cents, a_nation, a_seg, score_micro,
        |       CASE WHEN score_micro >= $Upper THEN 'match'

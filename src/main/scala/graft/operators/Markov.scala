@@ -96,7 +96,7 @@ object Markov {
       val p = s"pi${i - 1}"
       s"""pi$i AS MATERIALIZED (
          |  SELECT s, (
-         |    coalesce((SELECT sum((p.m * c.n) // c.t)
+         |    coalesce((SELECT sum((p.m::HUGEINT * c.n) // c.t)
          |              FROM cells c JOIN $p p ON p.s = c.f
          |              WHERE c.tt = states.s), 0)
          |    + CASE WHEN states.s NOT IN (SELECT f FROM cells)

@@ -37,12 +37,19 @@ object StreamingPaths {
       state.remove()
       return Iterator.empty
     }
-    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    // exact event-time microseconds (getTime truncates to ms — a
+    // sub-ms fixture gap just over GapUs would truncate INTO the gap,
+    // and same-ms events could sort differently than batch, breaking
+    // the asserted batch ≡ stream parity; the StreamingIntervalUnion
+    // rule): seconds·1e6 + full sub-second nanos/1e3, also the sort key
+    def usOf(e: PEvent): Long =
+      math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+    val sorted = events.toSeq.sortBy(e => (usOf(e), e.event_id))
     if (sorted.isEmpty) return Iterator.empty
     var out = List.empty[Transition]
     var cur = state.getOption
     sorted.foreach { e =>
-      val us = e.ts.getTime * 1000
+      val us = usOf(e)
       cur match {
         case Some(st) if us - st.last_us <= GapUs =>
           out ::= Transition(uid, st.last_type, e.event_type, us)

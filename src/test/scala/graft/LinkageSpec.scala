@@ -121,6 +121,36 @@ class LinkageSpec extends AnyFunSuite {
     best.unpersist()
   }
 
+  test("candidate count is bounded per record: 10x corpus => ~10x candidates, even on one hot block") {
+    // adversarial corpus: EVERY record shares one cents value (the
+    // degenerate hot block where single-key blocking goes n²) and
+    // names are sequential (name-key blocks of ≤10 per side). A
+    // bounded generator must stay LINEAR: per-record candidates are
+    // capped by the name-key block (≤10) + the sorted-neighborhood
+    // budget (≤2·SnBudget+1 per side fan-out), independent of n.
+    def sides(n: Int) = {
+      val a = (1 to n).map(i => (i.toLong, f"Customer#$i%09d", i % 25L, "SEG", 555L))
+        .toDF("a_id", "nm", "nat", "seg", "cents")
+      val b = (1 to n).map(i => (i + 100000L, f"Customer#$i%09d", i % 25L, "SEG", 555L))
+        .toDF("b_id", "b_name", "b_nation", "b_seg", "b_cents")
+      (a, b)
+    }
+    val (a1, b1) = sides(100)
+    val (a2, b2) = sides(1000)
+    val c1 = Linkage.candidates(a1, b1).count()
+    val c2 = Linkage.candidates(a2, b2).count()
+    assert(c1 > 0)
+    // strictly sub-quadratic: 10x records must cost <= ~12x candidates
+    // (quadratic would be 100x)
+    assert(c2 <= c1 * 12, s"c1=$c1 c2=$c2 — candidate growth is super-linear")
+    // and per-record: no record meets more than the documented budget
+    val perRecord = Linkage.candidates(a2, b2)
+      .groupBy(col("a_id")).count()
+      .agg(max(col("count"))).as[Long].head()
+    assert(perRecord <= 10 + 3 * Linkage.SnBudget,
+      s"a record met $perRecord candidates — budget breached")
+  }
+
   test("candidate generation is a blocked equi-join: no nested loop in the plan") {
     val plan = linked.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),

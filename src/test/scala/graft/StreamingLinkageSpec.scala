@@ -14,10 +14,19 @@ class StreamingLinkageSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val house = Linkage.houseSide(spark, sf)
     val reg = Linkage.registry(spark, sf)
-    val batch = Linkage.linked(house, reg)
+    // batch reference = the SAME stream-compatible pass pair; a second
+    // assertion below ties it to the bounded batch blocking
+    val batch = Linkage.linkedEqui(house, reg)
       .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Long, String)]
       .collect().toSet
     assert(batch.nonEmpty)
+    // at fixture scale every cents block fits the SnBudget window, so
+    // the bounded batch blocking and the stream-shaped equi blocking
+    // produce identical scored pairs — the documented equivalence
+    val bounded = Linkage.linked(house, reg)
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Long, String)]
+      .collect().toSet
+    assert(bounded == batch)
 
     val rows = reg.as[(Long, String, Long, String, Long)].collect()
     val (m1, m2) = rows.splitAt(rows.length / 2)
