@@ -59,6 +59,29 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     spark.catalog.clearCache()
+    // calibration probe (r5 verdict item): a FIXED-WORK synthetic
+    // aggregate (no I/O, constant row count, all cores) timed before
+    // and after the sweep, plus /proc/loadavg at both points. The
+    // probe's cost is invariant across rounds, so a contended run is
+    // detectable from the artifact alone: pre/post probe times well
+    // above the quiet-machine constant (~0.2 s here) mean the sweep's
+    // numbers are inflated by external CPU pressure, not a plan
+    // regression — the failure mode that poisoned the r3 and r5
+    // driver benches. Normalization rule (SURVEY §5): compare rounds
+    // on times scaled by the round's mean probe time.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 27, 1L, cpus.toInt)
+        .selectExpr("sum(id % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    calibrate() // untimed: compile the probe's codegen before measuring
+    val loadPre = loadavg()
+    val calibPre = calibrate()
     var errors = List.empty[(String, String)]
     // Each query is timed as the MIN of two isolated executions, cache
     // cleared after each so run 2 cannot read run 1's persisted
@@ -122,6 +145,10 @@ object Bench {
     val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, true) => v }.sum
+    val calibPost = calibrate()
+    val loadPost = loadavg()
+    val calibJson =
+      s"""{"pre_s":${"%.3f".format(calibPre)},"post_s":${"%.3f".format(calibPost)},"load_pre":${"%.2f".format(loadPre)},"load_post":${"%.2f".format(loadPost)}}"""
     spark.stop()
     val sideFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE", "bench_detail.json")
     try {
@@ -129,7 +156,7 @@ object Bench {
       // even the degraded stdout line unparseable, the per-query data
       // still exists on disk at full precision
       val detail =
-        s"""{"times":${qsAt(3)},"spread":$spreadJson,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+        s"""{"times":${qsAt(3)},"spread":$spreadJson,"errors":$errJson,"calib":$calibJson,"sf":${jstr(sfDir)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(sideFile),
         detail.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
@@ -142,7 +169,7 @@ object Bench {
     // errors map (it is also in the side file) — never lose the times.
     def lineAt(dec: Int, withErrors: Boolean): String = {
       val err = if (withErrors) s""","errors":$errJson""" else ""
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qsAt(dec)}$err,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qsAt(dec)}$err,"calib":$calibJson,"sf":${jstr(sfDir)}}"""
     }
     // Final rung: the query count has outgrown what the tail can hold
     // at ANY precision (99 names × ~17 chars > 1.5 KB before a single
@@ -158,7 +185,7 @@ object Bench {
       val qs = kept.map { case (k, v, _, ok) =>
         jstr(k) + ":" + (if (ok) num(v, dec) else "-1")
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"omitted_n":${omitted.size},"omitted_total":${num(omitted.map(_._2).sum)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"omitted_n":${omitted.size},"omitted_total":${num(omitted.map(_._2).sum)},"calib":$calibJson,"sf":${jstr(sfDir)}}"""
     }
     val out = (Seq(lineAt(3, true), lineAt(2, true), lineAt(2, false)) ++
       (results.length to 0 by -8).map(lineTop(2, _)))

@@ -33,7 +33,7 @@ object ActiveUsers {
       .agg(min(col("day")).as("day"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("new_users"))
-    val w = Window.orderBy(col("day"))
+    val w = graft.functions.GridWindow.ord(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily.join(firstDay, Seq("day"), "left_outer")
       .select(col("day"), col("n_events"), col("dau"),

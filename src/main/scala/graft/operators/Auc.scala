@@ -50,7 +50,7 @@ object Auc {
       .persist()
     val byVal = scored.groupBy(col("sm"))
       .agg(count(lit(1)).cast("long").as("cnt"))
-    val w = Window.orderBy(col("sm"))
+    val w = graft.functions.GridWindow.ord(col("sm"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = byVal
       .withColumn("c_le", sum(col("cnt")).over(w))

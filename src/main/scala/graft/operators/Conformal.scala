@@ -58,7 +58,7 @@ object Conformal {
     val eval_ = scored.filter(col("doc_id") % 2 === 0)
     val byM = cal.groupBy(col("margin_micro"))
       .agg(count(lit(1)).cast("long").as("n"), sum(col("ok")).as("c"))
-    val wDesc = Window.orderBy(col("margin_micro").desc)
+    val wDesc = graft.functions.GridWindow.ord(col("margin_micro").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = byM
       .withColumn("cn", sum(col("n")).over(wDesc))

@@ -44,10 +44,22 @@ object KMeansVec {
     checkpointDir: Option[String] = None): DataFrame = {
     val e = withNorm(vectors.select(col("vec_id"), col("embedding")))
       .persist()
-    val wInit = Window.orderBy(col("vec_id"))
-    var cents = Iterate.materialize(e.orderBy(col("vec_id")).limit(k)
-      .select(row_number().over(wInit).cast("long").as("cent_id"),
-        col("embedding").as("c_emb"), col("nrm").as("c_nrm")), checkpointDir)
+    // init = the k lowest vec_ids with ranks 1..k. The ids come back
+    // via TakeOrdered (partial top-k per partition, never a full
+    // sort) and the k-row rank map is built driver-side and broadcast
+    // back — a k-long bounded-statistic collect, replacing the
+    // unpartitioned row_number window (the r5 test-log-noise source:
+    // a corpus-shaped construct for a k-row job)
+    val spark = vectors.sparkSession
+    val initIds = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val idMap = spark.createDataFrame(
+      initIds.toIndexedSeq.zipWithIndex.map { case (v, i) => (v, (i + 1).toLong) })
+      .toDF("vec_id", "cent_id")
+    var cents = Iterate.materialize(
+      e.join(broadcast(idMap), "vec_id")
+        .select(col("cent_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm")), checkpointDir)
     for (_ <- 1 to iters) {
       val centered = assign(e, cents)
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "v")))

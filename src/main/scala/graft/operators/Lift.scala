@@ -48,7 +48,7 @@ object Lift {
       .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
       .groupBy(col("sm"))
       .agg(count(lit(1)).cast("long").as("n"), sum(col("is_dup")).as("nd"))
-    val w = Window.orderBy(col("sm").desc)
+    val w = graft.functions.GridWindow.ord(col("sm").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = base.agg(sum(col("n")).cast("long").as("n_all"),
       sum(col("nd")).cast("long").as("nd_all"))
@@ -63,7 +63,7 @@ object Lift {
         sum(col("n")).cast("long").as("n_docs"),
         sum(col("nd")).cast("long").as("n_dup"),
         max(col("n_all")).as("n_all"), max(col("nd_all")).as("nd_all"))
-    val wc = Window.orderBy(col("decile"))
+    val wc = graft.functions.GridWindow.ord(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dec
       .withColumn("cum_dup", sum(col("n_dup")).over(wc))

@@ -104,7 +104,7 @@ object Prf {
     scored
       .orderBy(col("s_micro").desc, col("doc_id")).limit(PageK)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("s_micro").desc, col("doc_id"))).cast("long"))
+        graft.functions.GridWindow.ord(col("s_micro").desc, col("doc_id"))).cast("long"))
       .join(base, "doc_id")
       .select(col("rank"), col("doc_id"), col("matched"),
         col("bm25").as("base_bm25"),

@@ -52,7 +52,7 @@ object Waterfill {
       count(lit(1)).as("d_cnt"))
       .select(expr(s"(total * $BudgetNum) div $BudgetDen").as("budget"),
         col("d_cnt"))
-    val wOrd = Window.orderBy(col("n_tokens"), col("source"))
+    val wOrd = graft.functions.GridWindow.ord(col("n_tokens"), col("source"))
     val ranked = domains.withColumn("i", row_number().over(wOrd))
       .withColumn("prefix", sum(col("n_tokens")).over(wOrd))
       .crossJoin(broadcast(totals))
@@ -70,7 +70,7 @@ object Waterfill {
     base.crossJoin(broadcast(spent))
       .withColumn("uncap_rank",
         when(col("n_tokens") > col("waterline"),
-          row_number().over(Window.orderBy(
+          row_number().over(graft.functions.GridWindow.ord(
             (col("n_tokens") <= col("waterline")).cast("int"), col("source"))))
           .otherwise(lit(null)))
       .withColumn("alloc",
