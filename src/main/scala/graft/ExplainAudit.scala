@@ -366,6 +366,20 @@ object ExplainAudit {
       bjPlan.linesIterator.indexWhere(_.contains("bloomhits")) >
         bjPlan.linesIterator.indexWhere(_.contains("Join")))
 
+    // r6: the OPTIMIZER-shaped form — auto() must plant the same probe
+    // on a selective join it was never hand-wired into
+    val autoPlan = operators.RuntimeFilter.auto(
+      Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_quantity")),
+      Tables.orders(spark, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+        .select(col("o_orderkey")),
+      "l_orderkey", "o_orderkey")
+      .queryExecution.executedPlan.toString
+    flag("runtime-filter auto: stats-driven probe below the un-hand-wired join",
+      autoPlan.linesIterator.indexWhere(_.contains("bloomhits")) >
+        autoPlan.linesIterator.indexWhere(_.contains("Join")))
+
     val pcPlan = {
       import spark.implicits._
       val agg = new functions.MicroCovSum(operators.Pca.Dim)

@@ -38,6 +38,39 @@ object RuntimeFilter {
       .join(small, col(bigKey) === col(smallKey))
   }
 
+  /** Optimizer-shaped form: decide FROM STATISTICS whether the probe
+    * pays, then inject it — the two demonstrated primitives
+    * ([[JoinCard]] estimation + [[bloomJoin]]) composed into the tool
+    * a user calls without hand-wiring either. The decision signal is
+    * the estimated matched fraction est_pairs / |big| from the CMS
+    * inner product ([[JoinCard.estimate]] — never undercounts, so a
+    * skipped probe is never skipped because the estimate lied low;
+    * only FP overcount can make `auto` conservative): below
+    * `maxSelectivity`, most big rows have no partner and the probe
+    * deletes their shuffle; above it, the probe would tax every row
+    * for little pruning, so the plain join wins.
+    *
+    * Planning cost: one CMS fold per side + one |big| count — bounded
+    * frames, 1-row collects (the ≤512-collect class). At 100 TB both
+    * sides' counters come PRE-COMPUTED from storage (they are
+    * mergeable ingest statistics, the `bm25Stats` contract), so the
+    * decision is storage-stat-only, exactly like a cost-based
+    * optimizer's. Result is row-identical to `big ⋈ small` either
+    * way (asserted in RuntimeFilterSpec both branches).
+    */
+  def auto(big: DataFrame, small: DataFrame, bigKey: String,
+    smallKey: String, maxSelectivity: Double = 0.5,
+    mBits: Int = 1 << 20): DataFrame = {
+    val est = JoinCard.estimate(
+      JoinCard.counters(big.select(col(bigKey)), bigKey),
+      JoinCard.counters(small.select(col(smallKey)), smallKey))
+      .head.getLong(0)
+    val nBig = big.count()
+    if (nBig > 0 && est.toDouble / nBig <= maxSelectivity)
+      bloomJoin(big, small, bigKey, smallKey, mBits)
+    else big.join(small, col(bigKey) === col(smallKey))
+  }
+
   /** q_bloom_join — lineitem revenue of urgent finished orders: the
     * orders predicate keeps ~10% of orders, so ~90% of lineitem rows
     * have no partner; the bloom probe drops them before the join

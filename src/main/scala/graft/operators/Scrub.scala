@@ -120,6 +120,104 @@ object Scrub {
        |FROM u WHERE len(us) >= 1
        |ORDER BY doc_id""".stripMargin
 
+  /** Fuzzy-pair grain constants: unit df cap for the inverted-index
+    * blocking and the verify threshold — a one-word edit of a
+    * [[BoilerWidth]]-word unit keeps ≥ 3 of its ~6 word-3-grams, so
+    * exact Jaccard lands at ≥ 1/3; 0.3 admits exactly that band.
+    */
+  val ParaFuzzyMaxDf = 5
+  val ParaFuzzyJ = 0.3
+
+  /** Near-duplicate PARAGRAPH pairs across the corpus — the fuzzy
+    * complement of [[boilerplateUnits]]/[[paraDedupStats]]'s exact
+    * hashing (the r5 verdict gap: a lightly-edited boilerplate
+    * paragraph escapes an exact unit hash; this catches it). Same
+    * machinery as [[Dedup.ngramPairs]] one grain down: units →
+    * DISTINCT unit texts (exact copies collapse first, so the
+    * injected boilerplate costs ONE row however many docs carry it) →
+    * word-3-gram shingles → rare-shingle (df ∈ [2, [[ParaFuzzyMaxDf]]])
+    * inverted-index blocking, salted — deterministic-complete for any
+    * pair sharing a rare shingle, which a one-word edit always leaves
+    * behind — → exact-Jaccard verify ≥ [[ParaFuzzyJ]]. Each surviving
+    * pair carries both units' doc frequencies (the blocklist-utility
+    * signal: a high-df × high-df near-pair is a template family).
+    *
+    * Scale: the distinct-unit fold is one partial-agg groupBy; the
+    * self-join runs on bare (shingle, unit-key) postings bounded by
+    * the df cap; verify touches candidates only. Text rides as its
+    * own key here (the output IS the audited pair list); at 100 TB
+    * the unit key is md5-fixed and text looked up on the final
+    * candidate-sized frame only.
+    */
+  def paraFuzzyPairs(docs: DataFrame, w: Int = BoilerWidth): DataFrame = {
+    val uniq = docs
+      .select(col("doc_id"), explode(units(TextSim.tokens(col("text")), w)).as("unit"))
+      .groupBy(col("unit"))
+      .agg(count_distinct(col("doc_id")).cast("long").as("n_docs"))
+      .withColumn("sh", TextSim.shingles3(TextSim.tokens(col("unit"))))
+      .persist() // barrier: postings + both verify sides read this
+    val postings = uniq.select(col("unit"), explode(col("sh")).as("shingle"))
+    val rare = postings.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= ParaFuzzyMaxDf)
+    val rp = postings.join(rare.hint("shuffle_hash"), "shingle")
+      .select(col("shingle"), col("unit"))
+    val cand = Skew.saltedSelfJoin(rp, "unit", Seq("shingle"), Dedup.LshSalt)
+      .select(col("a.unit").as("a_unit"), col("b.unit").as("b_unit"))
+      .distinct()
+    val ua = uniq.select(col("unit").as("a_unit"), col("sh").as("sh_a"),
+      col("n_docs").as("a_docs"))
+    val ub = uniq.select(col("unit").as("b_unit"), col("sh").as("sh_b"),
+      col("n_docs").as("b_docs"))
+    cand.join(ua, "a_unit").join(ub, "b_unit")
+      .select(col("a_unit"), col("b_unit"),
+        TextSim.r6(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"),
+        col("a_docs"), col("b_docs"))
+      .filter(col("jaccard") >= ParaFuzzyJ)
+      .orderBy(col("a_unit"), col("b_unit"))
+  }
+
+  /** q_para_dedup_fuzzy — [[paraFuzzyPairs]] on the dup-injected
+    * corpus (near-dup docs guarantee edited-unit pairs).
+    */
+  def paraDedupFuzzy(s: SparkSession, d: String): DataFrame =
+    paraFuzzyPairs(Tables.docsAug(s, d))
+
+  val paraDedupFuzzySql: String = {
+    val ut = "list_filter(string_split(unit, ' '), x -> x <> '')"
+    val jacc = "len(list_intersect(x.sh, y.sh))::DOUBLE / " +
+      "len(list_distinct(list_concat(x.sh, y.sh)))"
+    s"""WITH ${Tables.docsAugSql},
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM docs_aug
+       |), eu AS (
+       |  SELECT doc_id, unnest(${unitsSql("t", BoilerWidth)}) AS unit FROM toks
+       |), uniq AS MATERIALIZED (
+       |  SELECT unit, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |         ${TextSim.shingles3Sql(ut)} AS sh
+       |  FROM eu GROUP BY unit
+       |), postings AS (
+       |  SELECT unit, unnest(sh) AS shingle FROM uniq
+       |), rare AS (
+       |  SELECT shingle FROM postings GROUP BY shingle
+       |  HAVING count(*) >= 2 AND count(*) <= $ParaFuzzyMaxDf
+       |), cand AS (
+       |  SELECT DISTINCT a.unit AS a_unit, b.unit AS b_unit
+       |  FROM (SELECT p.* FROM postings p JOIN rare r ON r.shingle = p.shingle) a
+       |  JOIN (SELECT p.* FROM postings p JOIN rare r ON r.shingle = p.shingle) b
+       |    ON a.shingle = b.shingle AND a.unit < b.unit
+       |)
+       |SELECT c.a_unit, c.b_unit, ${TextSim.r6Sql(jacc)} AS jaccard,
+       |       x.n_docs AS a_docs, y.n_docs AS b_docs
+       |FROM cand c
+       |JOIN uniq x ON x.unit = c.a_unit
+       |JOIN uniq y ON y.unit = c.b_unit
+       |WHERE ${TextSim.r6Sql(jacc)} >= $ParaFuzzyJ
+       |ORDER BY a_unit, b_unit""".stripMargin
+  }
+
   // Shared regex constants — the SAME pattern string goes to Spark
   // (java.util.regex) and DuckDB (RE2); only syntax valid and
   // identically-interpreted in both engines is used (char classes,

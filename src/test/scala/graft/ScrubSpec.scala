@@ -23,6 +23,38 @@ class ScrubSpec extends AnyFunSuite {
     assert(out == Map(shared -> 3L))
   }
 
+  test("paraFuzzyPairs catches a one-word-edited boilerplate paragraph the exact hash misses") {
+    // docs 1-3 carry the same 8-word boilerplate paragraph; doc 4
+    // carries a ONE-WORD-edited variant (position 4: 'd' -> 'X').
+    // Exact unit hashing collapses 1-3 and leaves 4 disconnected;
+    // the fuzzy pass must link the variant to the original with
+    // Jaccard >= 0.3 (a 1-of-8 edit keeps 3 of the 6 word-3-grams),
+    // and report the original's doc frequency 3.
+    val boiler = "aa bb cc dd ee ff gg hh"
+    val edited = "aa bb cc XX ee ff gg hh"
+    val docs = Seq(
+      (1L, boiler + " one two three four five six seven eight"),
+      (2L, boiler + " red green blue cyan teal plum gold jade"),
+      (3L, boiler + " nine ten eleven twelve thirteen fox owl elk"),
+      (4L, edited + " north south east west up down left right")
+    ).toDF("doc_id", "text")
+    val pairs = Scrub.paraFuzzyPairs(docs)
+      .as[(String, String, Double, Long, Long)].collect()
+    val hit = pairs.filter(p => Set(p._1, p._2) == Set(boiler, edited))
+    assert(hit.length == 1, s"variant pair not caught: ${pairs.toSeq}")
+    assert(hit.head._3 >= 0.3)
+    // doc frequencies ride the pair: the original is corpus boilerplate
+    val (aDocs, bDocs) =
+      if (hit.head._1 == boiler) (hit.head._4, hit.head._5)
+      else (hit.head._5, hit.head._4)
+    assert(aDocs == 3L && bDocs == 1L)
+    // and the exact hasher indeed misses it: the variant unit never
+    // reaches the boilerplate table (exact unit equality only)
+    val exact = Scrub.boilerplateUnits(docs, w = 8, minDocs = 2)
+      .as[(String, Long)].collect().toMap
+    assert(exact.contains(boiler) && !exact.contains(edited))
+  }
+
   test("paraDedupStats counts intra-doc repeats and builds an order-free identity") {
     val docs = Seq(
       (1L, "x y x y a b"),   // units: [x y, x y, a b] -> 3 total, 2 unique
