@@ -92,6 +92,71 @@ object CorpusStats {
        |CROSS JOIN totals
        |ORDER BY a, b""".stripMargin
 
+  /** Skip-gram window radius and report floor. */
+  val SkipWindow = 2
+  val SkipMinCount = 5
+
+  /** q_skipgram — windowed co-occurrence counts (center, context,
+    * |offset| ≤ [[SkipWindow]], directed): the sufficient statistic of
+    * every count-based embedding recipe (word2vec negative-sampling
+    * targets, GloVe's X matrix, PPMI-SVD vectors) and the widened
+    * sibling of `q_pmi`'s adjacent bigrams — co-occurrence at
+    * distance 2 sees the "new york ⟷ city" association that
+    * adjacency misses. Counts are exact BIGINTs; the report floor
+    * keeps the output association-sized (the PMI cut rule). Directed
+    * (each window pair emits both orientations), so row (c, x) is
+    * exactly word2vec's center→context pair frequency and the matrix
+    * is symmetric — symmetry asserted in CorpusStatsSpec along with a
+    * sequential recount.
+    *
+    * Scale: one explode (≤ 2·[[SkipWindow]]·tokens rows per doc, bare
+    * string pairs) into ONE partial-agg groupBy — map-side combine
+    * collapses repeats before the shuffle; nothing else touches the
+    * corpus. At 100 TB the pair key is the natural bucketing for the
+    * downstream trainer's co-occurrence shards.
+    */
+  def skipgram(docs: DataFrame): DataFrame = {
+    val toks = docs.select(TextSim.tokens(col("text")).as("t"))
+    val pairStructs = transform(sequence(lit(1), lit(SkipWindow)), d =>
+      when(size(col("t")) > d,
+        flatten(transform(sequence(lit(1), size(col("t")) - d), i =>
+          array(
+            struct(element_at(col("t"), i).as("c"),
+              element_at(col("t"), i + d).as("x")),
+            struct(element_at(col("t"), i + d).as("c"),
+              element_at(col("t"), i).as("x"))))))
+        .otherwise(array().cast("array<struct<c:string,x:string>>")))
+    toks.filter(size(col("t")) >= 2)
+      .select(explode(flatten(pairStructs)).as("p"))
+      .select(col("p.c").as("center"), col("p.x").as("context"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .filter(col("n") >= SkipMinCount)
+      .orderBy(col("center"), col("context"))
+  }
+
+  def skipgramQuery(s: SparkSession, d: String): DataFrame =
+    skipgram(Tables.documents(s, d))
+
+  val skipgramSql: String =
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents
+       |), pos1 AS (
+       |  SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
+       |), pos2 AS (
+       |  SELECT t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3
+       |), prs AS (
+       |  SELECT t[i] AS center, t[i+1] AS context FROM pos1
+       |  UNION ALL SELECT t[i+1], t[i] FROM pos1
+       |  UNION ALL SELECT t[i], t[i+2] FROM pos2
+       |  UNION ALL SELECT t[i+2], t[i] FROM pos2
+       |)
+       |SELECT center, context, count(*)::BIGINT AS n
+       |FROM prs GROUP BY center, context
+       |HAVING count(*) >= $SkipMinCount
+       |ORDER BY center, context""".stripMargin
+
   val DriftBuckets = 256L
 
   /** q_drift — distribution drift between two corpus slices (fixture:

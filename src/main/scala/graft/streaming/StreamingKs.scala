@@ -42,9 +42,19 @@ object StreamingKs {
     * semantics wholesale.
     */
   def detect(refCells: DataFrame, liveCells: DataFrame): DataFrame =
-    Ks.fromCells(Ks.mergeCells(
+    Ks.fromCells(armCells(refCells, liveCells))
+
+  /** PSI off the SAME maintained state ([[graft.operators.Psi]]'s
+    * calibrated-decile scalar beside KS's sup-CDF test — two
+    * detectors, one state store).
+    */
+  def detectPsi(refCells: DataFrame, liveCells: DataFrame): DataFrame =
+    graft.operators.Psi.fromCells(armCells(refCells, liveCells))
+
+  private def armCells(refCells: DataFrame, liveCells: DataFrame): DataFrame =
+    Ks.mergeCells(
       refCells.select(col("event_type"), col("value"),
         col("n").as("c1"), lit(0L).as("c2")),
       liveCells.select(col("event_type"), col("value"),
-        lit(0L).as("c1"), col("n").as("c2"))))
+        lit(0L).as("c1"), col("n").as("c2")))
 }

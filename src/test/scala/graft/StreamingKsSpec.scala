@@ -57,5 +57,12 @@ class StreamingKsSpec extends AnyFunSuite {
       .orderBy(col("event_type")).collect()
     val want = Ks.ksDrift(ev).orderBy(col("event_type")).collect()
     assert(got.toSeq == want.toSeq)
+
+    // PSI off the SAME maintained state reproduces batch psiDrift
+    val gotPsi = StreamingKs.detectPsi(refCells, streamed)
+      .orderBy(col("event_type")).collect()
+    val wantPsi = graft.operators.Psi.psiDrift(ev)
+      .orderBy(col("event_type")).collect()
+    assert(gotPsi.toSeq == wantPsi.toSeq)
   }
 }
