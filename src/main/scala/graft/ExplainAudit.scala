@@ -477,6 +477,52 @@ object ExplainAudit {
       aucWin >= 0 && aucLines.slice(aucWin, aucScan)
         .exists(l => l.contains("HashAggregate") && l.contains("keys=[sm")))
 
+    // round-6 additions: drift/eval/attribution block
+    val psiPlan = operators.Psi.psiQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // ONE events scan feeds the midpoint stat; the cell grid is the
+    // persisted barrier everything else (edges, buckets, totals)
+    // reads — no per-stage events rescans, no unpartitioned window
+    // (the 1-row span/total aggregates legitimately plan their own
+    // SinglePartition exchanges — what must NOT appear is a cartesian
+    // or a third corpus scan; the run window partitions by type)
+    flag("psi: grid-bounded after one cell fold (two corpus scans, no cartesian)",
+      psiPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) <= 2 &&
+        psiPlan.contains("Window") && !psiPlan.contains("CartesianProduct"))
+
+    val skgPlan = operators.CorpusStats.skipgramQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // one explode into ONE aggregation exchange — adding window width
+    // adds pair rows, never passes
+    flag("skipgram: single corpus scan, single pair-key exchange",
+      skgPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
+        skgPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+
+    val kePlan = operators.KnnEval.knnEval(spark, d)
+      .queryExecution.executedPlan.toString
+    // eval queries broadcast over the corpus; ranking is the partial
+    // top-k aggregator, votes are argmax folds — no window anywhere
+    flag("knn eval: broadcast queries + partial top-k, argmax votes (no window)",
+      kePlan.contains("BroadcastNestedLoopJoin") ||
+        kePlan.contains("BroadcastHashJoin"))
+    flag("knn eval: no window over the score matrix",
+      !kePlan.contains("WindowExec") && kePlan.contains("ObjectHashAggregate"))
+
+    val atPlan = operators.Attribution.attributionQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // the journey join keys on user_id (window predicate rides the
+    // join, never a cartesian); credit/argmax are partial-agg folds
+    flag("attribution: user-keyed journey join, argmax folds (no window, no cartesian)",
+      !atPlan.contains("CartesianProduct") && !atPlan.contains("Window"))
+
+    val pfPlan = operators.Scrub.paraDedupFuzzy(spark, d)
+      .queryExecution.executedPlan.toString
+    // rare-postings self-join is salted and shuffled (never broadcast
+    // — the df∈[2,5] shingle set grows with the corpus)
+    flag("para fuzzy: salted rare-shingle self-join",
+      pfPlan.contains("__salt") && !pfPlan.contains("CartesianProduct"))
+
     spark.stop()
   }
 }

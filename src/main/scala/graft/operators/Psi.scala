@@ -67,7 +67,13 @@ object Psi {
     * [[Ks.mergeCells]]).
     */
   def fromCells(cellFrame: DataFrame): DataFrame = {
-    val counts = cellFrame.persist() // barrier: edges, buckets, totals
+    // materialized barrier (localCheckpoint → ExistingRDD, the
+    // Changepoint.detect precedent): edges, buckets and totals all
+    // read the grid-bounded cell frame; a persist would re-print the
+    // corpus lineage per reference, and — for the per-trigger
+    // streaming detector — accumulate cache entries trigger over
+    // trigger, while the checkpoint blocks are GC'd with the frame
+    val counts = cellFrame.localCheckpoint()
     val tot = counts.groupBy(col("event_type"))
       .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"))

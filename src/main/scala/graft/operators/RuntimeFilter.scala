@@ -58,12 +58,24 @@ object RuntimeFilter {
     * optimizer's. Result is row-identical to `big ⋈ small` either
     * way (asserted in RuntimeFilterSpec both branches).
     */
+  /** Counter width for the [[auto]] decision: the CMS inner product
+    * overcounts by ~|big|·|small|/width, so width must dominate the
+    * small side's key count or collision noise alone pushes the
+    * estimated match fraction past any threshold (the default
+    * [[graft.functions.Cms.Width]] of 512 is sized for q_join_card's
+    * order-of-magnitude answers, not this decision). 2¹⁷ counters =
+    * 1 MB/side — still a bits-bounded planning statistic; size it to
+    * ≳ 10× the small side's distinct keys at scale.
+    */
+  val AutoWidth: Long = 1L << 17
+
   def auto(big: DataFrame, small: DataFrame, bigKey: String,
     smallKey: String, maxSelectivity: Double = 0.5,
     mBits: Int = 1 << 20): DataFrame = {
     val est = JoinCard.estimate(
-      JoinCard.counters(big.select(col(bigKey)), bigKey),
-      JoinCard.counters(small.select(col(smallKey)), smallKey))
+      JoinCard.counters(big.select(col(bigKey)), bigKey, width = AutoWidth),
+      JoinCard.counters(small.select(col(smallKey)), smallKey,
+        width = AutoWidth))
       .head.getLong(0)
     val nBig = big.count()
     if (nBig > 0 && est.toDouble / nBig <= maxSelectivity)
