@@ -225,7 +225,11 @@ object Events {
     */
   val AbConvertThreshold = 14
 
-  def abtest(s: SparkSession, d: String): DataFrame = {
+  /** The experiment's 1-row moment frame `(na, ca, nb, cb)` — shared
+    * by [[abtest]] (the realized z-test) and [[power]] (the design-
+    * side MDE readout).
+    */
+  private def abWide(s: SparkSession, d: String): DataFrame = {
     val users = Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
@@ -235,11 +239,15 @@ object Events {
           16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
     val arms = users.groupBy(col("variant"))
       .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
-    val wide = arms.agg(
+    arms.agg(
       sum(when(col("variant") === "A", col("n_users"))).as("na"),
       sum(when(col("variant") === "A", col("n_conv"))).as("ca"),
       sum(when(col("variant") === "B", col("n_users"))).as("nb"),
       sum(when(col("variant") === "B", col("n_conv"))).as("cb"))
+  }
+
+  def abtest(s: SparkSession, d: String): DataFrame = {
+    val wide = abWide(s, d)
     // a degenerate pool (nobody or everybody converts) has zero pooled
     // variance — the test is undefined, report NULL rather than ±inf
     val zExpr = when(
@@ -376,6 +384,74 @@ object Events {
        |       END AS var_reduction
        |FROM arms CROSS JOIN pooled
        |ORDER BY variant""".stripMargin
+  }
+
+  /** q_power — statistical power analysis of the [[abtest]] design:
+    * the minimum detectable effect (MDE) at α = 0.05 two-sided /
+    * 80% power for the experiment's realized sample sizes and pooled
+    * baseline rate — (z_{α/2} + z_β)·√(p(1−p)(1/nₐ + 1/n_b)) — plus
+    * whether the REALIZED arm difference clears it. The design-side
+    * complement of `q_abtest`'s verdict: a non-significant z with
+    * |diff| ≪ MDE says "underpowered, keep collecting", not "no
+    * effect" — the experiment-review distinction the raw test cannot
+    * make.
+    *
+    * Determinism: all inputs are [[abWide]]'s exact BIGINT moments;
+    * MDE/diff run in double with identical expression shapes, r6;
+    * the powered verdict compares the ROUNDED pair; a degenerate
+    * pool (nobody/everybody converts) reports NULLs (the abtest
+    * guard). Scale: the same one per-user fold + 2-row arm fold;
+    * the analysis frame is 1 row.
+    */
+  /** α = 0.05 two-sided and 80%-power normal quantiles. */
+  val ZAlpha = 1.959964
+  val ZPower = 0.841621
+
+  def power(s: SparkSession, d: String): DataFrame = {
+    val wide = abWide(s, d)
+    val p = (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))
+    val ok = col("ca") + col("cb") > 0 && col("ca") + col("cb") < col("na") + col("nb")
+    val mde = TextSim.r6(lit(ZAlpha + ZPower) *
+      sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+    val diff = TextSim.r6(abs(
+      col("ca").cast("double") / col("na") - col("cb").cast("double") / col("nb")))
+    wide.select(col("na"), col("nb"),
+      when(ok, TextSim.r6(p)).as("pooled_rate"),
+      when(ok, mde).as("mde_abs"),
+      when(ok, TextSim.r6(mde / TextSim.r6(p))).as("mde_rel"),
+      when(ok, diff).as("diff_abs"),
+      when(ok, (diff >= mde).cast("int")).as("powered"))
+  }
+
+  val powerSql: String = {
+    val p = "(ca + cb)::DOUBLE / (na + nb)"
+    val mde = TextSim.r6Sql(
+      s"${ZAlpha + ZPower} * sqrt(($p) * (1.0 - $p) * (1.0 / na + 1.0 / nb))")
+    val diff = TextSim.r6Sql("abs(ca::DOUBLE / na - cb::DOUBLE / nb)")
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |         (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= $AbConvertThreshold)::BIGINT AS converted
+       |  FROM events GROUP BY user_id
+       |), arms AS (
+       |  SELECT CASE WHEN ('0x' || substr(md5('arm:' || user_id), 1, 7))::BIGINT % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |         count(*)::BIGINT AS n_users, sum(converted)::BIGINT AS n_conv
+       |  FROM users GROUP BY 1
+       |), wide AS (
+       |  SELECT sum(CASE WHEN variant = 'A' THEN n_users END)::BIGINT AS na,
+       |         sum(CASE WHEN variant = 'A' THEN n_conv END)::BIGINT AS ca,
+       |         sum(CASE WHEN variant = 'B' THEN n_users END)::BIGINT AS nb,
+       |         sum(CASE WHEN variant = 'B' THEN n_conv END)::BIGINT AS cb
+       |  FROM arms
+       |)
+       |SELECT na, nb,
+       |       CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN ${TextSim.r6Sql(p)} END AS pooled_rate,
+       |       CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN $mde END AS mde_abs,
+       |       CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN ${TextSim.r6Sql(s"($mde) / (${TextSim.r6Sql(p)})")} END AS mde_rel,
+       |       CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN $diff END AS diff_abs,
+       |       CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN ($diff >= $mde)::INT END AS powered
+       |FROM wide""".stripMargin
   }
 
   val abtestSql: String =
