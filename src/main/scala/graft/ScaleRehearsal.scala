@@ -427,6 +427,29 @@ object ScaleRehearsal {
         df.withColumn(idCol, col(idCol) + lit(i * 100000000L))
           .withColumn(nameCol, concat(lit(s"$i~"), col(nameCol))))
         .reduce(_ unionAll _)
+    // round-6 additions: journey/overlap/drift/co-occurrence block —
+    // shifted users give mult× independent journeys (attribution
+    // linear per user); the overlap matrix stays ≤|types|² whatever
+    // the corpus; PSI's state is the value grid (×mult cells, grid-
+    // bounded); skipgram is one fold (linear); para-fuzzy collapses
+    // clone units first, so replication adds rows only to the
+    // distinct-unit fold, not the pair join
+    t("attribution") {
+      operators.Attribution.attribution(replicateEvents(shiftUsers = true))
+        .count()
+    }
+    t("audience_overlap") {
+      operators.Audience.overlap(replicateEvents(shiftUsers = true)).count()
+    }
+    t("psi") {
+      operators.Psi.psiDrift(replicateEvents(shiftUsers = true)).count()
+    }
+    t("skipgram") {
+      operators.CorpusStats.skipgram(docs).count()
+    }
+    t("para_fuzzy") {
+      operators.Scrub.paraFuzzyPairs(docs).count()
+    }
     t("linkage_cand_1x") {
       operators.Linkage.candidates(
         operators.Linkage.houseSide(spark, sfDir),
