@@ -44,4 +44,10 @@ case class GridKey() extends LeafExpression {
 object GridWindow {
   def ord(cols: Column*): WindowSpec =
     Window.partitionBy(toColumn(GridKey())).orderBy(cols: _*)
+
+  /** Unordered variant — for whole-frame aggregates (count/sum over
+    * the bounded frame) where an ordered spec would silently become a
+    * running frame.
+    */
+  def all: WindowSpec = Window.partitionBy(toColumn(GridKey()))
 }

@@ -524,8 +524,7 @@ object Corpus {
     // that grows with the corpus
     val head = counts.orderBy(col("tf").desc, col("term"))
       .limit(CoverageKs.max)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("tf").desc, col("term"))
+    val w = graft.functions.GridWindow.ord(col("tf").desc, col("term"))
     val ranked = head.withColumn("rk", row_number().over(w))
       .withColumn("cum", sum(col("tf")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))

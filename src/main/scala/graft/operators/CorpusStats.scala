@@ -394,8 +394,7 @@ object CorpusStats {
     * construction, not by data.
     */
   def zipfQuery(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("tf").desc, col("term"))
+    val w = graft.functions.GridWindow.ord(col("tf").desc, col("term"))
     val head = Tables.documents(s, d)
       .select(explode(TextSim.tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))

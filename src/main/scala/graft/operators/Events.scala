@@ -481,4 +481,65 @@ object Events {
        |       ${TextSim.r6Sql(
          "(ca::DOUBLE / na - cb::DOUBLE / nb) / sqrt(((ca + cb)::DOUBLE / (na + nb)) * (1.0 - (ca + cb)::DOUBLE / (na + nb)) * (1.0 / na + 1.0 / nb))")} END) >= 1.959964 AS significant_95
        |FROM wide""".stripMargin
+  /** q_time_to_convert — conversion-latency distribution: per
+    * converting user (first view precedes first purchase — the
+    * [[funnel]] ordering convention) the latency first-view →
+    * first-purchase, reported as exact order statistics (p50/p90 at
+    * ranks ceil(q·n), the `q_quantiles` convention) plus the exact
+    * mean — the TIME face of the funnel ("how long does conversion
+    * take", where the funnel says how often it happens). All
+    * latencies are exact integer microseconds off one per-user
+    * conditional-min fold; the rank runs over the |converting users|
+    * frame with (lat, user_id) total order (user-bounded — the
+    * exact-audit shape; partition the rank by cohort past local
+    * scale, or serve [[Kmv]] bottom-k quantiles rescan-free);
+    * seconds divide once each, r6; an empty converting set reports
+    * 0/NULLs.
+    */
+  def timeToConvert(ev: DataFrame): DataFrame = {
+    import graft.functions.GridWindow
+    val lat = ev.filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", unix_micros(col("ts")))).as("v"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"))
+      .filter(col("v").isNotNull && col("p").isNotNull && col("v") <= col("p"))
+      .select(col("user_id"), (col("p") - col("v")).as("lat_us"))
+    lat
+      .withColumn("rn",
+        row_number().over(GridWindow.ord(col("lat_us"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(GridWindow.all))
+      .agg(
+        coalesce(max(col("n")), lit(0L)).cast("long").as("n_converted"),
+        TextSim.r6(max(when(col("rn") === ceil(col("n") * lit(0.5)),
+          col("lat_us"))).cast("double") / 1e6).as("p50_s"),
+        TextSim.r6(max(when(col("rn") === ceil(col("n") * lit(0.9)),
+          col("lat_us"))).cast("double") / 1e6).as("p90_s"),
+        TextSim.r6(sum(col("lat_us")).cast("double") /
+          max(col("n")).cast("double") / 1e6).as("mean_s"))
+  }
+
+  def timeToConvertQuery(s: SparkSession, d: String): DataFrame =
+    timeToConvert(Tables.events(s, d))
+
+  val timeToConvertSql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+       |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+       |  FROM events WHERE event_type IN ('view', 'purchase')
+       |  GROUP BY user_id
+       |), lat AS (
+       |  SELECT user_id, (p - v)::BIGINT AS lat_us FROM per_user
+       |  WHERE v IS NOT NULL AND p IS NOT NULL AND v <= p
+       |), ranked AS (
+       |  SELECT lat_us,
+       |         row_number() OVER (ORDER BY lat_us, user_id) AS rn,
+       |         count(*) OVER () AS n
+       |  FROM lat
+       |)
+       |SELECT coalesce(max(n), 0)::BIGINT AS n_converted,
+       |       ${TextSim.r6Sql("max(CASE WHEN rn = ceil(n * 0.5) THEN lat_us END)::DOUBLE / 1000000.0")} AS p50_s,
+       |       ${TextSim.r6Sql("max(CASE WHEN rn = ceil(n * 0.9) THEN lat_us END)::DOUBLE / 1000000.0")} AS p90_s,
+       |       ${TextSim.r6Sql("sum(lat_us)::DOUBLE / max(n)::DOUBLE / 1000000.0")} AS mean_s
+       |FROM ranked""".stripMargin
 }

@@ -37,6 +37,33 @@ class AttributionSpec extends AnyFunSuite {
     assert(out.values.map(_._3).sum == 3L * 1000000L)
   }
 
+  test("time-to-convert: exact order statistics on a hand-built cohort; empty set reports 0") {
+    import graft.operators.Events
+    // users 1..5 convert with latencies 10, 20, 30, 40, 100 seconds;
+    // user 6 purchases BEFORE viewing (not a conversion); user 7 only views
+    val rows = Seq(
+      (1L, 1L, 1000L, "view"), (2L, 1L, 1010L, "purchase"),
+      (3L, 2L, 1000L, "view"), (4L, 2L, 1020L, "purchase"),
+      (5L, 3L, 1000L, "view"), (6L, 3L, 1030L, "purchase"),
+      (7L, 4L, 1000L, "view"), (8L, 4L, 1040L, "purchase"),
+      (9L, 5L, 1000L, "view"), (10L, 5L, 1100L, "purchase"),
+      (11L, 6L, 1000L, "purchase"), (12L, 6L, 1100L, "view"),
+      (13L, 7L, 1000L, "view"))
+    val df = rows.map { case (id, uid, sec, t) =>
+      (id, uid, new Timestamp(sec * 1000), t)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val got = Events.timeToConvert(df)
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    // n=5: p50 at rank ceil(2.5)=3 -> 30s; p90 at rank ceil(4.5)=5 -> 100s
+    assert(got._1 == 5L)
+    assert(got._2.contains(30.0) && got._3.contains(100.0))
+    assert(got._4.contains(40.0)) // mean of 10,20,30,40,100
+    val empty = Events.timeToConvert(
+      df.filter(col("event_type") === "view"))
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(empty._1 == 0L && empty._2.isEmpty && empty._4.isEmpty)
+  }
+
   test("ties on the corpus hold the accounting invariant and journey bounds") {
     val events = Tables.events(spark, sf)
     val out = Attribution.attribution(events)
