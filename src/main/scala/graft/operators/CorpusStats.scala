@@ -157,6 +157,112 @@ object CorpusStats {
        |HAVING count(*) >= $SkipMinCount
        |ORDER BY center, context""".stripMargin
 
+  /** Heaps-law checkpoint count: prefix sizes at i/[[HeapsPoints]]
+    * fractions of the doc-id range.
+    */
+  val HeapsPoints = 8
+
+  /** q_heaps — Heaps'-law vocabulary-growth fit V(T) ≈ k·T^β (Heaps
+    * 1978; β ≈ 0.4–0.6 on natural text): ln V regressed on ln T over
+    * [[HeapsPoints]] doc-id-prefix checkpoints — the GROWTH companion
+    * of `q_zipf`'s static rank-frequency slope (the two laws are duals;
+    * together they say whether the tokenizer's vocab budget will
+    * saturate or keep bleeding UNK mass as the corpus grows — THE
+    * question a 100 TB ingest asks before fixing a vocab size).
+    * Exactness without rescans: V at every checkpoint comes from ONE
+    * fold — a term's FIRST document (min doc_id per term) — because
+    * V(prefix ≤ c) = #{terms: first_doc ≤ c}; T per checkpoint is one
+    * token-count fold over doc buckets. Both folds are exact BIGINTs;
+    * per-point ln fixes to r6 BEFORE the OLS sums (which fold in
+    * decimal — the zipf rule), slope/intercept divide in double with
+    * identical shapes, r6. Empty checkpoints (no docs in a prefix)
+    * drop out by construction.
+    *
+    * Scale: two corpus folds total (term→min doc, doc→token count),
+    * both partial-agg; checkpoints evaluate on the |vocab|- and
+    * |docs|-bounded frames; the regression runs on ≤[[HeapsPoints]]
+    * rows. The corpus is never rescanned per checkpoint.
+    */
+  def heapsQuery(s: SparkSession, d: String): DataFrame =
+    heaps(Tables.documents(s, d))
+
+  def heaps(docs: DataFrame): DataFrame = {
+    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    // checkpoint c_i = lo + ceil(i·(hi−lo+1)/P) − 1, i = 1..P
+    val cks = bounds.select(explode(sequence(lit(1), lit(HeapsPoints))).as("i"),
+      col("lo"), col("hi"))
+      .select(col("i"),
+        (col("lo") + ceil(col("i") * (col("hi") - col("lo") + 1) /
+          lit(HeapsPoints)).cast("long") - 1).as("c"))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(TextSim.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+    val docToks = docs
+      .select(col("doc_id"), size(TextSim.tokens(col("text"))).cast("long").as("nt"))
+    val pts = broadcast(cks)
+      .join(firstDoc, col("fd") <= col("c"))
+      .groupBy(col("i"), col("c")).agg(count(lit(1)).as("v"))
+      .join(broadcast(cks).as("k2")
+        .join(docToks, col("doc_id") <= col("k2.c"))
+        .groupBy(col("k2.i").as("i")).agg(sum(col("nt")).as("t")),
+        Seq("i"))
+      .filter(col("t") > 0 && col("v") > 0)
+      .select(TextSim.r6(log(col("t").cast("double"))).as("x"),
+        TextSim.r6(log(col("v").cast("double"))).as("y"))
+    pts.agg(
+      count(lit(1)).as("n_points"),
+      TextSim.dsum(col("x")).as("sx"), TextSim.dsum(col("y")).as("sy"),
+      TextSim.dsum(col("x") * col("y")).as("sxy"),
+      TextSim.dsum(col("x") * col("x")).as("sxx"))
+      .select(col("n_points"),
+        TextSim.r6((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_points") * col("sxx") - col("sx") * col("sx"))).as("beta"),
+        TextSim.r6(exp((col("sy") - (col("n_points") * col("sxy") -
+          col("sx") * col("sy")) /
+          (col("n_points") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n_points"))).as("k"))
+  }
+
+  val heapsSql: String =
+    s"""WITH bounds AS (
+       |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+       |), cks AS MATERIALIZED (
+       |  SELECT i, (lo + ceil(i * (hi - lo + 1) / $HeapsPoints)::BIGINT - 1) AS c
+       |  FROM bounds CROSS JOIN (SELECT unnest(range(1, ${HeapsPoints + 1})) AS i)
+       |), first_doc AS (
+       |  SELECT term, min(doc_id) AS fd FROM (
+       |    SELECT doc_id,
+       |           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |    FROM documents
+       |  ) GROUP BY term
+       |), doc_toks AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS nt
+       |  FROM documents
+       |), vt AS (
+       |  SELECT cks.i, count(*)::BIGINT AS v
+       |  FROM cks JOIN first_doc ON first_doc.fd <= cks.c
+       |  GROUP BY cks.i
+       |), tt AS (
+       |  SELECT cks.i, sum(nt)::BIGINT AS t
+       |  FROM cks JOIN doc_toks ON doc_toks.doc_id <= cks.c
+       |  GROUP BY cks.i
+       |), pts AS (
+       |  SELECT ${TextSim.r6Sql("ln(t::DOUBLE)")} AS x,
+       |         ${TextSim.r6Sql("ln(v::DOUBLE)")} AS y
+       |  FROM vt JOIN tt USING (i)
+       |  WHERE t > 0 AND v > 0
+       |), sums AS (
+       |  SELECT count(*)::BIGINT AS n_points,
+       |         ${TextSim.dsumSql("x")} AS sx, ${TextSim.dsumSql("y")} AS sy,
+       |         ${TextSim.dsumSql("x * y")} AS sxy, ${TextSim.dsumSql("x * x")} AS sxx
+       |  FROM pts
+       |)
+       |SELECT n_points,
+       |       ${TextSim.r6Sql("(n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)")} AS beta,
+       |       ${TextSim.r6Sql("exp((sy - (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) * sx) / n_points)")} AS k
+       |FROM sums""".stripMargin
+
   val DriftBuckets = 256L
 
   /** q_drift — distribution drift between two corpus slices (fixture:

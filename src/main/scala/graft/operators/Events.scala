@@ -481,6 +481,68 @@ object Events {
        |       ${TextSim.r6Sql(
          "(ca::DOUBLE / na - cb::DOUBLE / nb) / sqrt(((ca + cb)::DOUBLE / (na + nb)) * (1.0 - (ca + cb)::DOUBLE / (na + nb)) * (1.0 / na + 1.0 / nb))")} END) >= 1.959964 AS significant_95
        |FROM wide""".stripMargin
+  /** q_burstiness — per-type dispersion of hourly volume as the Fano
+    * factor var/mean over the DENSE hour grid (a Poisson-arrival
+    * stream scores 1; >1 is bursty/clumped traffic, <1 is
+    * regular/throttled): the dispersion CLASS next to `q_anomaly`'s
+    * single-hour alarms (whose z-threshold silently assumes the
+    * variance; this measures it), `q_trend_slope`'s direction and
+    * `q_changepoint`'s regime cut. Missing hours are y=0 observations
+    * (the gapfill lesson) — they enter through the exact algebra, not
+    * a generated scan: with H grid hours and sparse Σy, Σy² BIGINTs,
+    * fano = (H·Σy² − (Σy)²) / ((H−1)·Σy) — exact integers, ONE r6
+    * division (mean = Σy/H, one more). H = 1 or Σy = 0 → NULL (the
+    * degenerate guard).
+    *
+    * Scale: one events fold to sparse (type, hour) counts, one
+    * ≤|types| moment fold, span a 1-row broadcast; the dense grid is
+    * never materialized.
+    */
+  def burstiness(ev: DataFrame): DataFrame = {
+    val span = ev.agg(
+      ((unix_micros(date_trunc("hour", max(col("ts")))) -
+        unix_micros(date_trunc("hour", min(col("ts"))))) / 3600000000L + 1)
+        .cast("long").as("h_n"))
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    hourly.groupBy(col("event_type"))
+      .agg(sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("h_n").as("n_hours"), col("sy").as("n_events"),
+        when(col("h_n") > 0,
+          TextSim.r6(col("sy").cast("double") / col("h_n"))).as("mean"),
+        when(col("h_n") > 1 && col("sy") > 0,
+          TextSim.r6((col("h_n") * col("syy") - col("sy") * col("sy")).cast("double") /
+            ((col("h_n") - 1).cast("double") * col("sy").cast("double"))))
+          .as("fano"))
+      .orderBy(col("event_type"))
+  }
+
+  def burstinessQuery(s: SparkSession, d: String): DataFrame =
+    burstiness(Tables.events(s, d))
+
+  val burstinessSql: String =
+    s"""WITH span AS (
+       |  SELECT ((epoch_us(date_trunc('hour', max(ts)))
+       |           - epoch_us(date_trunc('hour', min(ts)))) // 3600000000
+       |          + 1)::BIGINT AS h_n
+       |  FROM events
+       |), hourly AS (
+       |  SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS y
+       |  FROM events GROUP BY 1, 2
+       |), m AS (
+       |  SELECT event_type, sum(y)::BIGINT AS sy, sum(y * y)::BIGINT AS syy
+       |  FROM hourly GROUP BY event_type
+       |)
+       |SELECT event_type, h_n AS n_hours, sy AS n_events,
+       |       CASE WHEN h_n > 0 THEN ${TextSim.r6Sql("sy::DOUBLE / h_n")} END AS mean,
+       |       CASE WHEN h_n > 1 AND sy > 0 THEN
+       |         ${TextSim.r6Sql("(h_n * syy - sy * sy)::DOUBLE / ((h_n - 1)::DOUBLE * sy::DOUBLE)")}
+       |       END AS fano
+       |FROM m CROSS JOIN span
+       |ORDER BY event_type""".stripMargin
+
   /** q_time_to_convert — conversion-latency distribution: per
     * converting user (first view precedes first purchase — the
     * [[funnel]] ordering convention) the latency first-view →

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{CorpusStats, Events}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HeapsBurstinessSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("heaps: a one-new-word-per-doc corpus fits beta ~ 1; a closed vocabulary fits beta = 0") {
+    // doc i = 9 copies of a shared filler + 1 unique word: V(n) = n+1,
+    // T(n) = 10n, so V ∝ T and the fitted exponent must sit near 1
+    val growing = (1 to 80).map { i =>
+      (i.toLong, (Seq.fill(9)("filler") :+ s"unique$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val g = CorpusStats.heaps(growing)
+      .as[(Long, Double, Double)].head()
+    assert(g._1 == CorpusStats.HeapsPoints.toLong)
+    assert(g._2 > 0.9 && g._2 <= 1.01, s"beta=${g._2}")
+
+    // every doc drawn from the same 5-word pool: V saturates in doc 1,
+    // beta exactly 0 (identical ln V at every checkpoint), k = |vocab|
+    val closed = (1 to 80).map { i =>
+      (i.toLong, "aa bb cc dd ee")
+    }.toDF("doc_id", "text")
+    val c = CorpusStats.heaps(closed).as[(Long, Double, Double)].head()
+    assert(c._2 == 0.0 && math.abs(c._3 - 5.0) < 1e-4, s"beta=${c._2} k=${c._3}")
+  }
+
+  test("burstiness: constant series scores 0, a spike scores >> 1, degenerate guards hold") {
+    def ev(rows: Seq[(Long, String, Long)]) =
+      rows.zipWithIndex.map { case ((hr, t, n), i) => (hr, t, n, i) }
+        .flatMap { case (hr, t, n, i) =>
+          (1L to n).map(j =>
+            (i * 100000L + j, 1L, new Timestamp(hr * 3600L * 1000), t))
+        }.toDF("event_id", "user_id", "ts", "event_type")
+    // 'flat': 5 events every hour for 10 hours -> variance 0, fano 0
+    // 'spike': 1 event in 9 hours, 41 in one -> heavily over-dispersed
+    val rows = (0L until 10L).map(h => (h, "flat", 5L)) ++
+      (0L until 9L).map(h => (h, "spike", 1L)) :+ ((9L, "spike", 41L))
+    val out = Events.burstiness(ev(rows))
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("flat")._2 == 10L && out("flat")._5.contains(0.0))
+    assert(out("spike")._5.exists(_ > 5.0), s"spike fano=${out("spike")._5}")
+    // single-hour span: fano undefined -> NULL
+    val one = Events.burstiness(ev(Seq((0L, "only", 3L))))
+      .as[(String, Long, Long, Option[Double], Option[Double])].head()
+    assert(one._2 == 1L && one._5.isEmpty && one._4.contains(3.0))
+  }
+}
