@@ -31,6 +31,105 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
+  /** Embedding-outlier report size. */
+  val EmbedTopK = 20
+
+  /** q_embed_outliers — standardized EMBEDDING-space outliers: each
+    * vector's per-dimension squared z against the corpus's
+    * per-dimension mean/std, summed over dims (diagonal Mahalanobis —
+    * the full-covariance rotation is [[Pca]]'s job; the diagonal form
+    * is the scan-cheap screen), top-[[EmbedTopK]] reported. The
+    * vector-space face of the outlier family: [[lengthOutliers]]
+    * catches defective TEXTS, this catches defective VECTORS (a
+    * zeroed/clipped/mis-normalized embedding batch lights up here
+    * before it poisons ANN recall or k-means centroids).
+    *
+    * Determinism: components fix to integer micro-units; per-dim
+    * moment sums are exact BIGINTs folded once; mean/std and each
+    * dim's z² run in double with identical shapes, and the per-vector
+    * sum folds IN ARRAY-INDEX ORDER (a per-row `aggregate` lambda —
+    * deterministic like the [[graft.functions.VecDot]] contract, no
+    * partition order anywhere); the score r6-rounds once; zero-std
+    * dims contribute 0 (guard). Top-k ties break on vec_id.
+    *
+    * Scale: one corpus fold to d moment rows (posexplode + partial
+    * agg), stats broadcast back as d-array literals riding a 1-row
+    * frame, one scoring scan into a TakeOrdered top-k — the corpus
+    * never shuffles.
+    */
+  def embedOutliers(vectors: DataFrame, k: Int = EmbedTopK): DataFrame = {
+    val micro = vectors.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("m"))
+    // n·ss and s² overflow BIGINT past ~13k vectors at this micro
+    // scale — the variance product runs in exact DECIMAL(38,0)
+    // (HUGEINT on the oracle side) before the one cast to double.
+    val dims = micro
+      .select(posexplode(col("m")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      .select(col("d"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt((col("n").cast("decimal(38,0)") * col("ss") -
+          col("s").cast("decimal(38,0)") * col("s")).cast("double") /
+          (col("n").cast("double") * (col("n") - 1).cast("double"))).as("std"))
+    // per-dim mean/std as index-ordered array literals on ONE row
+    val stats = dims
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("mean"), col("std")))),
+          r => r.getField("mean")).as("means"),
+        transform(array_sort(collect_list(struct(col("d"), col("mean"), col("std")))),
+          r => r.getField("std")).as("stds"))
+    micro.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        TextSim.r6(aggregate(
+          sequence(lit(0), size(col("m")) - 1),
+          lit(0.0),
+          (acc, i) => acc + when(element_at(col("stds"), i + 1) > 0,
+            ((element_at(col("m"), i + 1).cast("double") -
+              element_at(col("means"), i + 1)) / element_at(col("stds"), i + 1)) *
+              ((element_at(col("m"), i + 1).cast("double") -
+                element_at(col("means"), i + 1)) / element_at(col("stds"), i + 1)))
+            .otherwise(lit(0.0)))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** q_embed_outliers over the embeddings table. */
+  def embedOutliersQuery(s: SparkSession, d: String): DataFrame =
+    embedOutliers(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  val embedOutliersSql: String = {
+    val mExpr = "[floor(x::DOUBLE * 1000000.0 + 0.5)::BIGINT for x in embedding]"
+    val z = "((m[i]::DOUBLE - means[i]) / stds[i])"
+    s"""WITH micro AS (
+       |  SELECT vec_id, $mExpr AS m FROM embeddings
+       |), dims AS (
+       |  SELECT d, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+       |         sum(v * v)::BIGINT AS ss
+       |  FROM (SELECT unnest(m) AS v, generate_subscripts(m, 1) AS d FROM micro)
+       |  GROUP BY d
+       |), dstats AS (
+       |  SELECT d, s::DOUBLE / n::DOUBLE AS mean,
+       |         sqrt((n::HUGEINT * ss - s::HUGEINT * s)::DOUBLE
+       |              / (n::DOUBLE * (n - 1)::DOUBLE)) AS std
+       |  FROM dims
+       |), stats AS (
+       |  SELECT list(mean ORDER BY d) AS means,
+       |         list(std ORDER BY d) AS stds
+       |  FROM dstats
+       |), scored AS (
+       |  SELECT vec_id,
+       |         ${TextSim.r6Sql(
+      s"list_sum([CASE WHEN stds[i] > 0 THEN $z * $z ELSE 0.0 END for i in range(1, len(m) + 1)])")} AS score
+       |  FROM micro CROSS JOIN stats
+       |)
+       |SELECT vec_id, score FROM scored
+       |ORDER BY score DESC, vec_id
+       |LIMIT $EmbedTopK""".stripMargin
+  }
+
   /** Modified-z multiplier (Φ⁻¹(0.75) — MAD→σ consistency constant). */
   val MadConsistency = 0.6745
 

@@ -29,6 +29,25 @@ class HeapsBurstinessSpec extends AnyFunSuite {
     assert(c._2 == 0.0 && math.abs(c._3 - 5.0) < 1e-4, s"beta=${c._2} k=${c._3}")
   }
 
+  test("embed outliers: a planted extreme vector ranks first; constant dims contribute 0") {
+    import graft.operators.Outliers
+    // 60 well-behaved vectors (varying dims 0-2), dim 3 CONSTANT
+    // (zero std — must contribute 0, never NaN), one planted vector
+    // with an extreme dim-0 excursion
+    val rows = (1 to 60).map { i =>
+      (i.toLong, Seq(0.001f * (i % 7), 0.002f * (i % 5), 0.001f * (i % 3), 0.5f))
+    } :+ ((99L, Seq(9f, 0f, 0f, 0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Outliers.embedOutliers(df, k = 5)
+      .as[(Long, Double)].collect()
+    assert(out.head._1 == 99L, s"planted outlier must rank first: ${out.toSeq}")
+    assert(out.head._2 > out(1)._2 * 10,
+      "the excursion dominates the well-behaved tail")
+    assert(out.forall(r => !r._2.isNaN && !r._2.isInfinite),
+      "zero-variance dim must contribute 0, never NaN")
+  }
+
   test("burstiness: constant series scores 0, a spike scores >> 1, degenerate guards hold") {
     def ev(rows: Seq[(Long, String, Long)]) =
       rows.zipWithIndex.map { case ((hr, t, n), i) => (hr, t, n, i) }
