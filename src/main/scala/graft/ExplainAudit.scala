@@ -523,6 +523,38 @@ object ExplainAudit {
     flag("para fuzzy: salted rare-shingle self-join",
       pfPlan.contains("__salt") && !pfPlan.contains("CartesianProduct"))
 
+    // round-6 post-block: heaps / burstiness / embed-outliers shapes
+    val hpPlan = operators.CorpusStats.heapsQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // two corpus folds total (term→first-doc, doc→token-count); the
+    // 8-row checkpoint frame broadcasts onto both (a nested-loop over
+    // 8 rows is the design) — the corpus is never rescanned per
+    // checkpoint and never a nested-loop PROBE side
+    flag("heaps: two corpus folds, checkpoints broadcast (no per-checkpoint rescan)",
+      hpPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("documents")) <= 2 &&
+        !hpPlan.contains("CartesianProduct"))
+
+    val buPlan = operators.Events.burstinessQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // sparse (type,hour) fold + ≤|types| moment fold; the dense grid
+    // is algebra, not a scan — one 1-row span broadcast, no Window
+    flag("burstiness: sparse folds only (no grid scan, no window)",
+      buPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) <= 2 &&
+        !buPlan.contains("Window") &&
+        buPlan.linesIterator.count(_.contains("BroadcastNestedLoop")) <= 1)
+
+    val eoPlan = operators.Outliers.embedOutliersQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // d-row moment fold + stats broadcast + TakeOrdered top-k: the
+    // vector column itself is never a shuffle key
+    flag("embed outliers: stats broadcast + partial top-k, corpus never shuffles",
+      eoPlan.contains("TakeOrderedAndProject") &&
+        !eoPlan.contains("SortMergeJoin") && !eoPlan.contains("ShuffledHashJoin") &&
+        !eoPlan.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("embedding")))
+
     spark.stop()
   }
 }
