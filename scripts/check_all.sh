@@ -7,6 +7,8 @@
 # Usage: scripts/check_all.sh   (~2 + 4 + 8 min for the three SFs)
 set -euo pipefail
 cd "$(dirname "$0")/.."
+echo "== plan invariants (graft.ExplainAudit, exits nonzero on VIOLATED) =="
+sbt -batch "runMain graft.ExplainAudit"
 for sf in 0.001 0.01 0.1; do
   out="/tmp/verify_sweep_sf$sf"
   rm -rf "$out"

