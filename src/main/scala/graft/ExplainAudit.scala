@@ -564,6 +564,15 @@ object ExplainAudit {
         !eoPlan.linesIterator.exists(l =>
           l.contains("Exchange hashpartitioning") && l.contains("embedding")))
 
+    // round-7 invariants
+    val mdPlan = operators.MediaDedup.mediaNearDup(spark, d)
+      .queryExecution.executedPlan.toString
+    // the dhash signature is a per-row scan projection; the one
+    // exchange is the salted band self-join — payloads never ride a
+    // cartesian or an unsalted bucket
+    flag("media neardup: salted band self-join, no cartesian",
+      mdPlan.contains("__salt") && !mdPlan.contains("CartesianProduct"))
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)

@@ -76,6 +76,49 @@ object Tables {
       |  FROM documents WHERE doc_id % 7 = 0
       |)""".stripMargin
 
+  /** Media corpus with injected PERCEPTUAL duplicates for the image
+    * near-dup operator: opaque binary payloads (the 1-D luminance
+    * model, [[graft.sources.MediaTransforms]]) whose planted copies
+    * are byte-DIFFERENT — they escape the exact `q_media_meta` digest
+    * — but perceptually near-identical:
+    * - media_id+1000000: "re-encoded" copies of every 10th payload
+    *   (every letter's luminance shifted +2 — the quantization jitter
+    *   of a lossy re-encode).
+    * - media_id+2000000: "2×-upsampled" copies of every 7th payload
+    *   (each byte doubled — a resize).
+    * SQL mirror: CTE `media`.
+    */
+  def mediaAug(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    base.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .unionAll(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("media_id"),
+            encode(translate(col("text"),
+              "abcdefghijklmnopqrstuvwxyz", "cdefghijklmnopqrstuvwxyz{|"),
+              "UTF-8").as("payload")))
+      .unionAll(
+        base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("media_id"),
+            encode(regexp_replace(col("text"), "(.)", "$1$1"), "UTF-8")
+              .as("payload")))
+  }
+
+  /** SQL mirror of [[mediaAug]] for oracle queries. */
+  val mediaAugSql: String =
+    """media AS (
+      |  SELECT doc_id AS media_id, encode(text) AS payload FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         encode(translate(text, 'abcdefghijklmnopqrstuvwxyz',
+      |                          'cdefghijklmnopqrstuvwxyz{|'))
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, encode(regexp_replace(text, '(.)', '\1\1', 'g'))
+      |  FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
   /** Embedding corpus with injected duplicate vectors (every 20th). */
   def embAug(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
