@@ -573,6 +573,16 @@ object ExplainAudit {
     flag("media neardup: salted band self-join, no cartesian",
       mdPlan.contains("__salt") && !mdPlan.contains("CartesianProduct"))
 
+    val sePlan = operators.Seasonal.seasonalQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // one events fold behind the cell barrier; profile/deviation/stats
+    // all run on time-bounded frames — the corpus never rescans and
+    // nothing needs a window
+    flag("seasonal: cell barrier only (zero events rescans, no window)",
+      sePlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) == 0 &&
+        !sePlan.contains("Window"))
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)
