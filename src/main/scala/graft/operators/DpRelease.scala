@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Differentially-private histogram release — the NOISE rung the
+  * privacy ladder was missing: [[Kanon]]'s k-anonymity / l-diversity /
+  * t-closeness AUDIT re-identification risk in a release but the
+  * released counts are still exact; this operator releases counts a
+  * formal ε-DP mechanism has perturbed, completing
+  * audit → generalize → noise.
+  *
+  * Mechanism: the geometric mechanism (Ghosh–Roughgarden–Sundararajan
+  * 2009 — the discrete Laplace, universally utility-optimal for count
+  * queries): released = count + X with P(X = k) ∝ α^|k|. α is fixed
+  * at 1/2, i.e. **ε = ln 2 ≈ 0.693 per released histogram** (the
+  * privacy ratio P(X=k)/P(X=k±1) = 2 = e^ε; unit-sensitivity
+  * counting query — add/remove one document changes one cell by 1).
+  * α = 1/2 is chosen because every tail probability is then DYADIC:
+  * P(X=0) = 1/3, P(X=±k) = 2^−k/3, so the inverse CDF is EXACT
+  * integer arithmetic on a 40-bit uniform — noise = f(bit length of
+  * 3u) — with no libm call anywhere (ln/exp last-ulp divergence
+  * between engines is the classic hash flake; here there is nothing
+  * to diverge).
+  *
+  * Determinism: the uniform is md5-keyed per cell (the house
+  * split/sample discipline) — "sticky noise": re-running the release
+  * returns the SAME noisy value, so repeated identical queries don't
+  * spend additional ε budget (the memoized-noise practice; fresh
+  * randomness per run would be 2ε, 3ε, … under composition).
+  *
+  * Domain rule: cells are released over the FULL PUBLIC domain
+  * (distinct sources × distinct langs, zero counts included, noise on
+  * every cell) — releasing only non-empty cells would leak set
+  * membership exactly. The categorical domains are treated as public
+  * knowledge (they are enumerable category codes, not data).
+  *
+  * Utility: E|X| = 4/3, P(|X| ≥ k) = 2^(1−k)/3 — released counts sit
+  * within ±4 of truth with probability > 99.5% (asserted in
+  * DpReleaseSpec). Negative releases are kept raw (clamping is valid
+  * post-processing but biases sums; the consumer chooses).
+  *
+  * Scale: one partial-agg fold to the ≤|domain| cell frame; the dense
+  * grid is bounded-×-bounded; noise is a per-row md5 expression. The
+  * corpus is touched exactly once.
+  */
+object DpRelease {
+
+  /** 40-bit uniform granularity. */
+  private val T = 1L << 40
+
+  /** ε = ln 2 in integer micro-nats — the release's privacy budget,
+    * stamped on every row so downstream accounting can Σ it.
+    */
+  val EpsMicro = 693147L
+
+  /** Discrete-Laplace(α=1/2) noise from a 40-bit uniform column —
+    * exact integer inverse CDF: u < 1/3 → negative tail, u ≥ 2/3 →
+    * positive tail, magnitude = 41 − bitlength(3·u′) (u′ the tail
+    * offset), else 0.
+    */
+  def geometricNoise(u: Column): Column = {
+    val n3 = u * 3
+    when(n3 < T, -(lit(41) - length(bin(n3))).cast("long"))
+      .when(n3 >= 2 * T, (lit(41) - length(bin((lit(T) - u) * 3))).cast("long"))
+      .otherwise(0L)
+  }
+
+  /** SQL mirror of [[geometricNoise]]. */
+  def geometricNoiseSql(u: String): String =
+    s"""CASE WHEN ($u) * 3 < $T THEN -(41 - length(bin(($u) * 3)))::BIGINT
+       |     WHEN ($u) * 3 >= ${2 * T} THEN (41 - length(bin(($T - ($u)) * 3)))::BIGINT
+       |     ELSE 0::BIGINT END""".stripMargin.replace("\n", " ")
+
+  /** ε-DP noisy counts of `df` per `keys` over the full public domain
+    * (cartesian of each key's distinct values, zero cells included).
+    * `seed` namespaces the release — a DIFFERENT seed is a fresh
+    * mechanism invocation and spends another ε.
+    */
+  def noisyCounts(df: DataFrame, keys: Seq[String], seed: String): DataFrame = {
+    val cells = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+    val grid = keys.map(k => df.select(col(k)).distinct())
+      .reduce(_.crossJoin(_))
+    val cellKey = concat(lit(s"dp:$seed:"),
+      concat_ws("|", keys.map(k => col(k).cast("string")): _*))
+    val u = conv(substring(md5(cellKey), 1, 10), 16, 10).cast("long")
+    grid.join(cells, keys, "left_outer")
+      .select(keys.map(col) :+ coalesce(col("c"), lit(0L)).as("c0"): _*)
+      .select((keys.map(col) :+
+        (col("c0") + geometricNoise(u)).as("n_released") :+
+        lit(EpsMicro).as("eps_micro")): _*)
+  }
+
+  /** q_dp_counts — the ε = ln 2 release of the corpus composition
+    * histogram (documents per source × lang): the number a data-
+    * sharing agreement actually permits publishing when the exact
+    * composition is sensitive.
+    */
+  def dpCounts(s: SparkSession, d: String): DataFrame =
+    noisyCounts(Tables.documents(s, d), Seq("source", "lang"), "v1")
+      .orderBy(col("source"), col("lang"))
+
+  val dpCountsSql: String = {
+    val u = "('0x' || substr(md5('dp:v1:' || g.source || '|' || g.lang), 1, 10))::BIGINT"
+    s"""WITH cells AS (
+       |  SELECT source, lang, count(*)::BIGINT AS c
+       |  FROM documents GROUP BY source, lang
+       |), grid AS (
+       |  SELECT s.source, l.lang
+       |  FROM (SELECT DISTINCT source FROM documents) s
+       |  CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+       |)
+       |SELECT g.source, g.lang,
+       |       (coalesce(c.c, 0) + ${geometricNoiseSql(u)})::BIGINT AS n_released,
+       |       ${EpsMicro}::BIGINT AS eps_micro
+       |FROM grid g LEFT JOIN cells c
+       |  ON c.source = g.source AND c.lang = g.lang
+       |ORDER BY g.source, g.lang""".stripMargin
+  }
+}

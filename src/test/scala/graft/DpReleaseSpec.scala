@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.DpRelease
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DpReleaseSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("noise is exactly discrete-Laplace(1/2): P(0)=1/3, ratio e^eps=2, E|X|=4/3") {
+    // 200k md5-keyed uniforms -> empirical noise distribution
+    val n = 200000L
+    val noise = spark.range(n)
+      .select(DpRelease.geometricNoise(
+        conv(substring(md5(concat(lit("t:"), col("id"))), 1, 10), 16, 10)
+          .cast("long")).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    val p0 = noise(0L).toDouble / n
+    assert(math.abs(p0 - 1.0 / 3) < 0.01, s"P(X=0)=$p0, want 1/3")
+    // the privacy ratio IS alpha: P(k)/P(k+1) = 2 = e^eps for every step
+    for (k <- 0L to 3L) {
+      val r = noise(k).toDouble / noise(k + 1)
+      assert(math.abs(r - 2.0) < 0.25, s"P($k)/P(${k + 1})=$r, want 2")
+      val rn = noise(-k).toDouble / noise(-k - 1)
+      assert(math.abs(rn - 2.0) < 0.25, s"P(${-k})/P(${-k - 1})=$rn, want 2")
+    }
+    val meanAbs = noise.map { case (k, c) => math.abs(k) * c }.sum.toDouble / n
+    assert(math.abs(meanAbs - 4.0 / 3) < 0.02, s"E|X|=$meanAbs, want 4/3")
+  }
+
+  test("release is deterministic (sticky noise), utility-bounded, and domain-complete") {
+    val df = Seq(
+      ("a", "x", 30), ("a", "y", 12), ("b", "x", 7)
+      // (b, y) absent on purpose: the public-domain grid must still
+      // release a (noisy) zero for it, or set membership leaks exactly
+    ).flatMap { case (s0, l, c) => (1 to c).map(_ => (s0, l)) }
+      .toDF("source", "lang")
+    val r1 = DpRelease.noisyCounts(df, Seq("source", "lang"), "v1")
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val r2 = DpRelease.noisyCounts(df, Seq("source", "lang"), "v1")
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(r1.toSeq == r2.toSeq, "same seed must release identical noise")
+    assert(r1.length == 4, "full 2x2 public domain, empty cell included")
+    assert(r1.forall(_._4 == DpRelease.EpsMicro))
+    val truth = Map(("a", "x") -> 30L, ("a", "y") -> 12L, ("b", "x") -> 7L)
+      .withDefaultValue(0L)
+    r1.foreach { case (s0, l, rel, _) =>
+      assert(math.abs(rel - truth((s0, l))) <= 40L,
+        s"($s0,$l): hard tail bound (40-bit uniform) violated: $rel")
+    }
+    // a different seed is a fresh mechanism draw
+    val r3 = DpRelease.noisyCounts(df, Seq("source", "lang"), "v2")
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(r3.map(_._3).toSeq != r1.map(_._3).toSeq,
+      "a new seed must spend fresh epsilon (different noise)")
+  }
+
+  test("released histogram is useful: most cells within +-4 of truth at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val rel = graft.operators.DpRelease.dpCounts(spark, dir)
+      .select(col("source"), col("lang"), col("n_released"))
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val truth = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val errs = rel.map { case (k, v) => math.abs(v - truth.getOrElse(k, 0L)) }
+    // P(|X| >= 5) = 2^-4/3 ~ 2%: out of 100 cells, a handful may exceed
+    assert(errs.count(_ > 4L) <= 10, s"too many cells off by >4: ${errs.toSeq.sorted.reverse.take(5)}")
+    assert(errs.sum.toDouble / errs.size <= 3.0, "mean abs error must sit near E|X|=4/3")
+  }
+}
