@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Propagation rounds of the most recent [[fromPairs]] /
+    * [[connectedComponents]] / [[mergePairs]] call on this driver — a
+    * DIAGNOSTIC read by ScaleRehearsal's incremental-vs-full
+    * comparison (rounds are bounded by the iterated graph's diameter,
+    * so the incremental path's contracted-delta graph should finish
+    * in fewer rounds than the full graph). Driver-side,
+    * last-call-wins; not part of any operator contract.
+    */
+  @volatile private[graft] var lastRounds: Int = 0
+
   /** Labels every node with the minimum node id reachable from it.
     *
     * @param nodes single-column `id` frame (every node, incl. isolated)
@@ -128,7 +138,9 @@ object Components {
     checkpointDir: Option[String]): DataFrame = {
     var labels = Iterate.materialize(seed, checkpointDir)
     var done = false
+    var rounds = 0
     while (!done) {
+      rounds += 1
       val viaEdges = labels.join(sym, labels("id") === sym("src"))
         .select(sym("dst").as("id"), labels("lbl").as("lbl"),
           lit(null).cast("long").as("old"))
@@ -152,6 +164,7 @@ object Components {
       labels = next
       done = obs.get("changed").asInstanceOf[Long] == 0L
     }
+    lastRounds = rounds
     labels
   }
 }
