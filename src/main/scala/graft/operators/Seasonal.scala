@@ -48,9 +48,18 @@ object Seasonal {
   def seasonalQuery(s: SparkSession, d: String): DataFrame =
     seasonal(Tables.events(s, d))
 
-  def seasonal(ev: DataFrame): DataFrame = {
+  def seasonal(ev: DataFrame): DataFrame =
+    detect(Changepoint.cells(ev))
+
+  /** Detection over a sparse `(h, event_type, y)` cell frame — the
+    * same maintained state [[graft.streaming.StreamingChangepoint.cells]]
+    * feeds ([[Changepoint.detect]] / [[Ks]] precedent: N detectors,
+    * one state store); runs on H·|types| rows, independent of event
+    * volume.
+    */
+  def detect(cellsRaw: DataFrame): DataFrame = {
     val agg = Iterate.materialize(
-      Changepoint.cells(ev)
+      cellsRaw
         .select(col("event_type"), unix_micros(col("h")).as("hu"), col("y")),
       None)
     // 1-row bounded statistic: the span collects once (the q_heaps rule)
