@@ -92,6 +92,67 @@ object DpRelease {
         lit(EpsMicro).as("eps_micro")): _*)
   }
 
+  /** ε-DP noisy SUM release — the bounded-sensitivity rung above
+    * [[noisyCounts]]: per-group Σ of `valueCents` CLAMPED to
+    * [0, clamp] (clamping bounds one row's influence — without it a
+    * sum has unbounded sensitivity and no finite ε exists), released
+    * on the clamp lattice: clamp·(S div clamp + X). One row moves S
+    * by ≤ clamp, hence the lattice point by ≤ 1 step, so the same
+    * α = 1/2 noise gives ε = ln 2; the div-floor costs ≤ clamp of
+    * rounding — the standard coarse-release trade (a per-unit
+    * geometric would need α = 2^(1/clamp): non-dyadic, libm, flaky).
+    * Clamp choice is the usual bias/noise dial: low clips honest
+    * heavy spenders, high inflates noise clamp-proportionally.
+    */
+  def noisySum(df: DataFrame, keys: Seq[String], valueCents: Column,
+    clamp: Long, seed: String): DataFrame = {
+    val cells = df.groupBy(keys.map(col): _*)
+      .agg(sum(least(greatest(valueCents, lit(0L)), lit(clamp))).as("s"))
+    val grid = keys.map(k => df.select(col(k)).distinct())
+      .reduce(_.crossJoin(_))
+    val cellKey = concat(lit(s"dpsum:$seed:"),
+      concat_ws("|", keys.map(k => col(k).cast("string")): _*))
+    val u = conv(substring(md5(cellKey), 1, 10), 16, 10).cast("long")
+    grid.join(cells, keys, "left_outer")
+      .select(keys.map(col) :+ coalesce(col("s"), lit(0L)).as("s0"): _*)
+      .select((keys.map(col) :+
+        ((expr(s"s0 div $clamp") + geometricNoise(u)) * clamp)
+          .as("sum_released_cents") :+
+        lit(clamp).as("clamp_cents") :+
+        lit(EpsMicro).as("eps_micro")): _*)
+  }
+
+  /** q_dp_sum — the ε = ln 2 release of per-type revenue (Σ value in
+    * cents, clamped at [[SumClampCents]] per event): the aggregate a
+    * revenue-sharing report publishes when row-level amounts are
+    * sensitive.
+    */
+  val SumClampCents = 10000L
+
+  def dpSum(s: SparkSession, d: String): DataFrame =
+    noisySum(Tables.events(s, d).filter(col("value").isNotNull),
+      Seq("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long"),
+      SumClampCents, "v1")
+      .orderBy(col("event_type"))
+
+  val dpSumSql: String = {
+    val u = "('0x' || substr(md5('dpsum:v1:' || g.event_type), 1, 10))::BIGINT"
+    s"""WITH cells AS (
+       |  SELECT event_type,
+       |         sum(least(greatest(CAST(floor(value * 100 + 0.5) AS BIGINT), 0),
+       |                   $SumClampCents))::BIGINT AS s
+       |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+       |), grid AS (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL)
+       |SELECT g.event_type,
+       |       ((coalesce(c.s, 0) // $SumClampCents + ${geometricNoiseSql(u)})
+       |        * $SumClampCents)::BIGINT AS sum_released_cents,
+       |       ${SumClampCents}::BIGINT AS clamp_cents,
+       |       ${EpsMicro}::BIGINT AS eps_micro
+       |FROM grid g LEFT JOIN cells c ON c.event_type = g.event_type
+       |ORDER BY g.event_type""".stripMargin
+  }
+
   /** q_dp_counts — the ε = ln 2 release of the corpus composition
     * histogram (documents per source × lang): the number a data-
     * sharing agreement actually permits publishing when the exact

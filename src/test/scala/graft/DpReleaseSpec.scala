@@ -57,6 +57,26 @@ class DpReleaseSpec extends AnyFunSuite {
       "a new seed must spend fresh epsilon (different noise)")
   }
 
+  test("noisy sums: clamped, lattice-rounded, deterministic, utility-bounded") {
+    val df = Seq(
+      ("a", 5000L), ("a", 25000L), ("a", 800L), // 25000 clips to 10000
+      ("b", 100L), ("b", 200L)
+    ).toDF("grp", "cents")
+    val clamp = DpRelease.SumClampCents
+    val out = DpRelease.noisySum(df, Seq("grp"), col("cents"), clamp, "s1")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val truth = Map("a" -> (5000L + 10000L + 800L), "b" -> 300L)
+    out.foreach { case (g, rel, c, eps) =>
+      assert(c == clamp && eps == DpRelease.EpsMicro)
+      assert(rel % clamp == 0L, "release lives on the clamp lattice")
+      // |release - clamped truth| <= clamp * (|noise| + 1); |noise| <= 40
+      assert(math.abs(rel - truth(g)) <= clamp * 41L, s"$g: $rel vs ${truth(g)}")
+    }
+    val again = DpRelease.noisySum(df, Seq("grp"), col("cents"), clamp, "s1")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq, "sticky noise on sums too")
+  }
+
   test("released histogram is useful: most cells within +-4 of truth at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val rel = graft.operators.DpRelease.dpCounts(spark, dir)
