@@ -37,12 +37,16 @@ object Ewma {
   /** See [[AlphaNum]]. */
   val AlphaDen = 10L
 
-  def ewmaQuery(s: SparkSession, d: String): DataFrame = {
+  def ewmaQuery(s: SparkSession, d: String): DataFrame =
+    ewma(Tables.events(s, d))
+
+  def ewma(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
     // ONE corpus scan: the sparse cell fold is collected (TIME-bounded)
     // and the dense grid, span and type list all derive from it on the
     // driver — span/types as separate frames would each re-scan events
-    val sparse = Changepoint.cells(Tables.events(s, d))
+    val sparse = Changepoint.cells(ev)
       .select(col("event_type"), unix_micros(col("h")).as("hu"), col("y"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val lo = sparse.map(_._2).min
