@@ -47,7 +47,15 @@ object MediaDedup {
   /** Near-dup pairs `(a_id, b_id, hamming)` with Hamming ≤
     * [[MaxHamming]] over any `(media_id, payload binary)` frame.
     */
-  def nearDupPairs(media: DataFrame): DataFrame = {
+  def nearDupPairs(media: DataFrame): DataFrame =
+    nearDupPairsRaw(media).orderBy(col("a_id"), col("b_id"))
+
+  /** [[nearDupPairs]] without the final presentation sort — the form
+    * internal consumers (survivor labeling) use (the
+    * [[Dedup.minhashPairsRaw]] rule: a global sort before a groupBy is
+    * a full sort the next exchange destroys).
+    */
+  private[graft] def nearDupPairsRaw(media: DataFrame): DataFrame = {
     val sigs = signatures(media)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -62,8 +70,21 @@ object MediaDedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= MaxHamming)
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** q_media_keep — the perceptual detector feeding the standard
+    * survivor machinery: near-dup pairs → connected components →
+    * every payload labeled with its cluster's keeper
+    * ([[Dedup.keepFrom]] unchanged — the multimodal pillar composes
+    * with the text pillar's pair→cluster→keeper last mile, one code
+    * path for every detector family). `filter(is_kept)` is the
+    * deduplicated media corpus.
+    */
+  def mediaKeep(s: SparkSession, d: String): DataFrame =
+    Dedup.keepFrom(
+      Tables.mediaAug(s, d).select(col("media_id").as("doc_id")),
+      nearDupPairsRaw(Tables.mediaAug(s, d)).select(col("a_id"), col("b_id")))
+      .select(col("doc_id").as("media_id"), col("keep_id"), col("is_kept"))
 
   /** q_media_neardup — [[nearDupPairs]] on the perceptual-dup-injected
     * media corpus ([[Tables.mediaAug]]): planted re-encodes land at
@@ -74,10 +95,14 @@ object MediaDedup {
   def mediaNearDup(s: SparkSession, d: String): DataFrame =
     nearDupPairs(Tables.mediaAug(s, d))
 
-  val mediaNearDupSql: String = {
+  /** Shared SQL prelude: mediaAug → per-payload dHash signatures →
+    * 16-bit band keys (consumed by [[mediaNearDupSql]] and
+    * [[mediaKeepSql]]).
+    */
+  private val sigCtesSql: String = {
     val S = DHash64.Samples
     val C = DHash64.CellSamples
-    s"""WITH ${Tables.mediaAugSql},
+    s"""${Tables.mediaAugSql},
        |m AS (
        |  SELECT media_id, hex(payload) AS hx,
        |         octet_length(payload)::BIGINT AS n
@@ -104,12 +129,34 @@ object MediaDedup {
        |), bands AS (
        |  SELECT media_id, sig, b, (sig >> ($BandBits*b)) & 65535 AS bval
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b)
-       |)
+       |)""".stripMargin
+  }
+
+  val mediaNearDupSql: String =
+    s"""WITH $sigCtesSql
        |SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
        |       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
        |FROM bands a JOIN bands b
        |  ON a.b = b.b AND a.bval = b.bval AND a.media_id < b.media_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $MaxHamming
        |ORDER BY a_id, b_id""".stripMargin
-  }
+
+  val mediaKeepSql: String =
+    s"""WITH RECURSIVE $sigCtesSql,
+       |verified AS (
+       |  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bval = b.bval AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $MaxHamming
+       |), sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM verified
+       |), walk(id, r) AS (
+       |  SELECT media_id, media_id FROM media
+       |  UNION
+       |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+       |)
+       |SELECT id AS media_id, min(r) AS keep_id, min(r) = id AS is_kept
+       |FROM walk GROUP BY id ORDER BY media_id""".stripMargin
 }

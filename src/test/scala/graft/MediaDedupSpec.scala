@@ -75,6 +75,23 @@ class MediaDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("media survivor labeling: every planted copy loses to its source") {
+    val kept = MediaDedup.mediaKeep(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    val n = Tables.mediaAug(spark, dir).count()
+    assert(kept.length == n, "every payload labeled exactly once")
+    val byId = kept.map(r => r._1 -> r).toMap
+    kept.filter(_._1 >= 1000000L).foreach { case (id, keepId, isKept) =>
+      assert(!isKept && keepId == id % 1000000L,
+        s"planted copy $id must lose to its source: keep=$keepId kept=$isKept")
+    }
+    // originals without planted copies keep themselves
+    kept.filter(r => r._1 < 1000000L && r._1 % 10 != 0 && r._1 % 7 != 0)
+      .foreach { case (id, keepId, isKept) =>
+        assert(isKept && keepId == id, s"unduplicated $id must survive")
+      }
+  }
+
   test("plan: salted band self-join, payloads never in a cartesian") {
     val plan = MediaDedup.mediaNearDup(spark, dir)
       .queryExecution.executedPlan.toString
