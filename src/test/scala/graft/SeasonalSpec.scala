@@ -61,6 +61,29 @@ class SeasonalSpec extends AnyFunSuite {
     assert(out.forall(_._4.isEmpty))
   }
 
+  test("seasonal strength: periodic feed ~1, white feed ~0, flat feed NULL, peak phase exact") {
+    import graft.operators.Changepoint
+    def strengthOf(feed: org.apache.spark.sql.DataFrame) =
+      graft.operators.Seasonal.strength(Changepoint.cells(feed))
+        .as[(String, Long, Option[Double], Long, Double)].collect().head
+    // pure rhythm: the profile explains everything
+    val periodic = ev((0L until 336L).map(h =>
+      (h, "load", if (h % 24 == 12) 200L else 10L)))
+    val p = strengthOf(periodic)
+    assert(p._3.exists(_ > 0.99), s"pure rhythm must score ~1: $p")
+    assert(p._4 == (12L + 0L) % 168L || p._4 % 24 == 12,
+      s"peak phase must be a noon: ${p._4}")
+    assert(p._5 == 200.0)
+    // aperiodic (md5-noise) feed: the profile explains ~nothing
+    val noisy = ev((0L until 336L).map(h =>
+      (h, "load", 10L + (math.abs(s"n:$h".hashCode) % 20L))))
+    val n = strengthOf(noisy)
+    assert(n._3.exists(_ < 0.6), s"aperiodic feed must score low: $n")
+    // flat feed: zero total variance -> NULL (degenerate guard)
+    val flat = ev((0L until 100L).map(h => (h, "load", 5L)))
+    assert(strengthOf(flat)._3.isEmpty)
+  }
+
   test("missing hours are y=0 observations, not skipped (the gapfill rule)") {
     // 3 WEEKS hourly at 10 (every hour-of-week cell needs >= 2
     // observations, or the profile degenerates to self-prediction),
