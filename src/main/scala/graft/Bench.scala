@@ -136,9 +136,14 @@ object Bench {
     }
     probes += calibrate()
     // a query's window is contended if EITHER bracketing probe ran
-    // >2x the quietest probe seen this run (the run's own floor — an
-    // absolute constant would break on different hardware)
-    val quietProbe = probes.min
+    // >2x the run's MEDIAN probe. Median, not min: in-sweep probes
+    // carry a systematically higher floor than the idle pre/post ones
+    // (GC debt from the preceding query), so a min threshold flags
+    // the whole run (measured: min 0.067 vs in-sweep median 0.29 on a
+    // quiet machine). The timeline's job is WINDOWS — outliers vs the
+    // run's own typical; a globally-contended run is the pre/post
+    // probes' and loadavg stamps' job (the r5 normalization rule).
+    val quietProbe = probes.sorted.apply(probes.length / 2)
     def contended(seg: Int): Boolean =
       math.max(probes(seg), probes(math.min(seg + 1, probes.length - 1))) >
         2.0 * quietProbe
