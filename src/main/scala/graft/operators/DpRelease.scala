@@ -78,9 +78,30 @@ object DpRelease {
     * `seed` namespaces the release — a DIFFERENT seed is a fresh
     * mechanism invocation and spends another ε.
     */
-  def noisyCounts(df: DataFrame, keys: Seq[String], seed: String): DataFrame = {
-    val cells = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-    val grid = keys.map(k => df.select(col(k)).distinct())
+  def noisyCounts(df: DataFrame, keys: Seq[String], seed: String): DataFrame =
+    releaseCounts(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c")),
+      keys, seed)
+
+  /** Release over an ALREADY-MAINTAINED count-cell frame `(keys…, c)`
+    * — the streaming form: the stream maintains counts incrementally
+    * (the one aggregation Structured Streaming does exactly), and the
+    * per-trigger release is this pure projection. Sticky noise makes
+    * per-trigger re-release FREE under composition: every trigger
+    * re-releases the same cells with the SAME noise, so a monitor
+    * publishing after each batch still spends one ε total.
+    */
+  def releaseCounts(cellsRaw: DataFrame, keys: Seq[String],
+    seed: String): DataFrame = {
+    // each branch re-aliases its columns through a fresh name and back
+    // (new expression ids): the grid crosses and left-joins the SAME
+    // input, and a streaming memory-sink VIEW referenced from several
+    // branches otherwise trips Catalyst's conflicting-references check
+    // (the house streaming self-join rule)
+    def fresh(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.select(cols.map(c => col(c).as(s"__f_$c")): _*)
+        .select(cols.map(c => col(s"__f_$c").as(c)): _*)
+    val cells = fresh(cellsRaw, keys :+ "c")
+    val grid = keys.map(k => fresh(cellsRaw, Seq(k)).distinct())
       .reduce(_.crossJoin(_))
     val cellKey = concat(lit(s"dp:$seed:"),
       concat_ws("|", keys.map(k => col(k).cast("string")): _*))
