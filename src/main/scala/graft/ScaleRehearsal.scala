@@ -106,6 +106,15 @@ object ScaleRehearsal {
     t("simhash_pairs") {
       operators.Dedup.simhashPairs(docs).count()
     }
+    // perceptual media near-dup under clone stress: replicas keep the
+    // SAME payloads, so every payload gains mult Hamming-0 clones —
+    // maximally viral 16-bit band buckets (every clone shares every
+    // band), the exact case the salted self-join splits; output pairs
+    // grow ~mult² per cluster (inherent — the answer is quadratic)
+    t("media_neardup") {
+      operators.MediaDedup.nearDupPairs(
+        replicate(Tables.mediaAug(spark, sfDir), "media_id")).count()
+    }
     // edit-distance dedup under clone stress: every clone cluster is
     // ONE viral prefix block, and candidate pairs grow quadratically
     // in the cluster size (mult clones -> mult·(mult−1)/2 verified
