@@ -174,6 +174,73 @@ object DpRelease {
        |ORDER BY g.event_type""".stripMargin
   }
 
+  /** USER-level ε-DP with contribution bounding — the rung row-level
+    * DP silently skips: [[noisyCounts]] protects one ROW, but one
+    * USER owns many rows, so removing a user can move a histogram
+    * arbitrarily and row-level ε says nothing about them. Standard
+    * fix (Wilson et al., "Differentially Private SQL", VLDB'20):
+    * BOUND each user's contribution — here each user counts toward at
+    * most [[UserCap]] cells (their md5-ranked first K distinct
+    * groups; deterministic, so oracle-able), then release per-cell
+    * counts with the α = 1/2 noise. Removing one user changes ≤ K
+    * cells by ≤ 1 each, so by basic composition the release is
+    * (K·ln 2)-DP at user level — `eps_micro` stamps K·693147, the
+    * honest ledger (the per-cell mechanism is unchanged; the BUDGET
+    * is what contribution width multiplies).
+    */
+  val UserCap = 2
+
+  def noisyUserCounts(df: DataFrame, userCol: String, keyCol: String,
+    seed: String): DataFrame = {
+    // each user's distinct groups, md5-rank-capped to UserCap via a
+    // user-partitioned row_number (the contribution bound; partitioned
+    // by user, so it scales — users bucket, no global sort)
+    val contrib = df.select(col(userCol).as("u"), col(keyCol).as("k"))
+      .distinct()
+      .withColumn("rk", conv(substring(md5(
+        concat(lit(s"cap:$seed:"), col("u").cast("string"), lit("|"),
+          col("k").cast("string"))), 1, 10), 16, 10).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("rk"), col("k"))
+    val capped = contrib.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= UserCap)
+    val cells = capped.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val u = conv(substring(md5(concat(lit(s"dpu:$seed:"),
+      col("k").cast("string"))), 1, 10), 16, 10).cast("long")
+    cells.select(col("k").as(keyCol),
+      (col("c") + geometricNoise(u)).as("n_released"),
+      lit(EpsMicro * UserCap).as("eps_micro"))
+  }
+
+  /** q_dp_users — user-level release of the per-type active-user
+    * histogram (each user counted in at most [[UserCap]] of the
+    * event types they touched).
+    */
+  def dpUsers(s: SparkSession, d: String): DataFrame =
+    noisyUserCounts(Tables.events(s, d), "user_id", "event_type", "v1")
+      .orderBy(col("event_type"))
+
+  val dpUsersSql: String = {
+    val u = "('0x' || substr(md5('dpu:v1:' || k), 1, 10))::BIGINT"
+    s"""WITH contrib AS (
+       |  SELECT DISTINCT user_id AS u, event_type AS k FROM events
+       |), ranked AS (
+       |  SELECT u, k,
+       |         row_number() OVER (PARTITION BY u ORDER BY
+       |           ('0x' || substr(md5('cap:v1:' || u || '|' || k), 1, 10))::BIGINT,
+       |           k) AS rn
+       |  FROM contrib
+       |), cells AS (
+       |  SELECT k, count(*)::BIGINT AS c FROM ranked WHERE rn <= $UserCap
+       |  GROUP BY k
+       |)
+       |SELECT k AS event_type,
+       |       (c + ${geometricNoiseSql(u)})::BIGINT AS n_released,
+       |       ${EpsMicro * UserCap}::BIGINT AS eps_micro
+       |FROM cells
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** q_dp_counts — the ε = ln 2 release of the corpus composition
     * histogram (documents per source × lang): the number a data-
     * sharing agreement actually permits publishing when the exact

@@ -77,6 +77,28 @@ class DpReleaseSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq, "sticky noise on sums too")
   }
 
+  test("user-level release: contribution capped at UserCap, budget stamped K*eps") {
+    // one power user touching every group, several one-group users
+    val df = (Seq.tabulate(6)(i => (100L + i, s"g${i % 3}")) ++
+      Seq.tabulate(5)(i => (999L, s"g$i"))) // user 999 touches 5 groups
+      .toDF("user_id", "grp")
+    val rel = DpRelease.noisyUserCounts(df, "user_id", "grp", "v1")
+      .as[(String, Long, Long)].collect()
+    assert(rel.forall(_._3 == DpRelease.EpsMicro * DpRelease.UserCap),
+      "the ledger must stamp K*eps, not eps")
+    // total capped contributions: 6 single-group users (1 each, all
+    // distinct (u, grp)) + user 999 capped to UserCap
+    val totalTrue = 6 + DpRelease.UserCap
+    // released total differs from capped truth only by noise (<=40/cell)
+    val released = rel.map(_._2).sum
+    assert(math.abs(released - totalTrue) <= 40L * rel.length,
+      s"released=$released cappedTruth=$totalTrue")
+    // determinism
+    val again = DpRelease.noisyUserCounts(df, "user_id", "grp", "v1")
+      .as[(String, Long, Long)].collect()
+    assert(rel.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("released histogram is useful: most cells within +-4 of truth at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val rel = graft.operators.DpRelease.dpCounts(spark, dir)
