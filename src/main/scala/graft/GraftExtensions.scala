@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hash functions"),
       (children: Seq[Expression]) => graft.functions.MinhashSigExpr(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("dhash64"),
+      new ExpressionInfo(classOf[graft.functions.DHash64Expr].getName, null,
+        "dhash64",
+        "dhash64(payload) - 64-bit perceptual difference-hash of a " +
+          "binary payload (fixed-grid resample, 65 pooled cells, " +
+          "adjacent-gradient bits)",
+        "hash functions"),
+      (children: Seq[Expression]) => graft.functions.DHash64Expr(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[graft.functions.Simhash48Expr].getName, null,
         "simhash48",

@@ -92,6 +92,17 @@ class MediaDedupSpec extends AnyFunSuite {
       }
   }
 
+  test("dhash64 is SQL-callable via GraftExtensions") {
+    Tables.mediaAug(spark, dir).limit(20)
+      .createOrReplaceTempView("media_sql_t")
+    val viaSql = spark.sql(
+      "SELECT media_id, dhash64(payload) AS sig FROM media_sql_t")
+      .as[(Long, Long)].collect().toMap
+    val viaApi = MediaDedup.signatures(Tables.mediaAug(spark, dir).limit(20))
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("plan: salted band self-join, payloads never in a cartesian") {
     val plan = MediaDedup.mediaNearDup(spark, dir)
       .queryExecution.executedPlan.toString
