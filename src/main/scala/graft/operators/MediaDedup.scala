@@ -95,6 +95,35 @@ object MediaDedup {
   def mediaNearDup(s: SparkSession, d: String): DataFrame =
     nearDupPairs(Tables.mediaAug(s, d))
 
+  /** q_media_dupstats — the duplication-inflation report at media
+    * grain (the [[Dedup.dupStats]] twin with BYTE mass): cluster-size
+    * histogram of the perceptual survivor labeling, with payload
+    * bytes and REMOVABLE bytes per size bucket — "how much of the
+    * media store is perceptual duplication, and how many bytes does
+    * dedup delete" as one bounded frame (storage-budget bytes are the
+    * media pillar's cost unit the way tokens are text's).
+    */
+  def mediaDupStats(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.mediaAug(s, d)
+    val keep = Dedup.keepFrom(
+      media.select(col("media_id").as("doc_id")),
+      nearDupPairsRaw(media).select(col("a_id"), col("b_id")))
+    val bytes = media.select(col("media_id").as("doc_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"))
+    val clusters = keep.join(bytes, "doc_id")
+      .groupBy(col("keep_id"))
+      .agg(count(lit(1)).cast("long").as("sz"),
+        sum(col("n_bytes")).cast("long").as("c_bytes"),
+        sum(when(!col("is_kept"), col("n_bytes")).otherwise(0L))
+          .cast("long").as("c_dup"))
+    clusters.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(col("sz")).cast("long").as("n_media"),
+        sum(col("c_bytes")).cast("long").as("n_bytes"),
+        sum(col("c_dup")).cast("long").as("dup_bytes"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Shared SQL prelude: mediaAug → per-payload dHash signatures →
     * 16-bit band keys (consumed by [[mediaNearDupSql]] and
     * [[mediaKeepSql]]).
@@ -159,4 +188,36 @@ object MediaDedup {
        |)
        |SELECT id AS media_id, min(r) AS keep_id, min(r) = id AS is_kept
        |FROM walk GROUP BY id ORDER BY media_id""".stripMargin
+
+  val mediaDupStatsSql: String =
+    s"""WITH RECURSIVE $sigCtesSql,
+       |verified AS (
+       |  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bval = b.bval AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $MaxHamming
+       |), sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM verified
+       |), walk(id, r) AS (
+       |  SELECT media_id, media_id FROM media
+       |  UNION
+       |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+       |), labels AS (
+       |  SELECT id, min(r) AS keep_id FROM walk GROUP BY id
+       |), per AS (
+       |  SELECT l.id, l.keep_id, (l.keep_id = l.id) AS is_kept,
+       |         octet_length(m2.payload)::BIGINT AS n_bytes
+       |  FROM labels l JOIN media m2 ON m2.media_id = l.id
+       |), clusters AS (
+       |  SELECT keep_id, count(*)::BIGINT AS sz,
+       |         sum(n_bytes)::BIGINT AS c_bytes,
+       |         sum(CASE WHEN NOT is_kept THEN n_bytes ELSE 0 END)::BIGINT AS c_dup
+       |  FROM per GROUP BY keep_id
+       |)
+       |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+       |       sum(sz)::BIGINT AS n_media, sum(c_bytes)::BIGINT AS n_bytes,
+       |       sum(c_dup)::BIGINT AS dup_bytes
+       |FROM clusters GROUP BY sz ORDER BY cluster_size""".stripMargin
 }
