@@ -583,6 +583,30 @@ object ExplainAudit {
         l.contains("FileScan") && l.contains("events")) == 0 &&
         !sePlan.contains("Window"))
 
+    val ssPlan = operators.Seasonal.strengthQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("seasonal strength: cell barrier only, argmax peak via max(struct) (no window)",
+      ssPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) == 0 &&
+        !ssPlan.contains("Window"))
+
+    val tiPlan = operators.TailIndex.tailIndexQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // the rank window partitions by type — a global (unpartitioned)
+    // sort of the degree frame would be the scale bug
+    flag("tail index: type-partitioned rank (no global sort of the degree frame)",
+      tiPlan.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("event_type")))
+
+    val dpPlan = operators.DpRelease.dpCounts(spark, d)
+      .queryExecution.executedPlan.toString
+    // one corpus fold to the domain cells; the noise is a scan
+    // projection — no join back to documents, no window
+    flag("dp counts: one documents fold, noise in the projection",
+      dpPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("documents")) <= 3 &&
+        !dpPlan.contains("Window"))
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)
