@@ -607,6 +607,16 @@ object ExplainAudit {
         l.contains("FileScan") && l.contains("documents")) <= 3 &&
         !dpPlan.contains("Window"))
 
+    val skrPlan = operators.Skew.skewReport(spark, d)
+      .queryExecution.executedPlan.toString
+    // the heavy-hitter cut is a partial top-k (per-partition heaps),
+    // never a global sort of the key-count frame; one events scan
+    // feeds both the stats fold and the top-k
+    flag("skew report: partial top-k (TakeOrderedAndProject), <=2 events scans",
+      skrPlan.contains("TakeOrderedAndProject") &&
+        skrPlan.linesIterator.count(l =>
+          l.contains("FileScan") && l.contains("events")) <= 2)
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import graft.functions.GridWindow
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew tooling for the hot-key joins every 100 TB pipeline eventually
@@ -59,4 +61,82 @@ object Skew {
       col(s"a.$idCol") < col(s"b.$idCol")
     a.join(b, cond)
   }
+
+  /** How many heavy hitters to surface in [[report]]. */
+  val ReportTopK = 10
+
+  /** Join-key skew DIAGNOSIS — the measurement that decides whether
+    * [[saltedJoin]] (or AQE's skew split) is needed at all, and with
+    * what salt factor. Per distinct key: its row count; globally: key
+    * cardinality, max/mean partition pressure, and the recommended
+    * salt = ⌈max/mean⌉ (the factor that levels the hottest key down to
+    * an average reducer's load). The report is the [[ReportTopK]]
+    * heaviest keys with the global stats riding every row (the
+    * [[FdProfile.chi2]] broadcast-scalar pattern).
+    *
+    * All ratios are integer micro-units (`1e6·a div b` — exact in both
+    * engines); products go through decimal(38,0) so a 100 TB key count
+    * (max_c·n_keys can pass 2^63 once both factors exceed ~3e9) never
+    * silently wraps (the burstiness HUGEINT lesson).
+    *
+    * Scale shape: one partial-agg groupBy over the fact table (the
+    * count fold is map-side combined), then a 1-row stats fold and a
+    * partial top-k (`TakeOrderedAndProject` — per-partition heaps, no
+    * global sort) over the ≤|keys| count frame. The fact table is
+    * scanned once.
+    */
+  def report(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_c"))
+      .select(col("n_keys"), col("n_rows"), col("max_c"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_rows) div n_keys AS BIGINT)")
+          .as("mean_micro"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * max_c * n_keys) div n_rows AS BIGINT)")
+          .as("skew_micro"),
+        expr("CAST((CAST(max_c AS DECIMAL(38,0)) * n_keys + n_rows - 1) div n_rows AS BIGINT)")
+          .as("rec_salt"))
+    val top = counts.orderBy(col("c").desc, col("k")).limit(ReportTopK)
+      .withColumn("rank",
+        row_number().over(GridWindow.ord(col("c").desc, col("k"))))
+    top.crossJoin(broadcast(stats))
+      .select(col("rank"), col("k").as("key"), col("c"),
+        col("n_keys"), col("n_rows"), col("max_c"),
+        col("mean_micro"), col("skew_micro"), col("rec_salt"))
+      .orderBy(col("rank"))
+  }
+
+  /** q_skew_report — skew diagnosis of the events fact table on its
+    * `user_id` join key (the key every user-grain enrichment join
+    * shuffles on).
+    */
+  def skewReport(s: SparkSession, d: String): DataFrame =
+    report(Tables.events(s, d), "user_id")
+
+  val skewReportSql: String =
+    s"""WITH counts AS (
+       |  SELECT user_id AS k, count(*)::BIGINT AS c
+       |  FROM events GROUP BY user_id
+       |), stats AS (
+       |  SELECT count(*)::BIGINT AS n_keys,
+       |         sum(c)::BIGINT AS n_rows,
+       |         max(c)::BIGINT AS max_c
+       |  FROM counts
+       |), stats2 AS (
+       |  SELECT n_keys, n_rows, max_c,
+       |         ((1000000::HUGEINT * n_rows) // n_keys)::BIGINT AS mean_micro,
+       |         ((1000000::HUGEINT * max_c * n_keys) // n_rows)::BIGINT AS skew_micro,
+       |         ((max_c::HUGEINT * n_keys + n_rows - 1) // n_rows)::BIGINT AS rec_salt
+       |  FROM stats
+       |), top AS (
+       |  SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rank
+       |  FROM counts ORDER BY c DESC, k LIMIT $ReportTopK
+       |)
+       |SELECT rank::BIGINT AS rank, k AS key, c,
+       |       n_keys, n_rows, max_c, mean_micro, skew_micro, rec_salt
+       |FROM top CROSS JOIN stats2
+       |ORDER BY rank""".stripMargin
 }
