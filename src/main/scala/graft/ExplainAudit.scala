@@ -617,6 +617,14 @@ object ExplainAudit {
         skrPlan.linesIterator.count(l =>
           l.contains("FileScan") && l.contains("events")) <= 2)
 
+    val acfPlan = operators.Autocorr.autocorrQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // one events fold to the checkpointed cell frame; the 9-lag ladder
+    // self-joins the bounded cells, never re-scanning events per lag
+    flag("autocorr: <=1 events scan (checkpoint barrier feeds all lags)",
+      acfPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) <= 1)
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)
