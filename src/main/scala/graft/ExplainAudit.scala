@@ -625,6 +625,14 @@ object ExplainAudit {
       acfPlan.linesIterator.count(l =>
         l.contains("FileScan") && l.contains("events")) <= 1)
 
+    val miPlan = operators.MutualInfo.mutualInfoQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // one corpus fold to the checkpointed contingency frame; marginal
+    // re-folds and the joint fold all read it, never the corpus
+    flag("mutual info: <=1 documents scan (contingency barrier)",
+      miPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("documents")) <= 1)
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)
