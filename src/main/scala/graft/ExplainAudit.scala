@@ -633,6 +633,14 @@ object ExplainAudit {
       miPlan.linesIterator.count(l =>
         l.contains("FileScan") && l.contains("documents")) <= 1)
 
+    val bootPlan = operators.Bootstrap.bootstrapQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // the checkpoint barrier feeds BOTH the point estimate and the
+    // B-replicate fold: one corpus scan, the explode is a projection
+    flag("bootstrap: <=1 documents scan (point + replicates share barrier)",
+      bootPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("documents")) <= 1)
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)
