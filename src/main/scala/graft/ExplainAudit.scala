@@ -633,6 +633,13 @@ object ExplainAudit {
       miPlan.linesIterator.count(l =>
         l.contains("FileScan") && l.contains("documents")) <= 1)
 
+    val novPlan = operators.Novelty.noveltyQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // the bounded eval shingle table broadcasts; the train side streams
+    // past it — never a sort-merge of the two shingle streams
+    flag("ngram novelty: eval shingles broadcast, train never sort-merged",
+      novPlan.contains("BroadcastHashJoin") && !novPlan.contains("SortMergeJoin"))
+
     val bootPlan = operators.Bootstrap.bootstrapQuery(spark, d)
       .queryExecution.executedPlan.toString
     // the checkpoint barrier feeds BOTH the point estimate and the
