@@ -633,6 +633,15 @@ object ExplainAudit {
       miPlan.linesIterator.count(l =>
         l.contains("FileScan") && l.contains("documents")) <= 1)
 
+    val psPlan = graft.sources.PruneStats.pruneStatsQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // one orders scan behind the checkpoint barrier; the 2·P predicate
+    // table broadcasts into the stats join
+    flag("prune stats: <=1 orders scan, predicate table broadcast",
+      psPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("orders")) <= 1 &&
+        psPlan.contains("BroadcastNestedLoopJoin"))
+
     val novPlan = operators.Novelty.noveltyQuery(spark, d)
       .queryExecution.executedPlan.toString
     // the bounded eval shingle table broadcasts; the train side streams
