@@ -257,4 +257,105 @@ object Relevance {
        |FROM tf, stats
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q_rank_corr — DO the two retrieval arms agree? Per query,
+    * Spearman's ρ between the vector arm's and the lexical arm's
+    * orderings of their COMMON shortlist docs, plus the shortlist
+    * overlap size. The diagnosis BEHIND `q_hybrid`'s fusion: RRF only
+    * buys recall when the arms disagree (low overlap / low ρ =
+    * complementary signals — fusion is load-bearing; ρ ≈ 1 = either
+    * arm alone suffices and the second is pure cost). The operating
+    * dial this feeds: drop the lexical arm per query-segment where ρ
+    * stays high.
+    *
+    * Determinism: ranks are re-numbered WITHIN the intersection by
+    * each arm's original order (tie-free permutations by
+    * construction, so the no-ties closed form is exact); Σd² is an
+    * exact BIGINT; ρ = 1 − 6Σd²/(n(n²−1)) is one double division over
+    * exact integers, r6; n < 2 → NULL. Scale: both arms are the
+    * shortlist frames `q_hybrid` already bounds (|Q|·ShortK rows) —
+    * everything here runs on bounded frames, the corpus is never
+    * touched past the arm scans.
+    */
+  def rankCorr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val vec = Ann.topKNeighbors(s, e, e.filter(col("vec_id") % 100 === 0), ShortK)
+      .select(col("query_id"), col("vec_id"), col("rank").as("v_rank"))
+    val lex = lexArm(s, Tables.documents(s, d))
+    spearmanOf(vec, lex)
+  }
+
+  /** Spearman agreement of a `(query_id, vec_id, v_rank)` arm and a
+    * `(query_id, vec_id, l_rank)` arm over their common docs.
+    */
+  private[graft] def spearmanOf(vec: DataFrame, lex: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val common = vec.join(lex, Seq("query_id", "vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+    val ranked = common
+      .withColumn("rv", row_number().over(w.orderBy(col("v_rank"))))
+      .withColumn("rl", row_number().over(w.orderBy(col("l_rank"))))
+    ranked.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_common"),
+        sum((col("rv") - col("rl")) * (col("rv") - col("rl")))
+          .cast("long").as("sd2"))
+      .select(col("query_id"), col("n_common"),
+        when(col("n_common") >= 2, TextSim.r6(
+          lit(1.0) - lit(6.0) * col("sd2") /
+            (col("n_common") * (col("n_common") * col("n_common") - lit(1.0)))))
+          .as("rho"))
+      .orderBy(col("query_id"))
+  }
+
+  val rankCorrSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_sum(list_transform(embedding,
+       |           x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM e WHERE vec_id % 100 = 0
+       |), vec_ranked AS (
+       |  SELECT query_id, vec_id, rank FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             ${Ann.cosineSql("q.q_emb", "q.q_nrm", "e.embedding", "e.nrm")} DESC,
+       |             e.vec_id) AS rank
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+       |  WHERE rank <= $ShortK
+       |), sh AS (
+       |  SELECT doc_id, unnest(${TextSim.shingles3Sql("t")}) AS shingle
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |        FROM documents)
+       |  WHERE len(t) >= 3
+       |), lex_ranked AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY
+       |             n_shared DESC, doc_id) AS rank
+       |    FROM (SELECT b.doc_id AS query_id, a.doc_id,
+       |                 count(*)::BIGINT AS n_shared
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |          WHERE b.doc_id % 100 = 0 AND a.doc_id <> b.doc_id
+       |          GROUP BY 1, 2))
+       |  WHERE rank <= $ShortK
+       |), common AS (
+       |  SELECT v.query_id, v.vec_id,
+       |         row_number() OVER (PARTITION BY v.query_id ORDER BY v.rank)
+       |           AS rv,
+       |         row_number() OVER (PARTITION BY v.query_id ORDER BY l.rank)
+       |           AS rl
+       |  FROM vec_ranked v JOIN lex_ranked l
+       |    ON v.query_id = l.query_id AND v.vec_id = l.doc_id
+       |)
+       |SELECT query_id, count(*)::BIGINT AS n_common,
+       |       CASE WHEN count(*) >= 2 THEN ${TextSim.r6Sql(
+      "1.0::DOUBLE - 6.0::DOUBLE * sum((rv - rl) * (rv - rl))::BIGINT / (count(*)::DOUBLE * (count(*)::DOUBLE * count(*)::DOUBLE - 1.0::DOUBLE))")}
+       |            END AS rho
+       |FROM common
+       |GROUP BY query_id
+       |ORDER BY query_id""".stripMargin
 }
