@@ -75,16 +75,7 @@ object Bootstrap {
       .select(col("n_docs"),
         when(col("n_docs") > 0, expr("(1000000 * sx) div n_docs"))
           .as("mean_micro"))
-    val u = (conv(substring(md5(concat(lit("boot:"), col("r").cast("string"),
-      lit(":"), col("id").cast("string"))), 1, 7), 16, 10).cast("long")
-      .cast("double") + 0.5) / 268435456.0
-    val reps = base
-      .select(col("id"), col("x"),
-        explode(sequence(lit(1), lit(NumReps))).as("r"))
-      .withColumn("w", invPoisson(u))
-      .groupBy(col("r"))
-      .agg(sum(col("w") * col("x")).cast("long").as("swx"),
-        sum(col("w")).cast("long").as("sw"))
+    val reps = repAccums(base)
       .filter(col("sw") > 0)
       .select(col("r"), expr("(1000000 * swx) div sw").as("m"))
     val ranked = reps
@@ -97,6 +88,25 @@ object Bootstrap {
     point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
       .select(col("n_docs"), col("n_reps"), col("mean_micro"),
         col("lo_micro"), col("hi_micro"))
+  }
+
+  /** The one-pass replicate fold over an `(id, x)` frame: B rows of
+    * `(r, swx, sw)` accumulators. Weights are per-(replicate, id)
+    * deterministic, so the accumulators MERGE BY ADDITION across any
+    * partition of the rows — the property [[graft.streaming.StreamingBootstrap]]
+    * folds batches with.
+    */
+  def repAccums(rows: DataFrame): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("boot:"), col("r").cast("string"),
+      lit(":"), col("id").cast("string"))), 1, 7), 16, 10).cast("long")
+      .cast("double") + 0.5) / 268435456.0
+    rows
+      .select(col("id"), col("x"),
+        explode(sequence(lit(1), lit(NumReps))).as("r"))
+      .withColumn("w", invPoisson(u))
+      .groupBy(col("r"))
+      .agg(sum(col("w") * col("x")).cast("long").as("swx"),
+        sum(col("w")).cast("long").as("sw"))
   }
 
   val bootstrapSql: String =
