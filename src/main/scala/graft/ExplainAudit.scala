@@ -633,6 +633,14 @@ object ExplainAudit {
       miPlan.linesIterator.count(l =>
         l.contains("FileScan") && l.contains("documents")) <= 1)
 
+    val chPlan = operators.Churn.churnQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // one events fold to the checkpointed per-user frame; horizon and
+    // lifetimes both read the barrier, the ladder is generated
+    flag("churn: <=1 events scan (user-frame barrier feeds horizon + lifetimes)",
+      chPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) <= 1)
+
     val psPlan = graft.sources.PruneStats.pruneStatsQuery(spark, d)
       .queryExecution.executedPlan.toString
     // one orders scan behind the checkpoint barrier; the 2·P predicate
