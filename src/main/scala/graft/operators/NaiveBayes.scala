@@ -265,4 +265,85 @@ object NaiveBayes {
        |JOIN ranked r1 ON r1.doc_id = nt.doc_id AND r1.rk = 1
        |JOIN ranked r2 ON r2.doc_id = nt.doc_id AND r2.rk = 2
        |ORDER BY nt.doc_id""".stripMargin
+
+  /** Confident-disagreement threshold: 0.5 nats between top-1 and the
+    * runner-up before a disagreeing label is called suspect.
+    */
+  val NoiseMarginMicro = 500000L
+
+  /** q_label_noise — the confident-learning screen (the Cleanlab move,
+    * Northcutt et al. 2021, over the trained router): a document whose
+    * PREDICTED class disagrees with its recorded label while beating
+    * the runner-up by ≥ [[NoiseMarginMicro]] is a suspected
+    * mislabel; per label, the suspect count/rate and the most common
+    * disagreement target (where the mislabels point — a label pair
+    * that dominates is a systematic upstream tagging bug, not noise).
+    * Uses the top1−top2 margin the classifier already emits — a LOWER
+    * BOUND on top1−score(label) whenever pred ≠ label, so the screen
+    * is conservative by construction (never flags a doc whose own
+    * label is competitive).
+    *
+    * Exact integers end to end (micro-nat scores, counts, one micro
+    * division); tie on the confusion target breaks to the
+    * lexicographically smaller class. Scale: one ≤C²-row fold past the
+    * nb_classify scan; the report is ≤C rows.
+    */
+  def labelNoise(s: SparkSession, d: String): DataFrame =
+    labelNoiseOf(classify(Tables.documents(s, d))
+      .withColumnRenamed("label", "lang"))
+
+  /** The screen over any scored frame carrying (lang, pred,
+    * margin_micro) — [[classify]]'s output shape.
+    */
+  def labelNoiseOf(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = scored.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("pred") =!= col("lang") &&
+          col("margin_micro") >= NoiseMarginMicro, 1L).otherwise(0L))
+          .cast("long").as("n_suspect"))
+    val top = scored
+      .filter(col("pred") =!= col("lang") &&
+        col("margin_micro") >= NoiseMarginMicro)
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).cast("long").as("top_confused_n"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("top_confused_n").desc, col("pred"))))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("pred").as("top_confused"),
+        col("top_confused_n"))
+    base.join(top, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_suspect"),
+        expr("(1000000 * n_suspect) div n_docs").as("noise_micro"),
+        col("top_confused"),
+        coalesce(col("top_confused_n"), lit(0L)).as("top_confused_n"))
+      .orderBy(col("lang"))
+  }
+
+  lazy val labelNoiseSql: String =
+    s"""WITH scored AS ($nbClassifySql
+       |), sus AS (
+       |  SELECT lang, pred, count(*)::BIGINT AS n
+       |  FROM scored
+       |  WHERE pred <> lang AND margin_micro >= $NoiseMarginMicro
+       |  GROUP BY lang, pred
+       |), top AS (
+       |  SELECT lang, pred AS top_confused, n AS top_confused_n FROM (
+       |    SELECT lang, pred, n,
+       |           row_number() OVER (PARTITION BY lang
+       |                              ORDER BY n DESC, pred) AS rn
+       |    FROM sus) WHERE rn = 1
+       |), base AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |         sum(CASE WHEN pred <> lang
+       |                   AND margin_micro >= $NoiseMarginMicro
+       |                  THEN 1 ELSE 0 END)::BIGINT AS n_suspect
+       |  FROM scored GROUP BY lang
+       |)
+       |SELECT b.lang, b.n_docs, b.n_suspect,
+       |       (1000000 * b.n_suspect) // b.n_docs AS noise_micro,
+       |       t.top_confused,
+       |       coalesce(t.top_confused_n, 0)::BIGINT AS top_confused_n
+       |FROM base b LEFT JOIN top t ON t.lang = b.lang
+       |ORDER BY b.lang""".stripMargin
 }
