@@ -633,6 +633,14 @@ object ExplainAudit {
       miPlan.linesIterator.count(l =>
         l.contains("FileScan") && l.contains("documents")) <= 1)
 
+    val ccPlan = operators.Concurrency.concurrencyQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // sessions explode to delta rows in ONE projection; the bounded
+    // cell barrier feeds grid bounds + the join — one events scan
+    flag("concurrency: <=1 events scan (delta cells barrier)",
+      ccPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) <= 1)
+
     val chPlan = operators.Churn.churnQuery(spark, d)
       .queryExecution.executedPlan.toString
     // one events fold to the checkpointed per-user frame; horizon and
