@@ -267,4 +267,96 @@ object DpRelease {
        |  ON c.source = g.source AND c.lang = g.lang
        |ORDER BY g.source, g.lang""".stripMargin
   }
+
+  /** PUBLIC binning for the DP length-quantile release: the bin edges
+    * are fixed constants, NOT data-derived (a data-derived min/max is
+    * itself a sensitive statistic and would leak outside the budget).
+    */
+  val QBinWidth = 200L
+  val QBins = 40
+  val QuantilePcts = Seq(10L, 25L, 50L, 75L, 90L)
+
+  /** q_dp_quantile — ε-DP quantiles of document length by the
+    * noisy-histogram method (the standard DP quantile release, e.g.
+    * Google's DP library's bounded-quantiles shape): ONE geometric-
+    * mechanism histogram over the [[QBins]] public fixed-width bins
+    * (ε = ln 2 total — unit sensitivity, one cell per document), then
+    * the whole quantile ladder reads off the noisy CDF as pure
+    * post-processing (free under DP). Negative noisy cells clamp to 0
+    * for the CDF (valid post-processing); the estimate is the UPPER
+    * edge of the first bin whose cumulative clears ⌈q·N̂/100⌉ —
+    * conservative, resolution [[QBinWidth]] chars. A release whose
+    * clamped histogram is all zero yields NULL estimates; note an
+    * EMPTY corpus still releases noise-only quantiles — by design,
+    * the mechanism cannot reveal emptiness (that is the privacy).
+    *
+    * Same dyadic-noise determinism as the whole ladder: md5-keyed
+    * 40-bit uniforms, exact integer inverse CDF, zero libm. Scale:
+    * one corpus fold to the [[QBins]]-row histogram; everything after
+    * runs on the bounded grid.
+    */
+  def dpQuantile(s: SparkSession, d: String): DataFrame =
+    dpQuantileOf(s, Tables.documents(s, d))
+
+  /** The release over any frame carrying `n_chars`. */
+  def dpQuantileOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.functions.GridWindow
+    val hist = docs
+      .select(least(expr(s"cast(n_chars AS bigint) div $QBinWidth"),
+        lit(QBins - 1L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).cast("long").as("c"))
+    val u = conv(substring(md5(concat(lit("dpq:v1:"),
+      col("bin").cast("string"))), 1, 10), 16, 10).cast("long")
+    val noisy = s.range(0, QBins.toLong).select(col("id").as("bin"))
+      .join(hist, Seq("bin"), "left")
+      .select(col("bin"),
+        greatest(coalesce(col("c"), lit(0L)) + geometricNoise(u), lit(0L))
+          .as("clamped"))
+      .withColumn("cum", sum(col("clamped")).over(GridWindow.ord(col("bin"))))
+      .withColumn("total", sum(col("clamped")).over(GridWindow.all))
+    val qs = s.range(0, QuantilePcts.size.toLong)
+      .select(element_at(
+        array(QuantilePcts.map(lit): _*), (col("id") + 1).cast("int"))
+        .as("q_pct"))
+    qs.join(noisy,
+      col("total") > 0 && col("cum") * 100 >= col("q_pct") * col("total"),
+      "left")
+      .groupBy(col("q_pct"))
+      .agg(min(col("bin")).as("bin"), max(col("total")).as("n_released"))
+      .select(col("q_pct"), col("bin"),
+        when(col("bin").isNotNull, (col("bin") + 1) * QBinWidth)
+          .as("est_chars_le"),
+        col("n_released"), lit(EpsMicro).as("eps_micro"))
+      .orderBy(col("q_pct"))
+  }
+
+  val dpQuantileSql: String = {
+    val u = "('0x' || substr(md5('dpq:v1:' || g.bin), 1, 10))::BIGINT"
+    s"""WITH hist AS (
+       |  SELECT least(n_chars::BIGINT // $QBinWidth, ${QBins - 1}) AS bin,
+       |         count(*)::BIGINT AS c
+       |  FROM documents GROUP BY 1
+       |), noisy AS (
+       |  SELECT g.bin,
+       |         greatest(coalesce(h.c, 0) + ${geometricNoiseSql(u)}, 0)
+       |           AS clamped
+       |  FROM (SELECT unnest(generate_series(0, ${QBins - 1})) AS bin) g
+       |  LEFT JOIN hist h ON h.bin = g.bin
+       |), cdf AS (
+       |  SELECT bin, sum(clamped) OVER (ORDER BY bin)::BIGINT AS cum,
+       |         sum(clamped) OVER ()::BIGINT AS total
+       |  FROM noisy
+       |), qs AS (
+       |  SELECT unnest([${QuantilePcts.mkString(", ")}])::BIGINT AS q_pct
+       |)
+       |SELECT q.q_pct, min(c.bin) AS bin,
+       |       CASE WHEN min(c.bin) IS NOT NULL
+       |            THEN (min(c.bin) + 1) * $QBinWidth END AS est_chars_le,
+       |       max(c.total) AS n_released,
+       |       $EpsMicro::BIGINT AS eps_micro
+       |FROM qs q LEFT JOIN cdf c
+       |  ON c.total > 0 AND c.cum * 100 >= q.q_pct * c.total
+       |GROUP BY q.q_pct
+       |ORDER BY q.q_pct""".stripMargin
+  }
 }

@@ -112,4 +112,29 @@ class DpReleaseSpec extends AnyFunSuite {
     assert(errs.count(_ > 4L) <= 10, s"too many cells off by >4: ${errs.toSeq.sorted.reverse.take(5)}")
     assert(errs.sum.toDouble / errs.size <= 3.0, "mean abs error must sit near E|X|=4/3")
   }
+
+  test("DP quantiles: within one bin of truth on a planted staircase, sticky, one eps") {
+    // 4000 docs spread evenly over bins 0..19 (200 per bin): true
+    // quantile q lands in bin ceil(q*20/100)-1; +-4 noise per bin
+    // against 200-deep bins cannot move the CDF crossing by a bin
+    val docs = (0 until 4000)
+      .map(i => (i.toLong, (i % 20) * DpRelease.QBinWidth + 50L))
+      .toDF("doc_id", "n_chars")
+    val r = DpRelease.dpQuantileOf(spark, docs).collect()
+      .map(x => x.getAs[Long]("q_pct") ->
+        ((x.getAs[Long]("bin"), x.getAs[Long]("est_chars_le"),
+          x.getAs[Long]("eps_micro")))).toMap
+    for ((q, trueBin) <- Seq(10L -> 1L, 25L -> 4L, 50L -> 9L,
+      75L -> 14L, 90L -> 17L)) {
+      val (bin, est, eps) = r(q)
+      assert(math.abs(bin - trueBin) <= 1L,
+        s"q$q: bin $bin should sit within 1 of $trueBin")
+      assert(est == (bin + 1) * DpRelease.QBinWidth)
+      assert(eps == DpRelease.EpsMicro,
+        "the whole ladder is post-processing of ONE release")
+    }
+    // sticky noise: the release is a pure function of (seed, data)
+    val again = DpRelease.dpQuantileOf(spark, docs).collect().toSeq
+    assert(again == DpRelease.dpQuantileOf(spark, docs).collect().toSeq)
+  }
 }
