@@ -580,6 +580,50 @@ object ScaleRehearsal {
       operators.Prf.prf(docs).count()
     }
 
+    // concurrency under user replication: mult× users with identical
+    // timelines ⇒ every hour's active count scales EXACTLY ×mult (the
+    // sweep line is linear in sessions); asserted, not just timed
+    t("concurrency") {
+      val peak = operators.Concurrency.concurrency(evs
+        .withColumn("user_id",
+          col("user_id") + expr("(event_id div 100000000) * 1000000")))
+        .agg(max(col("active"))).collect().head.getLong(0)
+      val basePeak = operators.Concurrency.concurrency(
+        Tables.events(spark, sfDir))
+        .agg(max(col("active"))).collect().head.getLong(0)
+      require(peak == mult * basePeak,
+        s"sweep line must be clone-linear: $peak != $mult*$basePeak")
+      peak
+    }
+    // bootstrap under replication: mult× rows with fresh md5-keyed
+    // weights ⇒ the percentile CI narrows (the 1/sqrt(n) law); one
+    // corpus pass regardless of B
+    t("bootstrap_ci") {
+      def width(df: DataFrame): Long = {
+        val r = operators.Bootstrap.bootstrap(
+          df.select(col("doc_id").as("id"),
+            length(col("text")).cast("long").as("x"))).collect().head
+        r.getAs[Long]("hi_micro") - r.getAs[Long]("lo_micro")
+      }
+      val (wRep, wBase) = (width(docs),
+        width(Tables.docsAug(spark, sfDir).select(col("doc_id"), col("text"))))
+      require(wRep < wBase,
+        s"CI must narrow under ${mult}x data: $wRep !< $wBase")
+      wRep
+    }
+    // novelty under replication: every clone of an eval doc lands in
+    // the TRAIN split (shifted id mod 97 != 0) carrying its exact
+    // shingles, so every base eval doc must read 0-novel — replication
+    // IS contamination, and the screen must say so
+    t("novelty_contam") {
+      val nov = operators.Novelty.novelty(docs)
+      val nonzero = nov.filter(col("eval_id") % 100000000L === col("eval_id"))
+        .filter(col("novelty_micro") > 0).count()
+      require(nonzero == 0L,
+        s"cloned-into-train eval docs must be 0-novel, $nonzero weren't")
+      nov.count()
+    }
+
     val qs = stages.reverse.map { case (k, v, n) =>
       s""""$k":{"sec":$v,"rows":$n}""" }.mkString("{", ",", "}")
     spark.stop()
