@@ -641,6 +641,14 @@ object ExplainAudit {
       ccPlan.linesIterator.count(l =>
         l.contains("FileScan") && l.contains("events")) <= 1)
 
+    val ltvPlan = operators.Ltv.cohortLtvQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    // the per-user first/last-week barrier feeds sizes + span + the
+    // purchase join: one fold scan + one purchase-side scan, never more
+    flag("cohort ltv: <=2 events scans (user-frame barrier)",
+      ltvPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) <= 2)
+
     val chPlan = operators.Churn.churnQuery(spark, d)
       .queryExecution.executedPlan.toString
     // one events fold to the checkpointed per-user frame; horizon and
