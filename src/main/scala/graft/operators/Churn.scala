@@ -41,18 +41,28 @@ object Churn {
 
   /** Hazard ladder over any `(user_id, ts)` frame. */
   def churn(evRaw: DataFrame): DataFrame = {
-    val ev = evRaw.select(col("user_id"), to_date(col("ts")).as("day"))
+    val epoch = to_date(lit("1970-01-01"))
+    val ev = evRaw.select(col("user_id"),
+      datediff(to_date(col("ts")), epoch).cast("long").as("day"))
+    churnFromSpans(ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day_idx"),
+        max(col("day")).as("last_day_idx")))
+  }
+
+  /** The ladder from a per-user `(user_id, first_day_idx,
+    * last_day_idx)` span frame (integer epoch-day indexes) — shared
+    * with [[graft.streaming.StreamingChurn]], whose min/max span
+    * state feeds the same arithmetic.
+    */
+  def churnFromSpans(spans: DataFrame): DataFrame = {
     // checkpoint barrier: the per-user frame feeds BOTH the horizon
     // aggregate and the lifetime projection — without it the events
     // fold executes twice (the q_heaps double-scan lesson)
-    val users = Iterate.materialize(
-      ev.groupBy(col("user_id"))
-        .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day")),
-      None)
-    val horizon = users.agg(max(col("last_day")).as("h_day"))
+    val users = Iterate.materialize(spans, None)
+    val horizon = users.agg(max(col("last_day_idx")).as("h_day"))
     val lifed = users.crossJoin(broadcast(horizon))
-      .select(expr("datediff(last_day, first_day) div 7").as("k"),
-        (datediff(col("h_day"), col("last_day")) >= ChurnGapDays).as("dead"))
+      .select(expr("(last_day_idx - first_day_idx) div 7").as("k"),
+        (col("h_day") - col("last_day_idx") >= ChurnGapDays).as("dead"))
     val hist = lifed.groupBy(col("k"))
       .agg(count(lit(1)).cast("long").as("n_total"),
         sum(when(col("dead"), 1L).otherwise(0L)).cast("long").as("churned"))
