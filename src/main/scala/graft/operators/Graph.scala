@@ -41,12 +41,7 @@ object Graph {
     * collapse).
     */
   def triangles(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set: one row per unordered pair
-    val und = edges
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val und = undirected(edges)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -77,6 +72,50 @@ object Graph {
       oriented.select(col("x").as("cx"), col("y").as("cy")),
       col("y1") === col("cx") && col("y2") === col("cy"))
       .select(col("x"), col("y1"), col("y2"))
+    perNodeOf(tris, deg)
+  }
+
+  /** Canonical undirected edge set of a `(src, dst)` frame: one row
+    * per unordered pair, self-loops dropped.
+    */
+  private[operators] def undirected(edges: DataFrame): DataFrame =
+    edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** The closed-triangle list `(x, y1, y2)` of a canonical undirected
+    * edge frame — each triangle exactly once, at its (deg, id)-least
+    * apex. Shared by [[triangles]] (per-node fold) and
+    * [[EdgeSupport]] (per-edge fold).
+    */
+  private[operators] def closedTriangles(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("x"),
+      when(aFirst, col("b")).otherwise(col("a")).as("y"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dy"))
+    val e1 = oriented.select(col("x"), col("y").as("y1"), col("dy").as("dy1"))
+    val e2 = oriented.select(col("x"), col("y").as("y2"), col("dy").as("dy2"))
+    val wedges = e1.join(e2, Seq("x"))
+      .filter((col("dy1") < col("dy2")) ||
+        (col("dy1") === col("dy2") && col("y1") < col("y2")))
+      .select(col("x"), col("y1"), col("y2"))
+    wedges.join(
+      oriented.select(col("x").as("cx"), col("y").as("cy")),
+      col("y1") === col("cx") && col("y2") === col("cy"))
+      .select(col("x"), col("y1"), col("y2"))
+  }
+
+  private def perNodeOf(tris: DataFrame, deg: DataFrame): DataFrame = {
     val perNode = tris
       .select(explode(array(col("x"), col("y1"), col("y2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
