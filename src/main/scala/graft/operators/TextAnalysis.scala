@@ -120,6 +120,56 @@ object TextAnalysis {
   // expressed through qualityScoreCtesSql so the 4-term composite has
   // exactly ONE SQL definition — a tweak can't desynchronize q_quality
   // from the oracles that rank by the same score
+  /** q_quality_norm — per-domain QUANTILE NORMALIZATION of the quality
+    * composite: each document's percentile among its own domain's
+    * scores (rank−1 / n−1, micro-fixed). The calibration step between
+    * scoring and mixing: a single raw threshold across domains selects
+    * whatever the scorer structurally favors (long, punctuated prose —
+    * so high-resource domains sweep the budget), while the
+    * within-domain percentile equalizes selection RATES — "keep each
+    * domain's best 30%" becomes one comparable column
+    * (`q_filter_domain` adapts the threshold per domain; this emits
+    * the calibrated per-doc score its samplers consume). Determinism:
+    * rank over the r6-fixed quality with doc_id tiebreak (total
+    * order), integer micro division, single-doc domain → 0. Scale:
+    * per-DOMAIN windows (parallel across domains; salt a mega-domain
+    * by the [[Kmv]] rank-sketch path if one domain dwarfs the rest);
+    * one quality scan + one source-projection scan.
+    */
+  def qualityNorm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityScores(s, d).select(col("doc_id"), col("quality"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+    scored.join(src, Seq("doc_id"))
+      .withColumn("dom_rank",
+        row_number().over(w.orderBy(col("quality"), col("doc_id"))))
+      .withColumn("n_dom", count(lit(1)).over(w))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("dom_rank").cast("long").as("dom_rank"),
+        when(col("n_dom") > 1,
+          expr("(1000000 * (dom_rank - 1)) div (n_dom - 1)"))
+          .otherwise(0L).as("pct_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityNormSql: String =
+    s"""WITH ${qualityScoreCtesSql("documents")},
+       |ranked AS (
+       |  SELECT s.doc_id, d.source, s.quality,
+       |         row_number() OVER (PARTITION BY d.source
+       |                            ORDER BY s.quality, s.doc_id) AS dom_rank,
+       |         count(*) OVER (PARTITION BY d.source) AS n_dom
+       |  FROM q_scores s
+       |  JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+       |)
+       |SELECT doc_id, source, quality, dom_rank::BIGINT AS dom_rank,
+       |       CASE WHEN n_dom > 1
+       |            THEN (1000000 * (dom_rank - 1)) // (n_dom - 1)
+       |            ELSE 0 END::BIGINT AS pct_micro
+       |FROM ranked
+       |ORDER BY doc_id""".stripMargin
+
   val qualitySql: String =
     s"""WITH ${qualityScoreCtesSql("documents")}
        |SELECT b.doc_id, b.n_chars, b.tok_count,
