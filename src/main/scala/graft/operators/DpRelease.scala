@@ -25,16 +25,28 @@ import org.apache.spark.sql.functions._
   * to diverge).
   *
   * Determinism: the uniform is md5-keyed per cell (the house
-  * split/sample discipline) — "sticky noise": re-running the release
-  * returns the SAME noisy value, so repeated identical queries don't
-  * spend additional ε budget (the memoized-noise practice; fresh
-  * randomness per run would be 2ε, 3ε, … under composition).
+  * split/sample discipline) — "sticky noise": re-running the SAME
+  * release (same cells, same counts, same seed) returns the SAME
+  * noisy value, so repeated identical queries don't spend additional
+  * ε budget (the memoized-noise practice; fresh randomness per run
+  * would be 2ε, 3ε, … under composition). Sticky noise does NOT make
+  * re-publishing EVOLVING counts free: releasing c_t + X at several
+  * times with one fixed draw X reveals every inter-release delta
+  * c_t − c_s exactly — unbounded loss for a record arriving between
+  * two publications. A changing count published on a schedule needs
+  * [[continualCounts]] (the tree mechanism), or a fresh seed + ε per
+  * publication.
   *
   * Domain rule: cells are released over the FULL PUBLIC domain
-  * (distinct sources × distinct langs, zero counts included, noise on
-  * every cell) — releasing only non-empty cells would leak set
-  * membership exactly. The categorical domains are treated as public
-  * knowledge (they are enumerable category codes, not data).
+  * (zero counts included, noise on every cell) — releasing only
+  * non-empty cells would leak set membership exactly. The overloads
+  * taking only `df` DERIVE the domain from the protected table's
+  * distinct key values as a convenience: that is sound ONLY under the
+  * assumption that every category value already appears publicly
+  * (enumerable category codes, not data). A value contributed by a
+  * single user appears in/disappears from a derived grid with
+  * certainty — if the domain is not public knowledge, pass the
+  * explicit enumeration via the `domain` parameter instead.
   *
   * Utility: E|X| = 4/3, P(|X| ≥ k) = 2^(1−k)/3 — released counts sit
   * within ±4 of truth with probability > 99.5% (asserted in
@@ -73,25 +85,30 @@ object DpRelease {
        |     WHEN ($u) * 3 >= ${2 * T} THEN (41 - length(bin(($T - ($u)) * 3)))::BIGINT
        |     ELSE 0::BIGINT END""".stripMargin.replace("\n", " ")
 
-  /** ε-DP noisy counts of `df` per `keys` over the full public domain
+  /** ε-DP noisy counts of `df` per `keys` over the full domain
     * (cartesian of each key's distinct values, zero cells included).
     * `seed` namespaces the release — a DIFFERENT seed is a fresh
-    * mechanism invocation and spends another ε.
+    * mechanism invocation and spends another ε. `domain`, when given,
+    * is the caller-supplied PUBLIC enumeration frame (one column per
+    * key); omitted, the domain is derived from `df` itself — see the
+    * object doc's domain rule for when that derivation is sound.
     */
-  def noisyCounts(df: DataFrame, keys: Seq[String], seed: String): DataFrame =
+  def noisyCounts(df: DataFrame, keys: Seq[String], seed: String,
+    domain: Option[DataFrame] = None): DataFrame =
     releaseCounts(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c")),
-      keys, seed)
+      keys, seed, domain)
 
-  /** Release over an ALREADY-MAINTAINED count-cell frame `(keys…, c)`
-    * — the streaming form: the stream maintains counts incrementally
-    * (the one aggregation Structured Streaming does exactly), and the
-    * per-trigger release is this pure projection. Sticky noise makes
-    * per-trigger re-release FREE under composition: every trigger
-    * re-releases the same cells with the SAME noise, so a monitor
-    * publishing after each batch still spends one ε total.
+  /** Release over an ALREADY-MAINTAINED count-cell frame `(keys…, c)`.
+    * Privacy scope — ONE publication: sticky noise means re-running
+    * this release over UNCHANGED cells re-derives the identical
+    * output for one ε, but publishing it again after the cells have
+    * evolved is a fresh mechanism whose fixed noise cancels in the
+    * difference (the published deltas are the exact true deltas —
+    * StreamingDpSpec demonstrates the leak). A count published on
+    * every trigger needs [[continualCounts]].
     */
   def releaseCounts(cellsRaw: DataFrame, keys: Seq[String],
-    seed: String): DataFrame = {
+    seed: String, domain: Option[DataFrame] = None): DataFrame = {
     // each branch re-aliases its columns through a fresh name and back
     // (new expression ids): the grid crosses and left-joins the SAME
     // input, and a streaming memory-sink VIEW referenced from several
@@ -101,8 +118,9 @@ object DpRelease {
       df.select(cols.map(c => col(c).as(s"__f_$c")): _*)
         .select(cols.map(c => col(s"__f_$c").as(c)): _*)
     val cells = fresh(cellsRaw, keys :+ "c")
-    val grid = keys.map(k => fresh(cellsRaw, Seq(k)).distinct())
-      .reduce(_.crossJoin(_))
+    val grid = domain.getOrElse(
+      keys.map(k => fresh(cellsRaw, Seq(k)).distinct())
+        .reduce(_.crossJoin(_)))
     val cellKey = concat(lit(s"dp:$seed:"),
       concat_ws("|", keys.map(k => col(k).cast("string")): _*))
     val u = conv(substring(md5(cellKey), 1, 10), 16, 10).cast("long")
@@ -126,11 +144,12 @@ object DpRelease {
     * heavy spenders, high inflates noise clamp-proportionally.
     */
   def noisySum(df: DataFrame, keys: Seq[String], valueCents: Column,
-    clamp: Long, seed: String): DataFrame = {
+    clamp: Long, seed: String, domain: Option[DataFrame] = None): DataFrame = {
     val cells = df.groupBy(keys.map(col): _*)
       .agg(sum(least(greatest(valueCents, lit(0L)), lit(clamp))).as("s"))
-    val grid = keys.map(k => df.select(col(k)).distinct())
-      .reduce(_.crossJoin(_))
+    val grid = domain.getOrElse(
+      keys.map(k => df.select(col(k)).distinct())
+        .reduce(_.crossJoin(_)))
     val cellKey = concat(lit(s"dpsum:$seed:"),
       concat_ws("|", keys.map(k => col(k).cast("string")): _*))
     val u = conv(substring(md5(cellKey), 1, 10), 16, 10).cast("long")
@@ -191,7 +210,7 @@ object DpRelease {
   val UserCap = 2
 
   def noisyUserCounts(df: DataFrame, userCol: String, keyCol: String,
-    seed: String): DataFrame = {
+    seed: String, domain: Option[DataFrame] = None): DataFrame = {
     // each user's distinct groups, md5-rank-capped to UserCap via a
     // user-partitioned row_number (the contribution bound; partitioned
     // by user, so it scales — users bucket, no global sort)
@@ -205,11 +224,20 @@ object DpRelease {
     val capped = contrib.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= UserCap)
     val cells = capped.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    // release over the FULL key domain, noised zero cells included
+    // (mirrors releaseCounts): capping can empty a cell entirely, and
+    // releasing only cells with a surviving contribution would make
+    // the output's SUPPORT data-dependent — one user's removal could
+    // delete a key from the release, an event distinguishable with
+    // certainty, outside any finite ε.
+    val grid = domain.map(_.select(col(keyCol).as("k")))
+      .getOrElse(df.select(col(keyCol).as("k")).distinct())
     val u = conv(substring(md5(concat(lit(s"dpu:$seed:"),
       col("k").cast("string"))), 1, 10), 16, 10).cast("long")
-    cells.select(col("k").as(keyCol),
-      (col("c") + geometricNoise(u)).as("n_released"),
-      lit(EpsMicro * UserCap).as("eps_micro"))
+    grid.join(cells, Seq("k"), "left_outer")
+      .select(col("k").as(keyCol),
+        (coalesce(col("c"), lit(0L)) + geometricNoise(u)).as("n_released"),
+        lit(EpsMicro * UserCap).as("eps_micro"))
   }
 
   /** q_dp_users — user-level release of the per-type active-user
@@ -221,7 +249,7 @@ object DpRelease {
       .orderBy(col("event_type"))
 
   val dpUsersSql: String = {
-    val u = "('0x' || substr(md5('dpu:v1:' || k), 1, 10))::BIGINT"
+    val u = "('0x' || substr(md5('dpu:v1:' || g.k), 1, 10))::BIGINT"
     s"""WITH contrib AS (
        |  SELECT DISTINCT user_id AS u, event_type AS k FROM events
        |), ranked AS (
@@ -233,11 +261,11 @@ object DpRelease {
        |), cells AS (
        |  SELECT k, count(*)::BIGINT AS c FROM ranked WHERE rn <= $UserCap
        |  GROUP BY k
-       |)
-       |SELECT k AS event_type,
-       |       (c + ${geometricNoiseSql(u)})::BIGINT AS n_released,
+       |), grid AS (SELECT DISTINCT event_type AS k FROM events)
+       |SELECT g.k AS event_type,
+       |       (coalesce(c.c, 0) + ${geometricNoiseSql(u)})::BIGINT AS n_released,
        |       ${EpsMicro * UserCap}::BIGINT AS eps_micro
-       |FROM cells
+       |FROM grid g LEFT JOIN cells c ON c.k = g.k
        |ORDER BY event_type""".stripMargin
   }
 
@@ -358,5 +386,127 @@ object DpRelease {
        |  ON c.total > 0 AND c.cum * 100 >= q.q_pct * c.total
        |GROUP BY q.q_pct
        |ORDER BY q.q_pct""".stripMargin
+  }
+
+  /** Continual-observation release — the mechanism a count published
+    * on a SCHEDULE needs (Chan–Shi–Song 2011; Dwork–Naor–Pitassi–
+    * Rothblum 2010, the binary/tree counter). [[releaseCounts]] with
+    * sticky noise is one publication: re-published after the cells
+    * evolve, the fixed draw cancels in the difference and every
+    * inter-release delta leaks exactly. The tree counter fixes this
+    * structurally: time is a dyadic hierarchy of [[ContinualLevels]]
+    * levels over a PUBLIC `horizon` of epochs; each node (level l,
+    * index i) covers epochs [i·2^l, (i+1)·2^l) and carries its own
+    * sticky geometric noise; the released running count at epoch t is
+    * the sum of the ≤ popcount(t+1) noisy nodes in the binary
+    * decomposition of [0, t] (node membership is the closed form:
+    * node (l, i) ∈ prefix(n = t+1) iff bit l of n is set and
+    * i = (n >> (l+1))·2). One arriving record lands in exactly one
+    * node per level — `levels` releases of an α = 1/2 mechanism — so
+    * the WHOLE schedule of `horizon` publications is
+    * (levels · ln 2)-DP, stamped in `eps_micro`. Error per release is
+    * ≤ popcount(t+1) ≤ levels node noises (E|X| = 4/3 each): the
+    * logarithmic-error/fixed-budget trade that makes per-trigger
+    * publishing sound where naive re-release is not.
+    *
+    * Determinism: node noise is md5-keyed by (seed, cell, l, i) —
+    * the same dyadic inverse CDF as the whole ladder, zero libm; the
+    * streamed per-trigger release and the batch release of the same
+    * prefix are bit-identical (StreamingDpSpec asserts it).
+    *
+    * Scale: ONE corpus fold to the (cell, epoch) delta frame; node
+    * sums are a bounded |cells|·horizon·levels explode-fold;
+    * everything after runs on bounded grids. The epoch grid and
+    * horizon are release-schedule constants (public); the cell
+    * domain follows the object doc's domain rule (`domain` for a
+    * caller-supplied public enumeration).
+    */
+  def continualCounts(df: DataFrame, keys: Seq[String], epoch: Column,
+    horizon: Int, seed: String, domain: Option[DataFrame] = None): DataFrame = {
+    val s = df.sparkSession
+    val levels = 64 - java.lang.Long.numberOfLeadingZeros(horizon.toLong)
+    val deltas = df
+      .select((keys.map(col) :+ epoch.cast("long").as("t")): _*)
+      .filter(col("t") >= 0 && col("t") < horizon)
+      .groupBy((keys.map(col) :+ col("t")): _*)
+      .agg(count(lit(1)).cast("long").as("d"))
+    val lvls = s.range(0, levels).select(col("id").cast("int").as("l"))
+    // each delta row lands in exactly one node per level: i = t >> l
+    val nodeSums = deltas.crossJoin(lvls)
+      .withColumn("i", expr("shiftright(t, l)"))
+      .groupBy((keys.map(col) :+ col("l") :+ col("i")): _*)
+      .agg(sum(col("d")).cast("long").as("nd"))
+    // nodes referenced by each released prefix n = t + 1 (closed form)
+    val refs = s.range(0, horizon).select(col("id").as("t"))
+      .crossJoin(lvls)
+      .withColumn("n", col("t") + 1)
+      .filter(expr("(shiftright(n, l) % 2) = 1"))
+      .withColumn("i", expr("shiftright(n, l + 1) * 2"))
+      .select(col("t"), col("l"), col("i"))
+    val cellGrid = domain.getOrElse(df.select(keys.map(col): _*).distinct())
+    val u = conv(substring(md5(concat_ws(":",
+      lit(s"dpc:$seed") +: keys.map(k => col(k).cast("string")) :+
+        col("l").cast("string") :+ col("i").cast("string"): _*)),
+      1, 10), 16, 10).cast("long")
+    cellGrid.crossJoin(refs)
+      .join(nodeSums, keys :+ "l" :+ "i", "left_outer")
+      .select((keys.map(col) :+ col("t") :+
+        (coalesce(col("nd"), lit(0L)) + geometricNoise(u)).as("node_rel")): _*)
+      .groupBy((keys.map(col) :+ col("t")): _*)
+      .agg(sum(col("node_rel")).cast("long").as("n_released_cum"),
+        count(lit(1)).cast("long").as("n_nodes"))
+      .withColumn("eps_micro", lit(EpsMicro * levels))
+  }
+
+  /** q_dp_continual — the per-type running event count published
+    * daily over the January-2024 window ([[ContinualHorizon]] epochs,
+    * a release-schedule constant) under the tree mechanism: the
+    * dashboard [[dpCounts]] cannot soundly serve (its re-publication
+    * leaks deltas), at (⌈log₂ horizon⌉ · ln 2) total for the whole
+    * month of releases.
+    */
+  val ContinualHorizon = 30
+  val ContinualEpoch0 = "2024-01-01"
+  val ContinualLevels: Int =
+    64 - java.lang.Long.numberOfLeadingZeros(ContinualHorizon.toLong)
+
+  def dpContinual(s: SparkSession, d: String): DataFrame =
+    continualCounts(Tables.events(s, d), Seq("event_type"),
+      datediff(col("ts").cast("date"), to_date(lit(ContinualEpoch0))),
+      ContinualHorizon, "v1")
+      .select(col("event_type"), col("t").as("day"),
+        col("n_released_cum"), col("n_nodes"), col("eps_micro"))
+      .orderBy(col("event_type"), col("day"))
+
+  val dpContinualSql: String = {
+    val u = "('0x' || substr(md5('dpc:v1:' || g.event_type || ':' || r.l || ':' || r.i), 1, 10))::BIGINT"
+    s"""WITH deltas AS (
+       |  SELECT event_type,
+       |         date_diff('day', DATE '$ContinualEpoch0', ts::DATE)::BIGINT AS t,
+       |         count(*)::BIGINT AS d
+       |  FROM events
+       |  WHERE date_diff('day', DATE '$ContinualEpoch0', ts::DATE)
+       |        BETWEEN 0 AND ${ContinualHorizon - 1}
+       |  GROUP BY 1, 2
+       |), lvls AS (SELECT unnest(range(0, $ContinualLevels)) AS l),
+       |nodesums AS (
+       |  SELECT event_type, l, (t >> l) AS i, sum(d)::BIGINT AS nd
+       |  FROM deltas CROSS JOIN lvls GROUP BY 1, 2, 3
+       |), refs AS (
+       |  SELECT t, l, ((t + 1) >> (l + 1)) * 2 AS i
+       |  FROM (SELECT unnest(range(0, $ContinualHorizon)) AS t)
+       |  CROSS JOIN lvls
+       |  WHERE (((t + 1) >> l) % 2) = 1
+       |), grid AS (SELECT DISTINCT event_type FROM events)
+       |SELECT g.event_type, r.t AS day,
+       |       sum(coalesce(n.nd, 0) + ${geometricNoiseSql(u)})::BIGINT
+       |         AS n_released_cum,
+       |       count(*)::BIGINT AS n_nodes,
+       |       ${EpsMicro * ContinualLevels}::BIGINT AS eps_micro
+       |FROM grid g CROSS JOIN refs r
+       |LEFT JOIN nodesums n
+       |  ON n.event_type = g.event_type AND n.l = r.l AND n.i = r.i
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
   }
 }

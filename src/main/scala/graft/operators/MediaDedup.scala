@@ -39,10 +39,15 @@ object MediaDedup {
   val MaxHamming = 3
 
   /** (media_id, sig) signature table — one codegen'd expression per
-    * payload row.
+    * payload row. Zero-length payloads get NO signature row (they
+    * carry no picture to compare; the SQL mirror's `WHERE n > 0`
+    * drops them identically — without this filter two empty payloads
+    * would pair at Hamming 0 in the Scala path only, a latent
+    * batch-vs-oracle divergence).
     */
   def signatures(media: DataFrame): DataFrame =
-    media.select(col("media_id"), DHash64.dhash64(col("payload")).as("sig"))
+    media.filter(octet_length(col("payload")) > 0)
+      .select(col("media_id"), DHash64.dhash64(col("payload")).as("sig"))
 
   /** Near-dup pairs `(a_id, b_id, hamming)` with Hamming ≤
     * [[MaxHamming]] over any `(media_id, payload binary)` frame.

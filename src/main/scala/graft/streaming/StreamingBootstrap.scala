@@ -44,17 +44,23 @@ object StreamingBootstrap {
     }
 
     /** Same arithmetic as [[Bootstrap.bootstrap]], read off resident
-      * state: (n_docs, n_reps, mean_micro, lo_micro, hi_micro).
+      * state: Some((n_docs, n_reps, mean_micro, lo_micro, hi_micro)),
+      * or None before any non-empty batch has been observed — a
+      * monitor thread polling freshly-started state must not crash on
+      * an empty replicate list (index −1) or a 0-doc mean division.
       */
-    def report: (Long, Long, Long, Long, Long) = synchronized {
+    def report: Option[(Long, Long, Long, Long, Long)] = synchronized {
       val ms = (1 to Bootstrap.NumReps)
         .filter(r => sw(r) > 0)
         .map(r => (Math.floorDiv(1000000L * swx(r), sw(r)), r.toLong))
         .sorted
       val nReps = ms.size.toLong
-      val lo = ms(math.ceil(nReps * 0.025).toInt - 1)._1
-      val hi = ms(math.ceil(nReps * 0.975).toInt - 1)._1
-      (nDocs, nReps, Math.floorDiv(1000000L * sx, nDocs), lo, hi)
+      if (nReps == 0 || nDocs == 0) None
+      else {
+        val lo = ms(math.ceil(nReps * 0.025).toInt - 1)._1
+        val hi = ms(math.ceil(nReps * 0.975).toInt - 1)._1
+        Some((nDocs, nReps, Math.floorDiv(1000000L * sx, nDocs), lo, hi))
+      }
     }
   }
 

@@ -34,7 +34,12 @@ class StreamingBootstrapSpec extends AnyFunSuite {
     val expected = (batch.getAs[Long]("n_docs"), batch.getAs[Long]("n_reps"),
       batch.getAs[Long]("mean_micro"), batch.getAs[Long]("lo_micro"),
       batch.getAs[Long]("hi_micro"))
-    assert(interval.report == expected,
+    assert(interval.report.contains(expected),
       s"stream ${interval.report} != batch $expected")
+  }
+
+  test("report before any observed batch is None, not a crash") {
+    val interval = new StreamingBootstrap.Interval
+    assert(interval.report.isEmpty)
   }
 }
