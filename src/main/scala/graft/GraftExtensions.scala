@@ -39,6 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hash functions"),
       (children: Seq[Expression]) => graft.functions.DHash64Expr(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("media_dims"),
+      new ExpressionInfo(classOf[graft.functions.MediaDimsExpr].getName, null,
+        "media_dims",
+        "media_dims(payload) - packed container dims of a binary " +
+          "payload: fmt << 48 | width << 24 | height (fmt 1=PNG from " +
+          "IHDR, 2=JPEG from the SOF marker walk; 0 = unrecognized)",
+        "hash functions"),
+      (children: Seq[Expression]) => graft.functions.MediaDimsExpr(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[graft.functions.Simhash48Expr].getName, null,
         "simhash48",

@@ -119,6 +119,60 @@ object Tables {
       |  FROM documents WHERE doc_id % 7 = 0
       |)""".stripMargin
 
+  /** Media corpus with REAL container headers planted over the text
+    * payloads — the [[mediaAug]] sibling for header parsing
+    * ([[graft.functions.MediaDims]]): every 3rd doc a PNG (8-byte
+    * signature + IHDR with big-endian u32 dims), every 3rd a JPEG
+    * (SOI, a variable-length COM segment of `doc_id % 7` filler bytes
+    * so no fixed SOF offset exists, then SOF0 or SOF2 alternating),
+    * the rest raw text (no container). Width/height are deterministic
+    * functions of doc_id, so the parse has a closed-form truth both
+    * engines can check.
+    */
+  def mediaHeaders(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val w = col("doc_id") % 2000 + 16
+    val h = col("doc_id") % 1333 + 16
+    val png = concat(unhex(concat(
+      lit("89504E470D0A1A0A0000000D49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))),
+      encode(col("text"), "UTF-8"))
+    val jpeg = concat(unhex(concat(
+      lit("FFD8FFFE"), lpad(hex(col("doc_id") % 7 + 2), 4, "0"),
+      expr("repeat('41', cast(doc_id % 7 as int))"),
+      when(col("doc_id") % 2 === 0, lit("FFC0")).otherwise(lit("FFC2")),
+      lit("001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"))),
+      encode(col("text"), "UTF-8"))
+    base.select(col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, jpeg)
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  // NOTE: no line here may BEGIN with "||" — this prelude is embedded
+  // inside other stripMargin strings, and a second stripMargin pass
+  // would eat the first pipe of a leading "||"
+  val mediaHeadersSql: String =
+    """mediah AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE
+      |      WHEN doc_id % 3 = 0 THEN
+      |        unhex('89504E470D0A1A0A0000000D49484452' ||
+      |              lpad(hex(16 + doc_id % 2000), 8, '0') ||
+      |              lpad(hex(16 + doc_id % 1333), 8, '0') || '0806000000') ||
+      |        encode(text)
+      |      WHEN doc_id % 3 = 1 THEN
+      |        unhex('FFD8FFFE' || lpad(hex(doc_id % 7 + 2), 4, '0') ||
+      |              repeat('41', (doc_id % 7)::INT) ||
+      |              CASE WHEN doc_id % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END ||
+      |              '001108' || lpad(hex(16 + doc_id % 1333), 4, '0') ||
+      |              lpad(hex(16 + doc_id % 2000), 4, '0')) ||
+      |        encode(text)
+      |      ELSE encode(text)
+      |    END AS payload
+      |  FROM documents
+      |)""".stripMargin
+
   /** Embedding corpus with injected duplicate vectors (every 20th). */
   def embAug(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d).select(col("vec_id"), col("embedding"))

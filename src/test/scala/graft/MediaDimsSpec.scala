@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.{MediaDims, MediaDimsExpr}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the container-header parse: synthesized headers
+  * round-trip for ARBITRARY dims and segment paddings, garbage never
+  * throws, interpreted eval equals codegen. (Raw scalacheck Gen with
+  * fixed seeds, the CdcPropertySpec convention.)
+  */
+class MediaDimsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be16(v: Long): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def png(w: Long, h: Long, body: Array[Byte]): Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D).map(_.toByte) ++
+      "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ body
+
+  /** JPEG: SOI, `segs` filler segments (APPn/COM with given body
+    * lengths), then SOF of the given marker.
+    */
+  private def jpeg(w: Long, h: Long, segs: Seq[(Int, Int)], sof: Int,
+    body: Array[Byte]): Array[Byte] =
+    Array(0xFF, 0xD8).map(_.toByte) ++
+      segs.flatMap { case (marker, bodyLen) =>
+        Array(0xFF.toByte, marker.toByte) ++ be16(bodyLen + 2) ++
+          Array.fill(bodyLen)(0x41.toByte)
+      } ++
+      Array(0xFF.toByte, sof.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(h) ++ be16(w) ++ body
+
+  private def dimsOf(rows: Seq[(Long, Array[Byte])]): Map[Long, Long] =
+    rows.toDF("id", "p")
+      .select(col("id"), MediaDims.dims(col("p")).as("v"))
+      .as[(Long, Long)].collect().toMap
+
+  private def packed(fmt: Long, w: Long, h: Long): Long =
+    (fmt << 48) | (w << 24) | h
+
+  test("synthesized PNG and JPEG headers round-trip for arbitrary dims/paddings") {
+    val gen = for {
+      w <- Gen.chooseNum(1L, 65535L)
+      h <- Gen.chooseNum(1L, 65535L)
+      isPng <- Gen.oneOf(true, false)
+      nSegs <- Gen.chooseNum(0, 4)
+      segLens <- Gen.listOfN(nSegs, Gen.chooseNum(0, 40))
+      markers <- Gen.listOfN(nSegs, Gen.oneOf(0xE0, 0xE1, 0xFE, 0xDB))
+      sof <- Gen.oneOf(0xC0, 0xC1, 0xC2)
+      bodyN <- Gen.chooseNum(0, 50)
+    } yield {
+      // PNG dims are u32 in the container but the pack is 24-bit;
+      // test the full u16 range either way
+      val body = Array.fill(bodyN)(0x42.toByte)
+      if (isPng) (png(w, h, body), packed(MediaDims.FmtPng, w, h))
+      else (jpeg(w, h, markers.zip(segLens), sof, body),
+        packed(MediaDims.FmtJpeg, w, h))
+    }
+    val cases = (1 to 200).map(s =>
+      gen.apply(Gen.Parameters.default, Seed(4200 + s)).get)
+    val rows = cases.zipWithIndex.map { case ((p, _), i) => (i.toLong, p) }
+    val got = dimsOf(rows)
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i.toLong) == want,
+        s"case $i: got ${got(i.toLong).toHexString}, want ${want.toHexString}")
+    }
+  }
+
+  test("garbage, truncation, and missing SOF are total (0), never a throw") {
+    val trunc = png(640, 480, Array.empty).take(20) // dies mid-IHDR
+    val noSof = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0x41, 0x41)
+      .map(_.toByte) // segment then EOF, SOF never found
+    val badLen = Array(0xFF, 0xD8, 0xFF, 0xE0, 0xFF, 0xFF).map(_.toByte)
+      // length field points far past the payload
+    val rows = Seq(
+      1L -> Array.empty[Byte],
+      2L -> "just text".getBytes,
+      3L -> trunc,
+      4L -> noSof,
+      5L -> badLen,
+      6L -> Array.fill(100)(0xFF.toByte))
+    val got = dimsOf(rows)
+    rows.foreach { case (id, _) => assert(got(id) == 0L, s"payload $id") }
+  }
+
+  test("interpreted eval equals codegen on mixed payloads") {
+    val payloads = Seq(
+      png(1920, 1080, Array.fill(9)(7.toByte)),
+      jpeg(800, 600, Seq((0xE0, 14), (0xFE, 3)), 0xC2, Array.fill(5)(1.toByte)),
+      "plain".getBytes, Array.empty[Byte])
+    val viaCodegen = dimsOf(payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) })
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      val interpreted = MediaDimsExpr(Literal(p)).eval(null).asInstanceOf[Long]
+      assert(interpreted == viaCodegen(i.toLong), s"payload $i diverged")
+    }
+  }
+
+  test("media_dims is SQL-callable via GraftExtensions") {
+    val v = spark.sql(
+      "SELECT media_dims(unhex('89504E470D0A1A0A0000000D49484452" +
+        "0000028000000168" + "0806000000')) AS v")
+      .collect().head.getLong(0)
+    assert(v == packed(MediaDims.FmtPng, 640, 360))
+  }
+}
