@@ -173,6 +173,45 @@ object Tables {
       |  FROM documents
       |)""".stripMargin
 
+  /** Media corpus with planted CROPS — the [[mediaAug]] sibling for
+    * the crop-robust tiled detector ([[graft.operators.MediaCrop]]):
+    * every 9th doc also appears with its first 15% removed (front
+    * crop), every 11th with its last 20% removed (end crop). A crop
+    * RESCALES the whole-payload fixed-grid resample, so the
+    * whole-image dHash provably misses these (asserted in
+    * MediaCropSpec); the end-anchored tiles survive byte-identical.
+    */
+  def mediaCropAug(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    base.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .unionAll(base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("media_id"),
+          encode(expr(
+            "substring(text, cast((length(text)*3) div 20 as int) + 1)"),
+            "UTF-8").as("payload")))
+      .unionAll(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 4000000L).as("media_id"),
+          encode(expr(
+            "substring(text, 1, cast(length(text) - length(text) div 5 as int))"),
+            "UTF-8").as("payload")))
+  }
+
+  // no line may BEGIN with "||" (double-stripMargin rule, see
+  // mediaHeadersSql)
+  val mediaCropAugSql: String =
+    """mediac AS (
+      |  SELECT doc_id AS media_id, encode(text) AS payload FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |         encode(substr(text, ((length(text)*3)//20 + 1)::INT))
+      |  FROM documents WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000,
+      |         encode(substr(text, 1, (length(text) - length(text)//5)::INT))
+      |  FROM documents WHERE doc_id % 11 = 0
+      |)""".stripMargin
+
   /** Embedding corpus with injected duplicate vectors (every 20th). */
   def embAug(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
