@@ -75,7 +75,7 @@ object Closeness {
   }
 
   def closenessQuery(s: SparkSession, d: String): DataFrame =
-    closeness(Tables.edges(s, d), NumLandmarks, MaxDepth)
+    closeness(Tables.edgesShared(s, d), NumLandmarks, MaxDepth)
 
   /** Landmark centrality report over a directed `(src, dst)` edge
     * frame: per node, how many landmarks reach it, the distance sum,

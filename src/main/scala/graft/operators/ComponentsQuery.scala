@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object ComponentsQuery {
 
   def componentsQuery(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.edges(s, d)
+    val e = Tables.edgesShared(s, d)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
     val labels = Components.connectedComponents(

@@ -66,7 +66,7 @@ object Crawl {
 
   /** q_crawl_bfs — reachable set with first-visit depth from node 0. */
   def crawlBfs(s: SparkSession, d: String): DataFrame =
-    bfs(Tables.edges(s, d),
+    bfs(Tables.edgesShared(s, d),
       s.range(1).select(lit(0L).as("node")), maxDepth = 20)
       .orderBy(col("node"))
 
@@ -172,7 +172,7 @@ object Crawl {
 
   /** q_pagerank — [[pageRank]] on the crawl edge graph, 5 rounds. */
   def pageRankQuery(s: SparkSession, d: String): DataFrame =
-    pageRank(Tables.edges(s, d)).orderBy(col("node"))
+    pageRank(Tables.edgesShared(s, d)).orderBy(col("node"))
 
   val pageRankSql: String = {
     // unrolled iteration CTEs (pr0..pr5): DuckDB's recursive CTE can't
@@ -217,7 +217,7 @@ object Crawl {
     * CTE per unrolled round).
     */
   def pageRankConserveQuery(s: SparkSession, d: String): DataFrame =
-    pageRank(Tables.edges(s, d), conserveDangling = true)
+    pageRank(Tables.edgesShared(s, d), conserveDangling = true)
       .orderBy(col("node"))
 
   val pageRankConserveSql: String = {
@@ -274,7 +274,7 @@ object Crawl {
     * insertion-order cutoff.
     */
   def crawlLimitedQuery(s: SparkSession, d: String): DataFrame =
-    crawlLimited(Tables.edges(s, d),
+    crawlLimited(Tables.edgesShared(s, d),
       s.range(1).select(lit(0L).as("node")), maxDepth = 20, maxPages = 40)
       .orderBy(col("depth"), col("node"))
 

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object EdgeSupport {
 
   def edgeSupportQuery(s: SparkSession, d: String): DataFrame =
-    edgeSupport(Tables.edges(s, d))
+    edgeSupport(Tables.edgesShared(s, d))
 
   /** Per-edge support over any `(src, dst)` frame (undirected view). */
   def edgeSupport(edges: DataFrame): DataFrame = {

@@ -34,7 +34,7 @@ object Graph {
     * degree 2, r6-rounded on both engines.
     */
   def trianglesQuery(s: SparkSession, d: String): DataFrame =
-    triangles(Tables.edges(s, d)).orderBy(col("node"))
+    triangles(Tables.edgesShared(s, d)).orderBy(col("node"))
 
   /** Frame-based [[trianglesQuery]] over any `(src, dst)` edge frame
     * (treated as undirected; self-loops and duplicate/reverse edges
@@ -214,7 +214,7 @@ object Graph {
     * aggregate).
     */
   def labelPropQuery(s: SparkSession, d: String): DataFrame = {
-    val l = labelProp(Tables.edges(s, d)
+    val l = labelProp(Tables.edgesShared(s, d)
       .filter((col("src") + col("dst")) % 4 === 0))
     val sizes = l.groupBy(col("label")).agg(count(lit(1)).as("csize"))
     l.join(sizes, "label")
@@ -323,7 +323,7 @@ object Graph {
     * peels tendrils over multiple cascade rounds at every SF).
     */
   def kcoreQuery(s: SparkSession, d: String): DataFrame =
-    kcore(Tables.edges(s, d).filter((col("src") + col("dst")) % 4 === 0))
+    kcore(Tables.edgesShared(s, d).filter((col("src") + col("dst")) % 4 === 0))
       .orderBy(col("node"))
 
   val kcoreSql: String = {
@@ -387,7 +387,7 @@ object Graph {
     * |V|-sized degree frame to ≤|distinct degrees| rows.
     */
   def degreeDistQuery(s: SparkSession, d: String): DataFrame = {
-    val deg = degrees(Tables.edges(s, d))
+    val deg = degrees(Tables.edgesShared(s, d))
     val outH = deg.groupBy(col("out_deg").as("degree"))
       .agg(count(lit(1)).cast("long").as("n_out_nodes"))
     val inH = deg.groupBy(col("in_deg").as("degree"))

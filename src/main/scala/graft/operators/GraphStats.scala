@@ -34,7 +34,7 @@ object GraphStats {
 
   /** q_graph_stats — reciprocity + degree assortativity, one row. */
   def graphStats(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.edges(s, d)
+    val e = Tables.edgesShared(s, d)
     val recip = e.join(
       e.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")
@@ -107,7 +107,7 @@ object GraphStats {
     * to billions of edges), only the final Q division is double.
     */
   def modularity(s: SparkSession, d: String): DataFrame =
-    modularityOf(Tables.edges(s, d)
+    modularityOf(Tables.edgesShared(s, d)
       .filter((col("src") + col("dst")) % 4 === 0))
 
   /** [[modularity]] over any `(src, dst)` edge frame (undirected,

@@ -78,7 +78,7 @@ object Hits {
 
   /** q_hits — [[hits]] on the crawl edge graph, 3 rounds. */
   def hitsQuery(s: SparkSession, d: String): DataFrame =
-    hits(Tables.edges(s, d)).orderBy(col("node"))
+    hits(Tables.edgesShared(s, d)).orderBy(col("node"))
 
   val hitsSql: String = {
     // unrolled rounds (the pageRankSql convention): DuckDB's recursive

@@ -60,7 +60,7 @@ object LinkPred {
     * total (score desc, u, v) order.
     */
   def linkPred(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.edges(s, d)
+    val e = Tables.edgesShared(s, d)
     val und = e.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(e.select(col("dst").as("a"), col("src").as("b")))
       .distinct()

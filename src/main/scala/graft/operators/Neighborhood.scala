@@ -108,7 +108,7 @@ object Neighborhood {
 
   /** q_neighborhood — [[neighborhoodExact]] over the crawl graph. */
   def neighborhoodQuery(s: SparkSession, d: String): DataFrame =
-    neighborhoodExact(Tables.edges(s, d)).orderBy(col("t"))
+    neighborhoodExact(Tables.edgesShared(s, d)).orderBy(col("t"))
 
   val neighborhoodSql: String =
     s"""WITH RECURSIVE ${Tables.edgesSql},

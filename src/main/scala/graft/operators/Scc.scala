@@ -136,7 +136,7 @@ object Scc {
     * `scc_size` independent pages.
     */
   def sccQuery(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.edges(s, d)
+    val e = Tables.edgesShared(s, d)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
     val labels = scc(nodes, e)
