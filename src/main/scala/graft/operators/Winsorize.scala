@@ -70,6 +70,111 @@ object Winsorize {
       .orderBy(col("event_type"))
   }
 
+  /** Clamp bounds read off a [[Kmv]] sketch frame `(key, h, v)` of
+    * CENTS values: the sample value at rank ⌈m/TrimDen⌉ (lo) and
+    * ⌈m·(TrimDen−1)/TrimDen⌉ (hi) under the sketch's deterministic
+    * (v, h) order — ≤ k-row windows, O(1/√k) rank error.
+    */
+  private[graft] def servedBounds(sk: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col("key"))
+    sk.withColumn("rv", row_number().over(byKey.orderBy(col("v"), col("h"))))
+      .withColumn("m", count(lit(1)).over(byKey))
+      .groupBy(col("key"))
+      .agg(max(col("m")).cast("long").as("n_sample"),
+        max(when(col("rv") === ceil(col("m") * lit(1.0 / TrimDen)), col("v")))
+          .cast("long").as("lo"),
+        max(when(col("rv") === ceil(col("m") * lit(1.0 - 1.0 / TrimDen)),
+          col("v"))).cast("long").as("hi"))
+  }
+
+  /** The ONE-corpus-pass serve: clamp against sketch-read bounds and
+    * fold — no rank window, no per-key sort, the corpus touched once
+    * (WinsorizeServedSpec asserts the single scan against a
+    * materialized sketch). No trimmed mean here, deliberately:
+    * trimming needs exact membership of the dropped set (a rank per
+    * ROW), which is precisely what a rescan-free path cannot know;
+    * the winsorized clamp needs only the two BOUNDS — exactly what a
+    * sketch serves. That asymmetry is why the winsorized mean, not
+    * the trimmed mean, is the robust-center statistic that survives
+    * the 100 TB regime.
+    */
+  def winsorizeServedFrom(ev: DataFrame, sk: DataFrame): DataFrame =
+    ev.join(broadcast(servedBounds(sk)),
+      col("key") === col("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        max(col("n_sample")).as("n_sample"),
+        max(col("lo")).as("loC"), max(col("hi")).as("hiC"),
+        sum(col("vc")).as("s_raw"),
+        sum(greatest(least(col("vc"), col("hi")), col("lo"))).as("s_win"))
+      .select(col("event_type"), col("n"), col("n_sample"),
+        TextSim.r6(col("loC").cast("double") / 100.0).as("lo"),
+        TextSim.r6(col("hiC").cast("double") / 100.0).as("hi"),
+        TextSim.r6(col("s_raw").cast("double") /
+          (col("n").cast("double") * 100.0)).as("mean"),
+        TextSim.r6(col("s_win").cast("double") /
+          (col("n").cast("double") * 100.0)).as("winsor_mean"))
+
+  /** q_winsorize_kmv — the promised rescan-free twin of
+    * `q_winsorize`: bounds estimated from the k=128 [[Kmv]] bottom-k
+    * sample (p10/p90 by rank, the sketch the nightly refresh
+    * maintains incrementally), broadcast, clamped in one fold. In
+    * production the sketch pre-exists ([[winsorizeServedFrom]] is the
+    * one-scan path); the QUERY builds it in-line so the oracle can
+    * mirror the full lineage. WinsorizeServedSpec cross-validates
+    * against the exact form: served bounds rank-bracketed by exact
+    * p5/p15 and p85/p95 order statistics, served winsorized mean
+    * inside the exact means computed at those bracket bounds
+    * (monotonicity of the clamp makes that a true envelope — the
+    * q_lift/Audience cross-validation discipline).
+    */
+  def winsorizeServed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val sk = Kmv.sketch(ev, "event_type", "event_id", "vc")
+    winsorizeServedFrom(ev, sk).orderBy(col("event_type"))
+  }
+
+  val winsorizeServedSql: String =
+    s"""WITH hashed AS (
+       |  SELECT event_type AS key,
+       |         md5(event_type || '|' || event_id::VARCHAR) AS h,
+       |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+       |  FROM events WHERE value IS NOT NULL
+       |), rankedh AS (
+       |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY h) AS rh
+       |  FROM hashed
+       |), kept AS (
+       |  SELECT key, h, vc FROM rankedh WHERE rh <= ${Kmv.K}
+       |), r2 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY vc, h) AS rv,
+       |         count(*) OVER (PARTITION BY key) AS m
+       |  FROM kept
+       |), bounds AS (
+       |  SELECT key, max(m)::BIGINT AS n_sample,
+       |         max(CASE WHEN rv = ceil(m * ${1.0 / TrimDen}) THEN vc END)::BIGINT AS lo,
+       |         max(CASE WHEN rv = ceil(m * ${1.0 - 1.0 / TrimDen}) THEN vc END)::BIGINT AS hi
+       |  FROM r2 GROUP BY key
+       |), agg AS (
+       |  SELECT e.event_type, count(*)::BIGINT AS n,
+       |         max(b.n_sample)::BIGINT AS n_sample,
+       |         max(b.lo)::BIGINT AS lo, max(b.hi)::BIGINT AS hi,
+       |         sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))::BIGINT AS s_raw,
+       |         sum(greatest(least(CAST(floor(e.value * 100 + 0.5) AS BIGINT),
+       |                            b.hi), b.lo))::BIGINT AS s_win
+       |  FROM events e JOIN bounds b ON b.key = e.event_type
+       |  WHERE e.value IS NOT NULL
+       |  GROUP BY e.event_type
+       |)
+       |SELECT event_type, n, n_sample,
+       |       ${TextSim.r6Sql("lo::DOUBLE / 100.0")} AS lo,
+       |       ${TextSim.r6Sql("hi::DOUBLE / 100.0")} AS hi,
+       |       ${TextSim.r6Sql("s_raw::DOUBLE / (n::DOUBLE * 100.0)")} AS mean,
+       |       ${TextSim.r6Sql("s_win::DOUBLE / (n::DOUBLE * 100.0)")} AS winsor_mean
+       |FROM agg
+       |ORDER BY event_type""".stripMargin
+
   val winsorizeSql: String =
     s"""WITH ranked AS (
        |  SELECT event_type, event_id,
