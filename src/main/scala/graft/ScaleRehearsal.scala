@@ -103,6 +103,45 @@ object ScaleRehearsal {
         n
       }
     }
+    // the COMPOSED incremental curator vs full recompute — the weekly
+    // cost question end-to-end (signatures + pairs + labels + keeper),
+    // not just the CC leg the cc_* stages isolate: curator_delta
+    // ingests a 10%-of-corpus batch against a pre-built store
+    // (batch-sized signature compute, new bands broadcast against the
+    // stored band table, label merge on the contracted delta, keeper
+    // refresh = one left join); curator_full re-runs everything from
+    // scratch. Setup (store build over the 90%) is untimed — a real
+    // deployment amortized it across every prior week.
+    if (only.forall(s => s.contains("curator_delta") || s.contains("curator_full"))) {
+      val curBatch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .localCheckpoint()
+      val curBase = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .localCheckpoint()
+      Seq("reh_sigs", "reh_sigs_del", "reh_labels", "reh_labels_next")
+        .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+      operators.IncrementalCurator.init(spark, curBase, "reh_sigs", "reh_labels")
+      // ingest and keeper refresh timed apart: the refresh output is
+      // corpus-sized by definition (every path pays it — full
+      // recompute included), so bundling it would blur the quantity
+      // that actually scales differently (the ingest's batch-bounded
+      // work vs the full path's corpus-sized signature+pair+CC redo)
+      t("curator_delta") {
+        operators.IncrementalCurator.ingest(spark, curBatch,
+          "reh_sigs", "reh_labels")
+        spark.table("reh_labels").count()
+      }
+      t("curator_refresh") {
+        operators.IncrementalCurator.curated(spark, "reh_sigs", "reh_labels")
+          .filter(col("is_kept")).count()
+      }
+      t("curator_full") {
+        operators.Dedup.keepFrom(docs.select(col("doc_id")),
+          operators.Dedup.minhashPairs(docs).select(col("a_id"), col("b_id")))
+          .filter(col("is_kept")).count()
+      }
+      Seq("reh_sigs", "reh_sigs_del", "reh_labels")
+        .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+    }
     t("simhash_pairs") {
       operators.Dedup.simhashPairs(docs).count()
     }

@@ -105,9 +105,19 @@ object SignatureStore {
     * reference manifest's incremental contract).
     */
   def incrementalPairs(spark: SparkSession, newDocs: DataFrame,
+    table: String): DataFrame =
+    incrementalPairsFrom(spark,
+      Dedup.minhashSignatures(Dedup.shingleDocs(newDocs)), table)
+
+  /** [[incrementalPairs]] over an ALREADY-COMPUTED batch signature
+    * frame — the form [[graft.operators.IncrementalCurator.ingest]]
+    * uses so one shingle+minhash pass serves both the pair derivation
+    * and the store append (computing it twice doubled the dominant
+    * batch-side cost, measured in the curator rehearsal stage).
+    */
+  def incrementalPairsFrom(spark: SparkSession, newSig: DataFrame,
     table: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val newSig = Dedup.minhashSignatures(Dedup.shingleDocs(newDocs))
     val oldSig = liveSignatures(spark, table)
     val newNew = Dedup.minhashPairsRaw(newSig)
     val cand = Dedup.bandsOf(oldSig).as("o")
@@ -131,13 +141,22 @@ object SignatureStore {
     * break the bucket-pruned verify joins), so the store, not the
     * caller, is the authority on its own layout.
     */
-  def append(newDocs: DataFrame, table: String): Unit = {
+  def append(newDocs: DataFrame, table: String): Unit =
+    appendSignatures(Dedup.minhashSignatures(Dedup.shingleDocs(newDocs)),
+      newDocs, table)
+
+  /** [[append]] over an already-computed signature frame (see
+    * [[incrementalPairsFrom]]); `newDocs` still supplies the id set
+    * for the tombstone-resurrection rule.
+    */
+  def appendSignatures(newSig: DataFrame, newDocs: DataFrame,
+    table: String): Unit = {
     val spark = newDocs.sparkSession
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$table is not a bucketed signature store"))
-    val w = Dedup.minhashSignatures(Dedup.shingleDocs(newDocs))
+    val w = newSig
       .write.mode(SaveMode.Append)
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
         spec.bucketColumnNames.tail: _*)
