@@ -106,6 +106,19 @@ object Bench {
     // trust signal without a judge re-run.
     val ProbeEvery = 8
     val probes = scala.collection.mutable.ArrayBuffer[Double]()
+    // Persisted quiet reference (r7 verdict item 1 / 8): the builder's
+    // quiet-close run is committed as BASELINE_BENCH.json (per-query
+    // times + the quiet probe median + a machine fingerprint). The
+    // median-normalized window detector below is blind to a UNIFORMLY
+    // contended run (r7: loadavg 4.6-12.7 for the whole sweep raised
+    // the probe median itself, so no window tripped 2x and 5 rows
+    // shipped 2-3x inflated with retimed_n: 0) — comparing this run's
+    // probe median against the PERSISTED cross-round constant is what
+    // detects that case, and the per-query baseline times say which
+    // rows to retime or distrust.
+    val baselineFile = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "BASELINE_BENCH.json")
+    val (baseQuiet, baseTimes) = BenchTrust.readBaseline(baselineFile)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
@@ -147,13 +160,25 @@ object Bench {
     def contended(seg: Int): Boolean =
       math.max(probes(seg), probes(math.min(seg + 1, probes.length - 1))) >
         2.0 * quietProbe
+    // UNIFORM contention (no window to trip): the run's own probe
+    // median is elevated against the persisted quiet constant
+    val globalContended = BenchTrust.globalContended(quietProbe, baseQuiet)
+    def rowSuspect(name: String, t: Double, spread: Double): Boolean =
+      BenchTrust.rowSuspect(t, spread, globalContended, baseTimes.get(name))
     val retimed = scala.collection.mutable.Set[String]()
+    val untrusted = scala.collection.mutable.Set[String]()
     val results = sweep.map { case (name, fn, t, spread, ok, seg, la) =>
-      if (ok && contended(seg)) {
+      if (ok && (contended(seg) || rowSuspect(name, t, spread))) {
         retimed += name
         val (t3, spread3, ok3) = timeMin2(name, fn)
-        if (ok3) (name, math.min(t, t3), math.min(spread, spread3), true, la)
-        else (name, t, spread, ok, la)
+        val (tf, spf) =
+          if (ok3) (math.min(t, t3), math.min(spread, spread3))
+          else (t, spread)
+        // still suspect after the retime: the number cannot be made
+        // honest on this machine right now — stamp it rather than let
+        // it ride the metric line looking clean (r7 finding)
+        if (rowSuspect(name, tf, spf)) untrusted += name
+        (name, tf, spf, ok, la)
       } else (name, t, spread, ok, la)
     }
     def jstr(s: String): String =
@@ -194,16 +219,24 @@ object Bench {
     val total = results.collect { case (_, v, _, true, _) => v }.sum
     val calibPost = calibrate()
     val loadPost = loadavg()
+    val untrustedJson = untrusted.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val calibJson =
-      s"""{"pre_s":${"%.3f".format(calibPre)},"post_s":${"%.3f".format(calibPost)},"load_pre":${"%.2f".format(loadPre)},"load_post":${"%.2f".format(loadPost)},"quiet_probe_s":${"%.3f".format(quietProbe)},"retimed_n":${retimed.size}}"""
+      s"""{"pre_s":${"%.3f".format(calibPre)},"post_s":${"%.3f".format(calibPost)},"load_pre":${"%.2f".format(loadPre)},"load_post":${"%.2f".format(loadPost)},"quiet_probe_s":${"%.3f".format(quietProbe)},"quiet_ref_s":${baseQuiet.map("%.3f".format(_)).getOrElse("null")},"global_contended":$globalContended,"retimed_n":${retimed.size},"untrusted":$untrustedJson}"""
     spark.stop()
     val sideFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE", "bench_detail.json")
     try {
       // full times ride the side file too: if query growth ever makes
       // even the degraded stdout line unparseable, the per-query data
       // still exists on disk at full precision
+      // per-query ratio vs the persisted quiet baseline (full map in
+      // the side file; the metric line carries only the aggregate
+      // calib block — 220 ratios would not fit the stdout tail)
+      val ratioJson = results.collect {
+        case (k, v, _, true, _) if baseTimes.contains(k) && baseTimes(k) > 0 =>
+          jstr(k) + ":" + num(v / baseTimes(k), 2)
+      }.mkString("{", ",", "}")
       val detail =
-        s"""{"times":${qsAt(3)},"spread":$spreadJson,"load":$loadJson,"probes":$probesJson,"retimed":$retimedJson,"errors":$errJson,"calib":$calibJson,"sf":${jstr(sfDir)}}"""
+        s"""{"times":${qsAt(3)},"spread":$spreadJson,"load":$loadJson,"probes":$probesJson,"retimed":$retimedJson,"ratio_vs_baseline":$ratioJson,"errors":$errJson,"calib":$calibJson,"sf":${jstr(sfDir)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(sideFile),
         detail.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>

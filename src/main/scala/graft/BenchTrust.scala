@@ -1,0 +1,83 @@
+package graft
+
+/** Row-trust policy for [[Bench]] — pure functions, unit-tested in
+  * BenchTrustSpec so the adjudication rules themselves sit under the
+  * suite, not only under a judge replay (r7 finding: the r6
+  * median-normalized window detector shipped 5 rows 2–3× inflated
+  * with `retimed_n: 0` because a UNIFORMLY contended run raises the
+  * run's own probe median — the detector's denominator — along with
+  * every row).
+  *
+  * Three independent trust signals, each with its own failure mode:
+  *  1. window contention (in [[Bench]]): bracketing probes > 2× the
+  *     run's probe median — catches transient load windows, blind to
+  *     uniform load;
+  *  2. per-row variance: spread > 0.5× the kept min AND > 0.4 s
+  *     absolute — a min-of-2 whose two runs disagreed by 2× is not a
+  *     trustworthy number regardless of why (the absolute floor keeps
+  *     sub-second queries' JIT jitter from tripping it: their error
+  *     cannot move the metric line, while the r7 inflated rows
+  *     carried multi-second spreads);
+  *  3. cross-round drift under global contention: the run's probe
+  *     median > 2× the PERSISTED quiet constant (BASELINE_BENCH.json,
+  *     committed at each round's quiet close) marks the whole run
+  *     contended, and any row > 1.5× its persisted quiet time is then
+  *     presumed inflated.
+  * A suspect row is retimed once more (min-of-2, min with the earlier
+  * measurement — every run is a full honest execution, so min never
+  * understates); a row STILL suspect after the retime is stamped in
+  * the metric line's `untrusted` list rather than riding it looking
+  * clean.
+  */
+object BenchTrust {
+
+  /** (quiet probe median, per-query quiet seconds) from a persisted
+    * BASELINE_BENCH.json; (None, empty) when absent or unreadable —
+    * the bench then runs on signals 1–2 alone, exactly as before the
+    * baseline existed.
+    */
+  def readBaseline(path: String): (Option[Double], Map[String, Double]) =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) (None, Map.empty)
+      else parseBaseline(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] baseline read failed: $e")
+      (None, Map.empty)
+    }
+
+  /** Parse split out for testability (no filesystem). */
+  private[graft] def parseBaseline(txt: String): (Option[Double], Map[String, Double]) = {
+    val q = """"probe_median_s"\s*:\s*([0-9.eE+-]+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    val ti = txt.indexOf("\"times\"")
+    val times =
+      if (ti < 0) Map.empty[String, Double]
+      else {
+        val open = txt.indexOf('{', ti)
+        val close = txt.indexOf('}', open)
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(txt.substring(open, close + 1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    (q, times)
+  }
+
+  /** Signal 3's run-level gate: this run's probe median against the
+    * persisted quiet constant. No baseline → never globally contended
+    * (the r7 failure stays possible only until the first baseline
+    * commit, which scripts/update_baseline.py makes a one-liner).
+    */
+  def globalContended(runProbeMedian: Double, baselineQuiet: Option[Double]): Boolean =
+    baselineQuiet.exists(q => runProbeMedian > 2.0 * q)
+
+  /** Signals 2–3 for one row. `baseTime` = the row's persisted quiet
+    * seconds, when the baseline has it (a new query has none and is
+    * judged on variance alone).
+    */
+  def rowSuspect(t: Double, spread: Double, globallyContended: Boolean,
+    baseTime: Option[Double]): Boolean =
+    (spread > 0.5 * t && spread > 0.4) ||
+      (globallyContended && baseTime.exists(b => t > 1.5 * b))
+}
