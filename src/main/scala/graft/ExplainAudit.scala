@@ -681,6 +681,70 @@ object ExplainAudit {
       bootPlan.linesIterator.count(l =>
         l.contains("FileScan") && l.contains("documents")) <= 1)
 
+    // --- round-8 additions ---
+
+    val dimsPlan = SparkEntry.queries("q_media_dims")(spark, d)
+      .queryExecution.executedPlan.toString
+    // the header parse is ONE expression over the scan: no exchange
+    // before the final presentation sort, payloads never join anything
+    flag("media dims: single scan, no join, parse rides the projection",
+      dimsPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
+        !dimsPlan.contains("Join"))
+
+    val cropPlan = operators.MediaCrop.cropPairsRaw(
+      Tables.mediaCropAug(spark, d)).queryExecution.executedPlan.toString
+    // tiled detector keeps the MediaDedup shape: salted band self-join
+    // (per-tile keys), payloads never in a cartesian
+    flag("media crop: salted per-tile band join, no cartesian",
+      cropPlan.contains("__salt") &&
+        !cropPlan.contains("CartesianProduct") &&
+        !cropPlan.contains("BroadcastNestedLoopJoin"))
+
+    val wkPlan = {
+      val ev = Tables.events(spark, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      val sk = operators.Kmv.sketch(ev, "event_type", "event_id", "vc")
+        .localCheckpoint()
+      operators.Winsorize.winsorizeServedFrom(ev, sk)
+        .queryExecution.executedPlan.toString
+    }
+    // the serve is the whole point: ONE corpus scan, bounds broadcast,
+    // never a corpus-side sort-merge or rank window
+    flag("winsorize served: one corpus scan, bounds broadcast, no sort-merge",
+      wkPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
+        wkPlan.contains("BroadcastHashJoin") &&
+        !wkPlan.contains("SortMergeJoin"))
+
+    val dpcPlan = SparkEntry.queries("q_dp_continual")(spark, d)
+      .queryExecution.executedPlan.toString
+    // one corpus fold to the (cell, epoch) deltas; every join after
+    // runs on bounded grids (broadcast), the corpus never sort-merges
+    flag("dp continual: <=1 events scan, grid joins broadcast",
+      dpcPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) <= 1 &&
+        !dpcPlan.contains("SortMergeJoin"))
+
+    val sccNodes = Tables.edgesShared(spark, d)
+    val sccInner = {
+      val nodes = sccNodes.select(col("src").as("id"))
+        .unionAll(sccNodes.select(col("dst").as("id"))).distinct()
+      // audit ONE propagation round's plan shape (the loop materializes
+      // per round, so the steady-state round plan is the honest unit)
+      val labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+      labels.join(sccNodes, labels("id") === sccNodes("src"))
+        .select(sccNodes("dst").as("id"), labels("lbl"))
+        .unionAll(labels)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .queryExecution.executedPlan.toString
+    }
+    // each SCC propagation hop is one edge-keyed join + a partial-agg
+    // min groupBy — no window, no cartesian, map-side partial present
+    flag("scc round: edge join + partial-agg min, no window/cartesian",
+      sccInner.contains("partial_min") &&
+        !sccInner.contains("Window") &&
+        !sccInner.contains("CartesianProduct"))
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)

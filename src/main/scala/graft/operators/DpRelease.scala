@@ -425,11 +425,17 @@ object DpRelease {
     horizon: Int, seed: String, domain: Option[DataFrame] = None): DataFrame = {
     val s = df.sparkSession
     val levels = 64 - java.lang.Long.numberOfLeadingZeros(horizon.toLong)
+    // the ONE corpus fold, materialized: three consumers reference it
+    // (node sums, the cell grid, and — via both — the release), and
+    // without a barrier each re-derives the whole scan (the
+    // multi-reference-fold rule; localCheckpoint so the printed plan
+    // shows the corpus touched once — the Changepoint/Psi precedent)
     val deltas = df
       .select((keys.map(col) :+ epoch.cast("long").as("t")): _*)
       .filter(col("t") >= 0 && col("t") < horizon)
       .groupBy((keys.map(col) :+ col("t")): _*)
       .agg(count(lit(1)).cast("long").as("d"))
+      .localCheckpoint()
     val lvls = s.range(0, levels).select(col("id").cast("int").as("l"))
     // each delta row lands in exactly one node per level: i = t >> l
     val nodeSums = deltas.crossJoin(lvls)
@@ -443,7 +449,12 @@ object DpRelease {
       .filter(expr("(shiftright(n, l) % 2) = 1"))
       .withColumn("i", expr("shiftright(n, l + 1) * 2"))
       .select(col("t"), col("l"), col("i"))
-    val cellGrid = domain.getOrElse(df.select(keys.map(col): _*).distinct())
+    // cell domain derived from the DELTA frame, not df: the deltas
+    // fold is the one corpus pass, and a second full scan just to
+    // enumerate keys would double the 100 TB cost (the object doc's
+    // domain rule applies either way — pass `domain` when the
+    // enumeration must be public rather than data-derived)
+    val cellGrid = domain.getOrElse(deltas.select(keys.map(col): _*).distinct())
     val u = conv(substring(md5(concat_ws(":",
       lit(s"dpc:$seed") +: keys.map(k => col(k).cast("string")) :+
         col("l").cast("string") :+ col("i").cast("string"): _*)),
@@ -497,7 +508,7 @@ object DpRelease {
        |  FROM (SELECT unnest(range(0, $ContinualHorizon)) AS t)
        |  CROSS JOIN lvls
        |  WHERE (((t + 1) >> l) % 2) = 1
-       |), grid AS (SELECT DISTINCT event_type FROM events)
+       |), grid AS (SELECT DISTINCT event_type FROM deltas)
        |SELECT g.event_type, r.t AS day,
        |       sum(coalesce(n.nd, 0) + ${geometricNoiseSql(u)})::BIGINT
        |         AS n_released_cum,
