@@ -59,9 +59,18 @@ object Scc {
     * reversed edges for min descendant.
     */
   private def minReach(nodes: DataFrame, edges: DataFrame,
+    checkpointDir: Option[String]): DataFrame =
+    minReachFrom(nodes.select(col("id"), col("id").as("lbl")), edges,
+      checkpointDir)
+
+  /** [[minReach]] with a caller-supplied seed labeling — the reuse
+    * [[Bowtie]] needs: seeding the core at a sentinel below every id
+    * turns min-ancestor propagation into plain reachability-from-core.
+    */
+  private[graft] def minReachFrom(seed: DataFrame, edges: DataFrame,
     checkpointDir: Option[String]): DataFrame = {
     var labels = Iterate.materialize(
-      nodes.select(col("id"), col("id").as("lbl")), checkpointDir)
+      seed.select(col("id"), col("lbl")), checkpointDir)
     var done = false
     while (!done) {
       val viaEdges = labels.join(edges, labels("id") === edges("src"))
