@@ -212,6 +212,46 @@ object Tables {
       |  FROM documents WHERE doc_id % 11 = 0
       |)""".stripMargin
 
+  /** Audio corpus with planted RIFF/WAVE headers — the audio rung of
+    * the container-metadata family ([[graft.functions.MediaDims]]
+    * fmt 3): every even doc a WAV whose `fmt ` chunk sits behind a
+    * JUNK chunk of `doc_id % 5` bytes (odd sizes exercise RIFF's
+    * pad-to-even rule — no fixed offset exists), odd docs raw text.
+    * RIFF is LITTLE-endian, so the hex builder emits byte-swapped
+    * fields; one template generates both engines' expression (they
+    * differ only in integer-div spelling and encode arity).
+    */
+  private def wavHexCase(dv: (String, String) => String, enc: String): String = {
+    def u16(x: String) =
+      s"lpad(hex(($x) % 256), 2, '0') || lpad(hex((${dv(x, "256")}) % 256), 2, '0')"
+    def u32(x: String) = s"${u16(x)} || ${u16(dv(x, "65536"))}"
+    val j = "(doc_id % 5)"
+    val rate = "(8000 + (doc_id % 12) * 4000)"
+    val ch = "(1 + doc_id % 7)"
+    val bits = "(8 * (1 + doc_id % 4))"
+    val byterate = dv(s"$rate * $ch * $bits", "8")
+    val balign = dv(s"$ch * $bits", "8")
+    s"""CASE WHEN doc_id % 2 = 0 THEN unhex('52494646' || ${u32("1000")} ||
+       '57415645' || '4A554E4B' || ${u32(j)} ||
+       repeat('41', cast($j as int)) ||
+       CASE WHEN $j % 2 = 1 THEN '00' ELSE '' END ||
+       '666D7420' || ${u32("16")} || ${u16("1")} || ${u16(ch)} ||
+       ${u32(rate)} || ${u32(byterate)} || ${u16(balign)} || ${u16(bits)}) ||
+       $enc ELSE $enc END"""
+  }
+
+  def mediaAudio(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id").as("media_id"),
+      expr(wavHexCase((a, b) => s"(($a) div ($b))", "encode(text, 'UTF-8')"))
+        .as("payload"))
+
+  val mediaAudioSql: String =
+    s"""mediaa AS (
+       |  SELECT doc_id AS media_id,
+       |  ${wavHexCase((a, b) => s"(($a) // ($b))", "encode(text)")} AS payload
+       |  FROM documents
+       |)""".stripMargin
+
   /** Embedding corpus with injected duplicate vectors (every 20th). */
   def embAug(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d).select(col("vec_id"), col("embedding"))

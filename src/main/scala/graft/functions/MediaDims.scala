@@ -40,6 +40,16 @@ object MediaDims {
   val FmtPng = 1L
   val FmtJpeg = 2L
 
+  /** WAV/RIFF — the audio rung: the packed layout reuses the low 48
+    * bits as `sample_rate << 24 | channels << 8 | bits_per_sample`
+    * (rate < 2^24 covers every real rate; the consumer knows the
+    * layout from fmt). RIFF is LITTLE-endian chunk ids + u32le sizes
+    * with odd-size padding — the walk is required just like JPEG's
+    * (JUNK/LIST chunks of data-dependent length precede `fmt ` in
+    * real files, and the fixture plants them).
+    */
+  val FmtWav = 3L
+
   def dims(payload: Column): Column = toColumn(MediaDimsExpr(toExpression(payload)))
 }
 
@@ -82,6 +92,26 @@ case class MediaDimsExpr(child: Expression) extends UnaryExpression {
           p += 2 + (((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF))
         }
       }
+    } else if (n >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E') {
+      var p = 12
+      var done = false
+      while (!done && p + 8 <= n) {
+        val sz = (b(p + 4) & 0xFFL) | ((b(p + 5) & 0xFFL) << 8) |
+          ((b(p + 6) & 0xFFL) << 16) | ((b(p + 7) & 0xFFL) << 24)
+        if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
+          b(p + 3) == ' ' && p + 24 <= n) {
+          val ch = (b(p + 10) & 0xFFL) | ((b(p + 11) & 0xFFL) << 8)
+          val rate = (b(p + 12) & 0xFFL) | ((b(p + 13) & 0xFFL) << 8) |
+            ((b(p + 14) & 0xFFL) << 16) | ((b(p + 15) & 0xFFL) << 24)
+          val bits = (b(p + 22) & 0xFFL) | ((b(p + 23) & 0xFFL) << 8)
+          v = (MediaDims.FmtWav << 48) | ((rate & 0xFFFFFFL) << 24) |
+            ((ch & 0xFFL) << 8) | (bits & 0xFFL)
+          done = true
+        } else if (sz > n) done = true // corrupt size: walk off, stay 0
+        else p += (8L + sz + (sz & 1L)).toInt
+      }
     }
     v
   }
@@ -94,6 +124,7 @@ case class MediaDimsExpr(child: Expression) extends UnaryExpression {
       val mk = ctx.freshName("mk")
       val w = ctx.freshName("w")
       val h = ctx.freshName("h")
+      val sz = ctx.freshName("sz")
       s"""
          |int $n = $a.length;
          |long $v = 0L;
@@ -120,6 +151,25 @@ case class MediaDimsExpr(child: Expression) extends UnaryExpression {
          |      break;
          |    }
          |    $p += 2 + ((($a[$p + 2] & 0xFF) << 8) | ($a[$p + 3] & 0xFF));
+         |  }
+         |} else if ($n >= 12 && $a[0] == 'R' && $a[1] == 'I' && $a[2] == 'F' &&
+         |    $a[3] == 'F' && $a[8] == 'W' && $a[9] == 'A' && $a[10] == 'V' &&
+         |    $a[11] == 'E') {
+         |  int $p = 12;
+         |  while ($p + 8 <= $n) {
+         |    long $sz = ($a[$p + 4] & 0xFFL) | (($a[$p + 5] & 0xFFL) << 8) |
+         |      (($a[$p + 6] & 0xFFL) << 16) | (($a[$p + 7] & 0xFFL) << 24);
+         |    if ($a[$p] == 'f' && $a[$p + 1] == 'm' && $a[$p + 2] == 't' &&
+         |        $a[$p + 3] == ' ' && $p + 24 <= $n) {
+         |      long $w = ($a[$p + 12] & 0xFFL) | (($a[$p + 13] & 0xFFL) << 8) |
+         |        (($a[$p + 14] & 0xFFL) << 16) | (($a[$p + 15] & 0xFFL) << 24);
+         |      long $h = (((($a[$p + 10] & 0xFFL) | (($a[$p + 11] & 0xFFL) << 8))
+         |          & 0xFFL) << 8) |
+         |        ((($a[$p + 22] & 0xFFL) | (($a[$p + 23] & 0xFFL) << 8)) & 0xFFL);
+         |      $v = (${MediaDims.FmtWav}L << 48) | (($w & 0xFFFFFFL) << 24) | $h;
+         |      break;
+         |    } else if ($sz > $n) { break; }
+         |    $p += (int) (8L + $sz + ($sz & 1L));
          |  }
          |}
          |${ev.value} = $v;

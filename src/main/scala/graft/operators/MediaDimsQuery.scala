@@ -36,6 +36,64 @@ object MediaDimsQuery {
       .drop("v")
       .orderBy(col("media_id"))
 
+  /** q_media_audio — sample rate / channels / bit depth from the
+    * RIFF/WAVE `fmt ` chunk (same codegen'd [[MediaDims]] expression,
+    * fmt 3; the JUNK chunk in the fixture forces a real chunk walk
+    * with odd-size padding). The audio analogue of the thumbnail
+    * filter: drop 8 kHz mono before paying for feature extraction.
+    */
+  def mediaAudio(s: SparkSession, d: String): DataFrame =
+    Tables.mediaAudio(s, d)
+      .select(col("media_id"), MediaDims.dims(col("payload")).as("v"))
+      .select(col("media_id"),
+        when(expr("shiftright(v, 48)") === MediaDims.FmtWav, "wav").as("fmt"),
+        when(col("v") =!= 0L, expr("shiftright(v, 24) % 16777216"))
+          .as("sample_rate"),
+        when(col("v") =!= 0L, expr("shiftright(v, 8) % 256")).as("channels"),
+        when(col("v") =!= 0L, expr("v % 256")).as("bits"))
+      .orderBy(col("media_id"))
+
+  val mediaAudioSql: String = {
+    def b(i: String) = s"('0x' || substr(x.s, 2*(g.p+$i)+1, 2))::BIGINT"
+    s"""WITH RECURSIVE ${Tables.mediaAudioSql},
+       |hx AS (
+       |  SELECT media_id, hex(payload) AS s,
+       |         octet_length(payload)::BIGINT AS n
+       |  FROM mediaa
+       |), rw(media_id, p, rate, ch, bits) AS (
+       |  SELECT media_id, 12::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+       |  FROM hx
+       |  WHERE n >= 12 AND substr(s, 1, 8) = '52494646'
+       |    AND substr(s, 17, 8) = '57415645'
+       |  UNION ALL
+       |  SELECT media_id,
+       |    CASE WHEN isfmt THEN -1 ELSE p + 8 + sz + (sz % 2) END,
+       |    CASE WHEN isfmt THEN r END,
+       |    CASE WHEN isfmt THEN c END,
+       |    CASE WHEN isfmt THEN bb END
+       |  FROM (
+       |    SELECT g.media_id, g.p, x.n,
+       |      (substr(x.s, 2*g.p+1, 8) = '666D7420' AND g.p + 24 <= x.n)
+       |        AS isfmt,
+       |      ${b("4")} + 256*${b("5")} + 65536*${b("6")}
+       |        + 16777216*${b("7")} AS sz,
+       |      ${b("12")} + 256*${b("13")} + 65536*${b("14")}
+       |        + 16777216*${b("15")} AS r,
+       |      ${b("10")} + 256*${b("11")} AS c,
+       |      ${b("22")} + 256*${b("23")} AS bb
+       |    FROM rw g JOIN hx x ON x.media_id = g.media_id
+       |    WHERE g.p >= 0 AND g.rate IS NULL AND g.p + 8 <= x.n
+       |  ) WHERE isfmt OR sz <= n
+       |), parsed AS (
+       |  SELECT media_id, rate, ch, bits FROM rw WHERE rate IS NOT NULL
+       |)
+       |SELECT m.media_id,
+       |       CASE WHEN p.rate IS NOT NULL THEN 'wav' END AS fmt,
+       |       p.rate AS sample_rate, p.ch AS channels, p.bits AS bits
+       |FROM hx m LEFT JOIN parsed p ON p.media_id = m.media_id
+       |ORDER BY m.media_id""".stripMargin
+  }
+
   val mediaDimsSql: String =
     s"""WITH RECURSIVE ${Tables.mediaHeadersSql},
        |hx AS (

@@ -106,6 +106,55 @@ class MediaDimsSpec extends AnyFunSuite {
     }
   }
 
+  private def le16(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  private def wav(rate: Long, ch: Long, bits: Long,
+    junk: Seq[Int], body: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes ++ le32(1000) ++ "WAVE".getBytes ++
+      junk.flatMap(j => "JUNK".getBytes ++ le32(j) ++
+        Array.fill(j)(0x41.toByte) ++
+        (if (j % 2 == 1) Array(0.toByte) else Array.empty[Byte])) ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+      le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits) ++ body
+
+  test("synthesized WAV headers round-trip: LE fields, junk chunks, odd-size padding") {
+    val gen = for {
+      rate <- Gen.chooseNum(8000L, 192000L)
+      ch <- Gen.chooseNum(1L, 8L)
+      bits <- Gen.oneOf(8L, 16L, 24L, 32L)
+      nJunk <- Gen.chooseNum(0, 3)
+      junkLens <- Gen.listOfN(nJunk, Gen.chooseNum(0, 33)) // odd sizes included
+      bodyN <- Gen.chooseNum(0, 40)
+    } yield (wav(rate, ch, bits, junkLens, Array.fill(bodyN)(7.toByte)),
+      packed(MediaDims.FmtWav, rate, (ch << 8) | bits))
+    val cases = (1 to 150).map(s =>
+      gen.apply(Gen.Parameters.default, Seed(7700 + s)).get)
+    val got = dimsOf(cases.zipWithIndex.map { case ((p, _), i) => (i.toLong, p) })
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i.toLong) == want,
+        s"wav case $i: got ${got(i.toLong).toHexString}, want ${want.toHexString}")
+    }
+  }
+
+  test("WAV totality: truncated fmt, corrupt chunk size, missing fmt are 0") {
+    val good = wav(44100, 2, 16, Seq(5), Array.empty)
+    val rows = Seq(
+      1L -> good.take(20), // dies inside the first chunk header
+      2L -> ("RIFF1234WAVE".getBytes ++ "JUNK".getBytes ++
+        le32(Int.MaxValue.toLong) ++ Array.fill(4)(0.toByte)), // size off the end
+      3L -> ("RIFF1234WAVE".getBytes ++ "data".getBytes ++ le32(4) ++
+        Array.fill(4)(0.toByte))) // no fmt chunk at all
+    val got = dimsOf(rows)
+    rows.foreach { case (id, _) => assert(got(id) == 0L, s"payload $id") }
+    // and the good one parses
+    assert(dimsOf(Seq(9L -> good))(9L) ==
+      packed(MediaDims.FmtWav, 44100, (2L << 8) | 16L))
+  }
+
   test("media_dims is SQL-callable via GraftExtensions") {
     val v = spark.sql(
       "SELECT media_dims(unhex('89504E470D0A1A0A0000000D49484452" +
