@@ -587,6 +587,88 @@ object Events {
   def timeToConvertQuery(s: SparkSession, d: String): DataFrame =
     timeToConvert(Tables.events(s, d))
 
+  /** q_ttc_kmv — the sketch-served time-to-convert twin (third
+    * promised [[Kmv]] rung): the exact form's GLOBAL rank window is a
+    * single-partition sort of the per-user latency frame — at 10^9
+    * converting users, the one non-distributable step. The serve
+    * reads p50/p90 off a k = 128 bottom-k sample of the latencies
+    * (one ObjectHashAggregate, no sort anywhere), keeps n and the
+    * mean EXACT (plain folds — nothing about them needs a sort), and
+    * stamps the DKW rank band: F(p̂q) ∈ q ± ε with
+    * ε = √(ln(2/δ)/2m) at δ = 0.05 (micro-rounded [[Ks.Ln40Micro]],
+    * zero runtime libm). TtcServedSpec asserts the band against the
+    * exact CDF.
+    */
+  def timeToConvertServed(s: SparkSession, d: String): DataFrame = {
+    val lat = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", unix_micros(col("ts")))).as("v"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"))
+      .filter(col("v").isNotNull && col("p").isNotNull && col("v") <= col("p"))
+      .select(col("user_id"), (col("p") - col("v")).as("lat_us"))
+      .localCheckpoint() // one barrier feeds sketch + exact folds
+    val sk = Kmv.sketch(lat.withColumn("k", lit("all")), "k", "user_id", "lat_us")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val q = sk
+      .withColumn("rv", row_number().over(w.orderBy(col("v"), col("h"))))
+      .withColumn("m", count(lit(1)).over(w))
+      .groupBy(col("key"))
+      .agg(max(col("m")).cast("long").as("m_sample"),
+        max(when(col("rv") === ceil(col("m") * lit(0.5)), col("v")))
+          .as("p50_us"),
+        max(when(col("rv") === ceil(col("m") * lit(0.9)), col("v")))
+          .as("p90_us"))
+    val ex = lat.agg(count(lit(1)).cast("long").as("n_converted"),
+      sum(col("lat_us")).as("s_us"))
+    ex.crossJoin(broadcast(q.drop("key")))
+      .select(col("n_converted"), col("m_sample"),
+        TextSim.r6(col("p50_us").cast("double") / 1e6).as("p50_est_s"),
+        TextSim.r6(col("p90_us").cast("double") / 1e6).as("p90_est_s"),
+        TextSim.r6(col("s_us").cast("double") /
+          col("n_converted").cast("double") / 1e6).as("mean_s"),
+        TextSim.r6(sqrt(lit(Ks.Ln40Micro) /
+          (col("m_sample").cast("double") * 2.0))).as("rank_eps"))
+  }
+
+  val timeToConvertServedSql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+       |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+       |  FROM events WHERE event_type IN ('view', 'purchase')
+       |  GROUP BY user_id
+       |), lat AS (
+       |  SELECT user_id, (p - v)::BIGINT AS lat_us FROM per_user
+       |  WHERE v IS NOT NULL AND p IS NOT NULL AND v <= p
+       |), hashed AS (
+       |  SELECT md5('all' || '|' || user_id::VARCHAR) AS h,
+       |         lat_us::DOUBLE AS v
+       |  FROM lat
+       |), rankedh AS (
+       |  SELECT *, row_number() OVER (ORDER BY h) AS rh FROM hashed
+       |), kept AS (SELECT h, v FROM rankedh WHERE rh <= ${Kmv.K}),
+       |r2 AS (
+       |  SELECT *, row_number() OVER (ORDER BY v, h) AS rv,
+       |         count(*) OVER () AS m
+       |  FROM kept
+       |), q AS (
+       |  SELECT max(m)::BIGINT AS m_sample,
+       |         max(CASE WHEN rv = ceil(m * 0.5) THEN v END) AS p50_us,
+       |         max(CASE WHEN rv = ceil(m * 0.9) THEN v END) AS p90_us
+       |  FROM r2
+       |), ex AS (
+       |  SELECT count(*)::BIGINT AS n_converted, sum(lat_us)::BIGINT AS s_us
+       |  FROM lat
+       |)
+       |SELECT ex.n_converted, q.m_sample,
+       |       ${TextSim.r6Sql("q.p50_us::DOUBLE / 1000000.0")} AS p50_est_s,
+       |       ${TextSim.r6Sql("q.p90_us::DOUBLE / 1000000.0")} AS p90_est_s,
+       |       ${TextSim.r6Sql("ex.s_us::DOUBLE / ex.n_converted::DOUBLE / 1000000.0")} AS mean_s,
+       |       ${TextSim.r6Sql(
+      s"sqrt(${Ks.Ln40Micro} / (q.m_sample::DOUBLE * 2.0))")} AS rank_eps
+       |FROM ex CROSS JOIN q""".stripMargin
+
   val timeToConvertSql: String =
     s"""WITH per_user AS (
        |  SELECT user_id,
