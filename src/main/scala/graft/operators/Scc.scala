@@ -139,6 +139,88 @@ object Scc {
       .getOrElse(nodes.select(col("id"), col("id").as("scc")).limit(0))
   }
 
+  /** Condensation edges `(src, dst)` of a labeled graph: distinct
+    * inter-SCC edges with endpoints contracted to their SCC labels —
+    * the second piece of incremental-SCC state ([[mergeEdges]]).
+    * Bounded by the number of SCC-to-SCC adjacencies, never the edge
+    * count (every intra-SCC edge vanishes in the contraction).
+    */
+  def condensation(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val la = labels.select(col("id").as("src"), col("scc").as("s_lbl"))
+    val lb = labels.select(col("id").as("dst"), col("scc").as("d_lbl"))
+    edges.join(la, Seq("src")).join(lb, Seq("dst"))
+      .select(col("s_lbl").as("src"), col("d_lbl").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Incremental SCC maintenance — the directed analogue of
+    * [[Components.mergePairs]], with one essential difference: an
+    * added edge can close a cycle THROUGH OLD EDGES (b→a arrives
+    * where a →* b already held), so the delta alone is not enough —
+    * the maintained state is (labels, condensation). Contraction is
+    * what makes the merge sound AND bounded: old SCCs stay strongly
+    * connected under edge additions, so SCC(G ∪ E') = SCC of the
+    * condensation ∪ contracted new edges, mapped back through the
+    * labels — a graph bounded by the SCC count, never the corpus
+    * (SccSpec asserts the composition ≡ full recompute over batch
+    * schedules, and that min-label semantics survive: a merged
+    * component's label is the min over its old components' labels).
+    *
+    * Returns the updated (labels, condensation) pair; the stored
+    * label table is touched by one broadcast-joinable rewrite,
+    * exactly the [[Components.mergePairs]] shape.
+    */
+  def mergeEdges(labels: DataFrame, cond: DataFrame, newEdges: DataFrame,
+    checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.broadcast
+    // endpoint → stored SCC representative (itself if unseen): the
+    // bounded BATCH broadcasts, the stored label table STREAMS past
+    // it (the Components.mergePairs lookup shape — broadcasting the
+    // labels would ship the corpus)
+    val batch = newEdges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val la = labels.select(col("id").as("src"), col("scc").as("s_lbl"))
+    val lb = labels.select(col("id").as("dst"), col("scc").as("d_lbl"))
+    val looked = lb.join(
+      broadcast(la.join(broadcast(batch), Seq("src"), "right_outer")),
+      Seq("dst"), "right_outer").localCheckpoint()
+    val contracted = looked
+      .select(coalesce(col("s_lbl"), col("src")).as("src"),
+        coalesce(col("d_lbl"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // ids the store has never seen (their own singleton SCCs so far)
+    val newIdCols = looked.select(
+      when(col("s_lbl").isNull, col("src")).as("na"),
+      when(col("d_lbl").isNull, col("dst")).as("nb"))
+    val newIds = newIdCols.select(col("na").as("id"))
+      .filter(col("na").isNotNull)
+      .unionAll(newIdCols.select(col("nb").as("id"))
+        .filter(col("nb").isNotNull))
+      .distinct()
+    val delta = cond.unionByName(contracted).distinct().localCheckpoint()
+    val nodes = delta.select(col("src").as("id"))
+      .unionAll(delta.select(col("dst").as("id")))
+      .unionAll(newIds).distinct()
+    // SCC over representatives only — bounded by the SCC count
+    val rep = scc(nodes, delta, checkpointDir)
+    val moved = rep.select(col("id").as("rep"), col("scc").as("new_scc"))
+    val updated = labels.join(broadcast(moved),
+      labels("scc") === col("rep"), "left_outer")
+      .select(labels("id"), coalesce(col("new_scc"), labels("scc")).as("scc"))
+    val newLabeled = newIds.join(broadcast(moved),
+      newIds("id") === col("rep"), "left_outer")
+      .select(newIds("id"), coalesce(col("new_scc"), newIds("id")).as("scc"))
+    val outLabels = Iterate.materialize(
+      updated.unionAll(newLabeled), checkpointDir)
+    // refresh the condensation under the NEW labels (the rep graph's
+    // own condensation, relabeled — still SCC-count bounded)
+    val outCond = Iterate.materialize(
+      condensation(outLabels.select(col("id"), col("scc")),
+        delta.select(col("src"), col("dst"))), checkpointDir)
+    (outLabels, outCond)
+  }
+
   /** q_scc — SCC labels + component size over the crawl edge graph,
     * with `in_trap` marking members of a directed ring (size > 1):
     * the page set a crawl budget must treat as one trap, not

@@ -92,6 +92,44 @@ class SccSpec extends AnyFunSuite {
     assert(got == tarjan(nodes, edges))
   }
 
+  test("mergeEdges: a new edge closing a cycle THROUGH OLD EDGES merges the path of SCCs") {
+    // stored graph: 1 -> 2 -> 3 (three singleton SCCs, condensation
+    // carries both edges); the new edge 3 -> 1 creates no cycle in
+    // the delta alone — only the condensation knows 1 reaches 3
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val e0 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val labels0 = Scc.scc(nodes, e0)
+    val cond0 = Scc.condensation(labels0, e0)
+    val (labels1, cond1) = Scc.mergeEdges(labels0, cond0,
+      Seq((3L, 1L)).toDF("src", "dst"))
+    val got = labels1.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"cycle through old edges not detected: $got")
+    // the merged component's condensation is empty
+    assert(cond1.count() == 0)
+  }
+
+  test("mergeEdges over a 3-batch schedule equals the full recompute") {
+    val e = Tables.edges(spark, sf).as[(Long, Long)].collect().toSeq
+    val allNodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val batches = Seq(
+      e.filter(p => (p._1 + p._2) % 3 == 0),
+      e.filter(p => (p._1 + p._2) % 3 == 1),
+      e.filter(p => (p._1 + p._2) % 3 == 2))
+    val n0 = (batches(0).map(_._1) ++ batches(0).map(_._2)).distinct
+    var labels = Scc.scc(n0.toDF("id"), batches(0).toDF("src", "dst"))
+    var cond = Scc.condensation(labels, batches(0).toDF("src", "dst"))
+    for (b <- batches.drop(1)) {
+      val (l2, c2) = Scc.mergeEdges(labels, cond, b.toDF("src", "dst"))
+      labels = l2; cond = c2
+    }
+    val inc = labels.as[(Long, Long)].collect().toMap
+    val full = Scc.scc(allNodes.toDF("id"), e.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full,
+      s"diff=${(inc.toSet diff full.toSet).take(5)} / ${(full.toSet diff inc.toSet).take(5)}")
+  }
+
   test("empty edge set: every node is its own singleton SCC") {
     val nodes = Seq(1L, 2L, 3L).toDF("id")
     val e = Seq.empty[(Long, Long)].toDF("src", "dst")
