@@ -745,6 +745,28 @@ object ExplainAudit {
         !sccInner.contains("Window") &&
         !sccInner.contains("CartesianProduct"))
 
+    val pprInner = {
+      val e = Tables.edgesShared(spark, d)
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+        .select(col("node"), (col("node") % 7 === 0).as("is_seed"))
+        .localCheckpoint()
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val pr = nodes.select(col("node"), col("is_seed"),
+        lit(1000000L).as("pr")).localCheckpoint()
+      pr.join(e, pr("node") === e("src")).join(outdeg, "src")
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        .queryExecution.executedPlan.toString
+    }
+    // each PPR round is the PageRank shape: edge-keyed join + a
+    // partial-agg sum groupBy — map-side combine present, no window,
+    // no cartesian (the teleport gate is a node-local projection)
+    flag("ppr round: edge join + partial-agg sum, no window/cartesian",
+      pprInner.contains("partial_sum") &&
+        !pprInner.contains("Window") &&
+        !pprInner.contains("CartesianProduct"))
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)
