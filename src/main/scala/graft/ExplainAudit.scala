@@ -691,6 +691,14 @@ object ExplainAudit {
       dimsPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
         !dimsPlan.contains("Join"))
 
+    val vidPlan = SparkEntry.queries("q_media_video")(spark, d)
+      .queryExecution.executedPlan.toString
+    // the box walk is ONE expression over the scan (brand is native
+    // substring arithmetic): no exchange before the final sort, no join
+    flag("media video: single scan, no join, box walk rides the projection",
+      vidPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
+        !vidPlan.contains("Join"))
+
     val cropPlan = operators.MediaCrop.cropPairsRaw(
       Tables.mediaCropAug(spark, d)).queryExecution.executedPlan.toString
     // tiled detector keeps the MediaDedup shape: salted band self-join

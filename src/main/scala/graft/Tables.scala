@@ -252,6 +252,50 @@ object Tables {
        |  FROM documents
        |)""".stripMargin
 
+  /** Video corpus with planted MP4/ISO-BMFF headers — the video rung
+    * of the container-metadata family ([[graft.functions.Mp4Meta]]):
+    * every even doc an MP4 (ftyp brand `isom`, a `free` box of
+    * `doc_id % 6` filler bytes so no fixed moov offset exists, then
+    * `moov` whose child chain holds a `udta` of `doc_id % 5` bytes
+    * before `mvhd` — forcing BOTH walks), odd docs raw text. Every
+    * 8th doc's mvhd is VERSION 1 (64-bit times push timescale/
+    * duration deeper — the layout fork real muxers emit for long
+    * recordings). Timescale/duration are closed-form in doc_id. All
+    * fields big-endian (ISO-BMFF), unlike RIFF's little-endian.
+    */
+  private def mp4HexCase(enc: String): String = {
+    def u32(x: String) = s"lpad(hex($x), 8, '0')"
+    val j = "(doc_id % 6)"
+    val k = "(doc_id % 5)"
+    val ts = "(600 * (1 + doc_id % 4))"
+    val dur = "((doc_id % 9000) * 600 + 90)"
+    val free = s"${u32(s"8 + $j")} || '66726565' || repeat('41', cast($j as int))"
+    val udta = s"${u32(s"8 + $k")} || '75647461' || repeat('42', cast($k as int))"
+    val mvhd0 = s"'0000006C6D766864' || repeat('00', 12) || ${u32(ts)} || " +
+      s"${u32(dur)} || repeat('00', 80)"
+    val mvhd1 = s"'000000786D766864' || '01000000' || repeat('00', 16) || " +
+      s"${u32(ts)} || '00000000' || ${u32(dur)} || repeat('00', 80)"
+    s"""CASE WHEN doc_id % 2 = 0 THEN unhex(
+       '0000001066747970' || '69736F6D' || '00000200' || $free ||
+       CASE WHEN doc_id % 8 = 0
+            THEN ${u32(s"136 + $k")} || '6D6F6F76' || $udta || $mvhd1
+            ELSE ${u32(s"124 + $k")} || '6D6F6F76' || $udta || $mvhd0 END) ||
+       $enc ELSE $enc END"""
+  }
+
+  def mediaVideo(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id").as("media_id"),
+      expr(mp4HexCase("encode(text, 'UTF-8')")).as("payload"))
+
+  // no line may BEGIN with "||" (double-stripMargin rule, see
+  // mediaHeadersSql)
+  val mediaVideoSql: String =
+    s"""mediav AS (
+       |  SELECT doc_id AS media_id,
+       |  ${mp4HexCase("encode(text)")} AS payload
+       |  FROM documents
+       |)""".stripMargin
+
   /** Embedding corpus with injected duplicate vectors (every 20th). */
   def embAug(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d).select(col("vec_id"), col("embedding"))

@@ -53,6 +53,90 @@ object MediaDimsQuery {
         when(col("v") =!= 0L, expr("v % 256")).as("bits"))
       .orderBy(col("media_id"))
 
+  /** q_media_video — brand / timescale / duration from the MP4
+    * ISO-BMFF box chain (codegen'd [[graft.functions.Mp4Meta]]: a
+    * top-level walk to `moov` past data-dependent `free` boxes, then
+    * a child walk to `mvhd`, version 0 and 1 layouts). `duration_ms`
+    * is the derived filter column and `short` the sub-3-second drop
+    * predicate — the video analogue of the thumbnail filter. Brand
+    * is native column arithmetic over the ftyp box (no custom code).
+    * One expression over the scan; payloads never shuffle.
+    */
+  def mediaVideo(s: SparkSession, d: String): DataFrame =
+    Tables.mediaVideo(s, d)
+      .select(col("media_id"), col("payload"),
+        graft.functions.Mp4Meta.mvhd(col("payload")).as("v"))
+      .select(col("media_id"),
+        when(col("v") =!= 0L, "mp4").as("fmt"),
+        when(col("v") =!= 0L &&
+          hex(substring(col("payload"), 5, 4)) === "66747970",
+          decode(substring(col("payload"), 9, 4), "UTF-8")).as("brand"),
+        when(col("v") =!= 0L, expr("shiftright(v, 32)")).as("timescale"),
+        when(col("v") =!= 0L, expr("v % 4294967296")).as("duration"))
+      .withColumn("duration_ms",
+        when(col("timescale") > 0L,
+          expr("(duration * 1000) div timescale")))
+      .withColumn("short",
+        when(col("fmt").isNotNull, col("duration_ms") < 3000L))
+      .orderBy(col("media_id"))
+
+  val mediaVideoSql: String = {
+    def be32(off: String) = s"('0x' || substr(x.s, 2*(g.p+$off)+1, 8))::BIGINT"
+    s"""WITH RECURSIVE ${Tables.mediaVideoSql},
+       |hx AS (
+       |  SELECT media_id, hex(payload) AS s,
+       |         octet_length(payload)::BIGINT AS n
+       |  FROM mediav
+       |), wk(media_id, p, lim, inm, ts, dur) AS (
+       |  SELECT media_id, 0::BIGINT, n, FALSE, NULL::BIGINT, NULL::BIGINT
+       |  FROM hx
+       |  UNION ALL
+       |  SELECT media_id,
+       |    CASE WHEN ismoov THEN p + 8
+       |         WHEN ismvhd OR sz < 8 THEN -1
+       |         ELSE p + sz END,
+       |    CASE WHEN ismoov THEN p + sz ELSE lim END,
+       |    inm OR ismoov,
+       |    CASE WHEN ismvhd THEN
+       |      CASE WHEN ver = 0 AND p + 28 <= lim THEN ts0
+       |           WHEN ver = 1 AND p + 40 <= lim THEN ts1 END END,
+       |    CASE WHEN ismvhd THEN
+       |      CASE WHEN ver = 0 AND p + 28 <= lim THEN du0
+       |           WHEN ver = 1 AND p + 40 <= lim THEN du1 END END
+       |  FROM (
+       |    SELECT g.media_id, g.p, g.lim, g.inm, x.n,
+       |      ${be32("0")} AS sz,
+       |      (NOT g.inm AND substr(x.s, 2*g.p+9, 8) = '6D6F6F76'
+       |        AND ${be32("0")} >= 8
+       |        AND g.p + ${be32("0")} <= x.n) AS ismoov,
+       |      (g.inm AND substr(x.s, 2*g.p+9, 8) = '6D766864'
+       |        AND ${be32("0")} >= 8) AS ismvhd,
+       |      CASE WHEN g.p + 9 <= g.lim
+       |           THEN ('0x' || substr(x.s, 2*g.p+17, 2))::BIGINT END AS ver,
+       |      CASE WHEN g.p + 28 <= g.lim THEN ${be32("20")} END AS ts0,
+       |      CASE WHEN g.p + 28 <= g.lim THEN ${be32("24")} END AS du0,
+       |      CASE WHEN g.p + 40 <= g.lim THEN ${be32("28")} END AS ts1,
+       |      CASE WHEN g.p + 40 <= g.lim THEN ${be32("36")} END AS du1
+       |    FROM wk g JOIN hx x ON x.media_id = g.media_id
+       |    WHERE g.p >= 0 AND g.ts IS NULL AND g.p + 8 <= g.lim
+       |  )
+       |), parsed AS (
+       |  SELECT media_id, ts, dur FROM wk
+       |  WHERE ts IS NOT NULL AND NOT (ts = 0 AND dur = 0)
+       |)
+       |SELECT m.media_id,
+       |       CASE WHEN p.ts IS NOT NULL THEN 'mp4' END AS fmt,
+       |       CASE WHEN p.ts IS NOT NULL AND substr(m.s, 9, 8) = '66747970'
+       |            THEN decode(unhex(substr(m.s, 17, 8))) END AS brand,
+       |       p.ts AS timescale, p.dur AS duration,
+       |       CASE WHEN p.ts > 0 THEN (p.dur * 1000) // p.ts END AS duration_ms,
+       |       CASE WHEN p.ts IS NOT NULL
+       |            THEN (CASE WHEN p.ts > 0 THEN (p.dur * 1000) // p.ts END) < 3000
+       |            END AS short
+       |FROM hx m LEFT JOIN parsed p ON p.media_id = m.media_id
+       |ORDER BY m.media_id""".stripMargin
+  }
+
   val mediaAudioSql: String = {
     def b(i: String) = s"('0x' || substr(x.s, 2*(g.p+$i)+1, 2))::BIGINT"
     s"""WITH RECURSIVE ${Tables.mediaAudioSql},
