@@ -699,6 +699,14 @@ object ExplainAudit {
       vidPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
         !vidPlan.contains("Join"))
 
+    val codePlan = SparkEntry.queries("q_code_stats")(spark, d)
+      .queryExecution.executedPlan.toString
+    // the line census folds the split array IN PLACE (array lambdas):
+    // no explode, no join, one documents scan
+    flag("code stats: single scan, no explode/join, lambdas fold in place",
+      codePlan.linesIterator.count(_.contains("FileScan")) == 1 &&
+        !codePlan.contains("Generate") && !codePlan.contains("Join"))
+
     val cropPlan = operators.MediaCrop.cropPairsRaw(
       Tables.mediaCropAug(spark, d)).queryExecution.executedPlan.toString
     // tiled detector keeps the MediaDedup shape: salted band self-join

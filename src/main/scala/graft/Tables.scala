@@ -296,6 +296,38 @@ object Tables {
        |  FROM documents
        |)""".stripMargin
 
+  /** Code-shaped corpus for the code-quality screen
+    * ([[graft.operators.CodeStats]]): the prose corpus normalized
+    * deterministically into line-structured bodies — every 8 words a
+    * line (one global regexp pass: non-overlapping leftmost matches,
+    * identical Java/RE2 semantics), a `# ` comment prefix on lines
+    * opening with the stop word `the`, a 4-space indent on lines
+    * opening with `data`. Closed-form in the text, so every line
+    * statistic has an engine-independent truth.
+    */
+  def codeDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n").as("t1"))
+      .select(col("doc_id"),
+        expr("replace(t1, concat(chr(10), 'the '), concat(chr(10), '# the '))")
+          .as("t2"))
+      .select(col("doc_id"),
+        expr("replace(t2, concat(chr(10), 'data'), concat(chr(10), '    data'))")
+          .as("body"))
+
+  // no line may BEGIN with "||" (double-stripMargin rule, see
+  // mediaHeadersSql)
+  val codeDocsSql: String =
+    """codedocs AS (
+      |  SELECT doc_id,
+      |    replace(replace(
+      |      regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g'),
+      |      chr(10) || 'the ', chr(10) || '# the '),
+      |      chr(10) || 'data', chr(10) || '    data') AS body
+      |  FROM documents
+      |)""".stripMargin
+
   /** Embedding corpus with injected duplicate vectors (every 20th). */
   def embAug(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
