@@ -699,6 +699,16 @@ object ExplainAudit {
       vidPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
         !vidPlan.contains("Join"))
 
+    val rmPlan = SparkEntry.queries("q_ratio_metric")(spark, d)
+      .queryExecution.executedPlan.toString
+    // one per-user partial-agg fold feeds the 2-row arm fold: one
+    // events scan, map-side combine at both levels, no window/join
+    flag("ratio metric: one events scan, partial-agg folds, no window/join",
+      rmPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) == 1 &&
+        rmPlan.contains("partial_") &&
+        !rmPlan.contains("Window") && !rmPlan.contains("Join"))
+
     val codePlan = SparkEntry.queries("q_code_stats")(spark, d)
       .queryExecution.executedPlan.toString
     // the line census folds the split array IN PLACE (array lambdas):
