@@ -709,6 +709,14 @@ object ExplainAudit {
         rmPlan.contains("partial_") &&
         !rmPlan.contains("Window") && !rmPlan.contains("Join"))
 
+    val mjPlan = SparkEntry.queries("q_mojibake")(spark, d)
+      .queryExecution.executedPlan.toString
+    // replace/regex length arithmetic rides the scan: one documents
+    // scan, no join, no exchange but the presentation sort
+    flag("mojibake: single documents scan, no join",
+      mjPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
+        !mjPlan.contains("Join"))
+
     val codePlan = SparkEntry.queries("q_code_stats")(spark, d)
       .queryExecution.executedPlan.toString
     // the line census folds the split array IN PLACE (array lambdas):

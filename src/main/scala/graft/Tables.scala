@@ -328,6 +328,50 @@ object Tables {
       |  FROM documents
       |)""".stripMargin
 
+  /** Corpus with planted encoding corruption for the mojibake screen
+    * ([[graft.operators.Mojibake]]): every 7th doc a double-encoded é
+    * ('mÃ©rge' — the UTF-8-read-as-Latin-1 signature), every 13th a
+    * U+FFFD replacement char, every 11th a C0 control byte. The
+    * moduli overlap (doc 0, 77, 91, …) so multi-signal docs exist.
+    * NOTE: Spark's `chr` is mod-256 (ASCII only) — non-ASCII plants
+    * ride string literals; only the control byte uses chr(1).
+    */
+  def mojibakeAug(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          expr("replace(text, 'merge', 'mÃ©rge')")).otherwise(col("text"))
+          .as("t1"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          expr("replace(t1, 'data', 'da�ta')")).otherwise(col("t1"))
+          .as("t2"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          expr("replace(t2, 'key', concat('k', chr(1), 'ey'))"))
+          .otherwise(col("t2")).as("t"))
+
+  // no line may BEGIN with "||" (double-stripMargin rule, see
+  // mediaHeadersSql)
+  val mojibakeAugSql: String =
+    """mojidocs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0
+      |         THEN replace(t2, 'key', 'k' || chr(1) || 'ey')
+      |         ELSE t2 END AS t
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 13 = 0
+      |           THEN replace(t1, 'data', 'da' || chr(65533) || 'ta')
+      |           ELSE t1 END AS t2
+      |    FROM (
+      |      SELECT doc_id,
+      |        CASE WHEN doc_id % 7 = 0
+      |             THEN replace(text, 'merge', 'mÃ©rge')
+      |             ELSE text END AS t1
+      |      FROM documents))
+      |)""".stripMargin
+
   /** Embedding corpus with injected duplicate vectors (every 20th). */
   def embAug(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
