@@ -709,6 +709,15 @@ object ExplainAudit {
         rmPlan.contains("partial_") &&
         !rmPlan.contains("Window") && !rmPlan.contains("Join"))
 
+    val btPlan = SparkEntry.queries("q_backtest")(spark, d)
+      .queryExecution.executedPlan.toString
+    // one events fold behind the dense-cell barrier; targets and both
+    // forecast joins read the checkpointed grid, never events
+    flag("backtest: zero events rescans (dense-cell barrier), no window",
+      btPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) == 0 &&
+        !btPlan.contains("Window"))
+
     val mjPlan = SparkEntry.queries("q_mojibake")(spark, d)
       .queryExecution.executedPlan.toString
     // replace/regex length arithmetic rides the scan: one documents
