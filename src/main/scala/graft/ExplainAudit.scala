@@ -709,6 +709,14 @@ object ExplainAudit {
         rmPlan.contains("partial_") &&
         !rmPlan.contains("Window") && !rmPlan.contains("Join"))
 
+    val essPlan = SparkEntry.queries("q_ess")(spark, d)
+      .queryExecution.executedPlan.toString
+    // the moment fold is partial-agg; the tail is a partial top-N
+    // (TakeOrdered), never a global sort of the weight frame
+    flag("ess: partial-agg moments + TakeOrdered tail, no global sort/window",
+      essPlan.contains("TakeOrderedAndProject") &&
+        !essPlan.contains("Window"))
+
     val btPlan = SparkEntry.queries("q_backtest")(spark, d)
       .queryExecution.executedPlan.toString
     // one events fold behind the dense-cell barrier; targets and both
