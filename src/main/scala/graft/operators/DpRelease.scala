@@ -244,6 +244,71 @@ object DpRelease {
     * histogram (each user counted in at most [[UserCap]] of the
     * event types they touched).
     */
+  /** Top-k released cells. */
+  val TopKCells = 5
+
+  /** ε-DP top-k — the "most common categories" release (the query a
+    * usage dashboard actually publishes): the k cells with the
+    * LARGEST NOISY counts from one full-domain geometric release.
+    * This is the one-shot noisy-top-k mechanism (the Laplace variant
+    * of report-noisy-max, cf. Ding–Kifer–Machanavajjhala and
+    * Durfee–Rogers 2019): a single noise draw per cell, select the k
+    * largest. Privacy is immediate here because the WHOLE noisy
+    * histogram ([[releaseCounts]], ε = ln 2) is the released object
+    * and both the selection and the ranks are post-processing — no
+    * per-candidate ε charge, no peeling composition (an iterative
+    * peel with fresh noise per round would pay k·ε for strictly less
+    * output). Ties break on the key — deterministic, and a function
+    * of released values only, so still post-processing.
+    *
+    * Scale: the rank window runs on the BOUNDED released grid
+    * (GridWindow — |domain| rows, never the corpus).
+    */
+  def dpTopK(df: DataFrame, keys: Seq[String], seed: String,
+    k: Int = TopKCells): DataFrame = {
+    val released = noisyCounts(df, keys, seed)
+    released
+      .withColumn("rank", row_number().over(graft.functions.GridWindow.ord(
+        col("n_released").desc +: keys.map(col): _*)).cast("long"))
+      .filter(col("rank") <= k)
+      .select((col("rank") +: keys.map(col)) :+
+        col("n_released") :+ col("eps_micro"): _*)
+  }
+
+  /** q_dp_topk — the 5 most common (source, lang) cells by noisy
+    * count, post-processed from the SAME ε = ln 2 release as
+    * `q_dp_counts` (same seed: zero additional budget — the sticky
+    * noise means the two queries together still cost one ε).
+    */
+  def dpTopKQuery(s: SparkSession, d: String): DataFrame =
+    dpTopK(Tables.documents(s, d), Seq("source", "lang"), "v1")
+      .orderBy(col("rank"))
+
+  val dpTopKSql: String = {
+    val u = "('0x' || substr(md5('dp:v1:' || g.source || '|' || g.lang), 1, 10))::BIGINT"
+    s"""WITH cells AS (
+       |  SELECT source, lang, count(*)::BIGINT AS c
+       |  FROM documents GROUP BY source, lang
+       |), grid AS (
+       |  SELECT s.source, l.lang
+       |  FROM (SELECT DISTINCT source FROM documents) s
+       |  CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+       |), released AS (
+       |  SELECT g.source, g.lang,
+       |         (coalesce(c.c, 0) + ${geometricNoiseSql(u)})::BIGINT AS n_released
+       |  FROM grid g LEFT JOIN cells c
+       |    ON c.source = g.source AND c.lang = g.lang
+       |), ranked AS (
+       |  SELECT row_number() OVER (ORDER BY n_released DESC, source, lang)::BIGINT
+       |           AS rank,
+       |         source, lang, n_released
+       |  FROM released
+       |)
+       |SELECT rank, source, lang, n_released, ${EpsMicro}::BIGINT AS eps_micro
+       |FROM ranked WHERE rank <= $TopKCells
+       |ORDER BY rank""".stripMargin
+  }
+
   def dpUsers(s: SparkSession, d: String): DataFrame =
     noisyUserCounts(Tables.events(s, d), "user_id", "event_type", "v1")
       .orderBy(col("event_type"))
