@@ -796,6 +796,21 @@ object ExplainAudit {
         !sccInner.contains("Window") &&
         !sccInner.contains("CartesianProduct"))
 
+    val bwInner = {
+      val e = Tables.edgesShared(spark, d)
+      val w = e.select(col("src").as("p"), col("src").as("v"),
+        lit(1L).as("w")).distinct().localCheckpoint()
+      w.join(e, w("v") === e("src"))
+        .groupBy(col("p"), e("dst").as("v")).agg(sum(col("w")).as("w"))
+        .queryExecution.executedPlan.toString
+    }
+    // each betweenness round (forward sigma and backward delta alike)
+    // is the pagerank exchange shape: edge join + partial-agg sum
+    flag("betweenness round: edge join + partial-agg sum, no window/cartesian",
+      bwInner.contains("partial_sum") &&
+        !bwInner.contains("Window") &&
+        !bwInner.contains("CartesianProduct"))
+
     val pprInner = {
       val e = Tables.edgesShared(spark, d)
       val nodes = e.select(col("src").as("node"))
