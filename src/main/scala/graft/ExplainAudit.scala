@@ -709,6 +709,15 @@ object ExplainAudit {
         rmPlan.contains("partial_") &&
         !rmPlan.contains("Window") && !rmPlan.contains("Join"))
 
+    val cschPlan = SparkEntry.queries("q_crawl_schedule")(spark, d)
+      .queryExecution.executedPlan.toString
+    // the rank window partitions by HOST (the natural crawl key) —
+    // a global unpartitioned sort of the frontier would be the bug
+    flag("crawl schedule: host-partitioned windows only",
+      cschPlan.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("host")) &&
+        !cschPlan.contains("CartesianProduct"))
+
     val essPlan = SparkEntry.queries("q_ess")(spark, d)
       .queryExecution.executedPlan.toString
     // the moment fold is partial-agg; the tail is a partial top-N

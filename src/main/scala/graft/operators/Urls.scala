@@ -118,4 +118,64 @@ object Urls {
        |FROM urls
        |GROUP BY 1
        |ORDER BY canon_url""".stripMargin
+
+  /** Per-host crawl delay (politeness interval), ms. */
+  val CrawlDelayMs = 1000L
+
+  /** q_crawl_schedule — politeness scheduling of the deduped frontier:
+    * the reference fetches sequentially with retries
+    * (download_with_retries, Notion_openai_vector_etl.py:219-235); a
+    * distributed crawler instead fetches EVERYTHING in parallel
+    * EXCEPT against the same host, where robots politeness imposes a
+    * per-host serial rate. The standard frontier shape (Mercator,
+    * Heydon–Najork 2001): one queue per host, next fetch slot =
+    * rank-within-host · crawl-delay. Output per keeper URL: host,
+    * rank in its host queue (discovery order = keeper doc_id — the
+    * reference's insertion-order discipline), the fetch offset in ms,
+    * and the host's queue depth (max offset = the host that bounds
+    * the crawl's makespan).
+    *
+    * Scale: canonical-group fold (partial agg) → per-HOST window —
+    * partitioned by the natural crawl key, so the rank never global-
+    * sorts; at 10^10 URLs each host's queue sorts independently
+    * (skewed mega-hosts are exactly the hosts whose politeness delay
+    * dominates anyway — compute is not the bottleneck, the delay is).
+    */
+  def crawlSchedule(s: SparkSession, d: String): DataFrame = {
+    val keepers = urlFixture(s, d)
+      .select(col("doc_id"), canonical(col("url")).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .withColumn("host",
+        regexp_extract(col("canon_url"), "^https://([^/?]+)", 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("keep_id"), col("canon_url"))
+    keepers
+      .withColumn("rank_in_host", row_number().over(w).cast("long"))
+      .withColumn("offset_ms", (col("rank_in_host") - 1L) * CrawlDelayMs)
+      .withColumn("host_depth",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"))).cast("long"))
+      .select(col("canon_url"), col("host"), col("keep_id"),
+        col("rank_in_host"), col("offset_ms"), col("host_depth"))
+      .orderBy(col("host"), col("rank_in_host"))
+  }
+
+  val crawlScheduleSql: String =
+    s"""WITH $urlFixtureSql,
+       |keepers AS (
+       |  SELECT canon_url, min(doc_id) AS keep_id,
+       |         regexp_extract(canon_url, '^https://([^/?]+)', 1) AS host
+       |  FROM (SELECT doc_id, ${canonicalSql("url")} AS canon_url FROM urls)
+       |  GROUP BY canon_url
+       |)
+       |SELECT canon_url, host, keep_id,
+       |       row_number() OVER (PARTITION BY host
+       |         ORDER BY keep_id, canon_url)::BIGINT AS rank_in_host,
+       |       (row_number() OVER (PARTITION BY host
+       |         ORDER BY keep_id, canon_url) - 1)::BIGINT * $CrawlDelayMs
+       |         AS offset_ms,
+       |       count(*) OVER (PARTITION BY host)::BIGINT AS host_depth
+       |FROM keepers
+       |ORDER BY host, rank_in_host""".stripMargin
 }
