@@ -699,6 +699,16 @@ object ExplainAudit {
       vidPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
         !vidPlan.contains("Join"))
 
+    val stratPlan = SparkEntry.queries("q_stratified")(spark, d)
+      .queryExecution.executedPlan.toString
+    // one per-user fold -> <=2·Strata cells -> 1-row readout: one
+    // events scan, partial-agg everywhere, no window/join
+    flag("stratified: one events scan, partial-agg folds, no window/join",
+      stratPlan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("events")) == 1 &&
+        stratPlan.contains("partial_") &&
+        !stratPlan.contains("Window") && !stratPlan.contains("Join"))
+
     val rmPlan = SparkEntry.queries("q_ratio_metric")(spark, d)
       .queryExecution.executedPlan.toString
     // one per-user partial-agg fold feeds the 2-row arm fold: one
