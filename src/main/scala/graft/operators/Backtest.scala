@@ -40,10 +40,19 @@ object Backtest {
   def backtestQuery(s: SparkSession, d: String): DataFrame =
     backtest(Tables.events(s, d))
 
-  def backtest(ev: DataFrame): DataFrame = {
-    val spark = ev.sparkSession
+  def backtest(ev: DataFrame): DataFrame =
+    backtestFromCells(Changepoint.cells(ev))
+
+  /** The backtest over a maintained `(h, event_type, y)` cell frame —
+    * the SAME state [[graft.streaming.StreamingChangepoint.cells]]
+    * keeps, so a per-trigger streamed backtest re-scores forecasters
+    * without touching raw events (the N-detectors-one-state-store
+    * discipline; batch ≡ stream asserted in BacktestSpec).
+    */
+  def backtestFromCells(cellsRaw: DataFrame): DataFrame = {
+    val spark = cellsRaw.sparkSession
     val agg = Iterate.materialize(
-      Changepoint.cells(ev)
+      cellsRaw
         .select(col("event_type"), unix_micros(col("h")).as("hu"), col("y")),
       None)
     // 1-row bounded statistic, collected once (the q_heaps rule)

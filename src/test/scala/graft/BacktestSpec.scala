@@ -47,6 +47,29 @@ class BacktestSpec extends AnyFunSuite {
     assert(got(("naive", 1L))._3 == (4L * 1000000L) / 48L)
   }
 
+  test("stream-maintained cells feed the backtest: streamed == batch") {
+    // the backtest re-scores forecasters per trigger off the SAME
+    // state StreamingChangepoint maintains — raw events never re-read
+    implicit val sqlCtx = spark.sqlContext
+    val counts = (0 until 60).map(t => 1 + (t % 24) / 8)
+    val rows = evOf(counts)
+      .collect().map(r => (r.getString(1), r.getTimestamp(0)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingChangepoint.cells(
+      mem.toDF().toDF("event_type", "ts"))
+      .writeStream.format("memory").queryName("bt_cells")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Backtest.backtestFromCells(spark.table("bt_cells")).collect()
+    val batch = Backtest.backtest(evOf(counts)).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("missing hours densify to zero and the both-zero convention holds") {
     // one event in hour 0 and hour 47, nothing between: every target
     // hour is 0 except t=47; zero-vs-zero scores sMAPE 0, not NULL
