@@ -123,6 +123,129 @@ object Psi {
   def psiQuery(s: SparkSession, d: String): DataFrame =
     psiDrift(Tables.events(s, d)).orderBy(col("event_type"))
 
+  /** q_psi_kmv — the promised rescan-free PSI twin (the q_ks_kmv
+    * discipline applied to the stability index): per-arm [[Kmv]]
+    * bottom-k samples off ONE sketch pass keyed `type|arm`, then the
+    * SAME exact-integer decile pipeline as the full detector
+    * ([[fromCells]] runs UNCHANGED on the sample cells — edges,
+    * dense grid, Laplace, micro terms; the served twin inherits the
+    * oracle-checked fold wholesale), true arm counts from one cheap
+    * partial-agg fold, and the DKW CDF band √(ln40/2m) per arm
+    * stamped so a consumer knows each decile mass is within
+    * 2(ε₁+ε₂) of truth. PsiServedSpec cross-validates the served
+    * verdict against the exact detector on the fixture.
+    */
+  def psiServed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val span = ev.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+        .cast("long").as("mid"))
+    val flagged = ev.filter(col("value").isNotNull)
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("event_id"), col("value"),
+        (unix_micros(col("ts")) < col("mid")).cast("long").as("early"))
+    val sk = Kmv.sketch(
+      flagged.withColumn("skey",
+        concat_ws("|", col("event_type"), col("early"))),
+      "skey", "event_id", "value")
+      .select(expr("substring_index(key, '|', 1)").as("event_type"),
+        expr("substring_index(key, '|', -1)").cast("long").as("early"),
+        col("v"))
+    val sampleCells = sk.groupBy(col("event_type"), col("v").as("value"))
+      .agg(sum(col("early")).as("c1"), sum(lit(1L) - col("early")).as("c2"))
+    val det = fromCells(sampleCells)
+      .select(col("event_type"), col("n_ref").as("m_ref"),
+        col("n_cur").as("m_cur"), col("psi_micro").as("psi_micro_est"),
+        col("verdict").as("verdict_est"))
+    val ntot = flagged.groupBy(col("event_type"))
+      .agg(sum(col("early")).as("n1"), sum(lit(1L) - col("early")).as("n2"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    det.join(broadcast(ntot), "event_type")
+      .select(col("event_type"), col("n1").as("n_ref"), col("n2").as("n_cur"),
+        col("m_ref"), col("m_cur"), col("psi_micro_est"),
+        when(col("m_ref") > 0 && col("m_cur") > 0,
+          graft.functions.TextSim.r6(
+            sqrt(lit(Ks.Ln40Micro) / (dbl(col("m_ref")) * 2.0)) +
+              sqrt(lit(Ks.Ln40Micro) / (dbl(col("m_cur")) * 2.0))))
+          .as("eps_cdf"),
+        col("verdict_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val psiServedSql: String = {
+    val p = s"(s1 + 1)::DOUBLE / (m1 + $Buckets)::DOUBLE"
+    val q = s"(s2 + 1)::DOUBLE / (m2 + $Buckets)::DOUBLE"
+    s"""WITH span AS (
+       |  SELECT ((min(epoch_us(ts)) + max(epoch_us(ts))) // 2)::BIGINT AS mid
+       |  FROM events
+       |), flagged AS MATERIALIZED (
+       |  SELECT event_type, event_id, value,
+       |         (CASE WHEN epoch_us(ts) < span.mid THEN 1 ELSE 0 END)::BIGINT AS early
+       |  FROM events CROSS JOIN span
+       |  WHERE value IS NOT NULL
+       |), hashed AS (
+       |  SELECT event_type, early, value AS v,
+       |         md5((event_type || '|' || early) || '|' || event_id::VARCHAR) AS h
+       |  FROM flagged
+       |), rankedh AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type, early
+       |                               ORDER BY h) AS rh
+       |  FROM hashed
+       |), counts AS MATERIALIZED (
+       |  SELECT event_type, v AS value,
+       |         sum(early)::BIGINT AS c1, sum(1 - early)::BIGINT AS c2
+       |  FROM rankedh WHERE rh <= ${Kmv.K}
+       |  GROUP BY event_type, v
+       |), tot AS MATERIALIZED (
+       |  SELECT event_type, sum(c1)::BIGINT AS m1, sum(c2)::BIGINT AS m2
+       |  FROM counts GROUP BY event_type
+       |), run AS (
+       |  SELECT c.event_type, c.value, c.c1, c.c2, t.m1,
+       |         sum(c.c1) OVER (PARTITION BY c.event_type ORDER BY c.value
+       |                         ROWS UNBOUNDED PRECEDING)::BIGINT AS r1
+       |  FROM counts c JOIN tot t USING (event_type)
+       |), edges AS MATERIALIZED (
+       |  SELECT event_type, k, min(value) AS edge
+       |  FROM run CROSS JOIN (SELECT unnest(range(1, $Buckets)) AS k)
+       |  WHERE r1 * $Buckets >= k * m1
+       |  GROUP BY event_type, k
+       |), bucketed AS (
+       |  SELECT event_type, bucket, sum(c1)::BIGINT AS s1, sum(c2)::BIGINT AS s2
+       |  FROM (
+       |    SELECT c.event_type, c.value, c.c1, c.c2,
+       |           coalesce(sum(CASE WHEN c.value > e.edge THEN 1 ELSE 0 END), 0)::BIGINT AS bucket
+       |    FROM counts c LEFT JOIN edges e ON e.event_type = c.event_type
+       |    GROUP BY c.event_type, c.value, c.c1, c.c2
+       |  ) GROUP BY event_type, bucket
+       |), cells AS (
+       |  SELECT g.event_type, g.m1, g.m2,
+       |         coalesce(b.s1, 0)::BIGINT AS s1, coalesce(b.s2, 0)::BIGINT AS s2
+       |  FROM (SELECT event_type, m1, m2, unnest(range(0, $Buckets)) AS bucket
+       |        FROM tot) g
+       |  LEFT JOIN bucketed b ON b.event_type = g.event_type AND b.bucket = g.bucket
+       |), folded AS (
+       |  SELECT event_type, max(m1)::BIGINT AS m_ref, max(m2)::BIGINT AS m_cur,
+       |         sum(floor(($p - $q) * ln(($p) / ($q)) * 1000000.0 + 0.5)::BIGINT)::BIGINT AS pm
+       |  FROM cells GROUP BY event_type
+       |), ntot AS (
+       |  SELECT event_type, sum(early)::BIGINT AS n1,
+       |         sum(1 - early)::BIGINT AS n2
+       |  FROM flagged GROUP BY event_type
+       |)
+       |SELECT f.event_type, n.n1 AS n_ref, n.n2 AS n_cur, f.m_ref, f.m_cur,
+       |       CASE WHEN f.m_ref > 0 AND f.m_cur > 0 THEN f.pm END AS psi_micro_est,
+       |       CASE WHEN f.m_ref > 0 AND f.m_cur > 0 THEN
+       |         ${graft.functions.TextSim.r6Sql(
+      s"sqrt(${Ks.Ln40Micro} / (f.m_ref::DOUBLE * 2.0)) + sqrt(${Ks.Ln40Micro} / (f.m_cur::DOUBLE * 2.0))")}
+       |       END AS eps_cdf,
+       |       CASE WHEN f.m_ref > 0 AND f.m_cur > 0 THEN
+       |         CASE WHEN f.pm >= $ShiftMicro THEN 'shifted'
+       |              WHEN f.pm >= $WatchMicro THEN 'watch'
+       |              ELSE 'stable' END END AS verdict_est
+       |FROM folded f JOIN ntot n USING (event_type)
+       |ORDER BY f.event_type""".stripMargin
+  }
+
   val psiSql: String = {
     val p = s"(s1 + 1)::DOUBLE / (n1 + $Buckets)::DOUBLE"
     val q = s"(s2 + 1)::DOUBLE / (n2 + $Buckets)::DOUBLE"
