@@ -307,12 +307,12 @@ object Tables {
     */
   def codeDocs(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n").as("t1"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         expr("replace(t1, concat(chr(10), 'the '), concat(chr(10), '# the '))")
           .as("t2"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         expr("replace(t2, concat(chr(10), 'data'), concat(chr(10), '    data'))")
           .as("body"))
 
@@ -320,7 +320,7 @@ object Tables {
   // mediaHeadersSql)
   val codeDocsSql: String =
     """codedocs AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
       |    replace(replace(
       |      regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g'),
       |      chr(10) || 'the ', chr(10) || '# the '),

@@ -64,6 +64,68 @@ object CodeStats {
           col("alnum_micro") >= MinAlnumMicro)
       .orderBy(col("doc_id"))
 
+  /** q_code_domain — per-source rollup of the screen: the dashboard a
+    * curation run actually monitors (keep rate and mean signal per
+    * corpus source — a source whose keep rate collapses is a scraper
+    * change, not a data property). Pure integer arithmetic over the
+    * per-doc census: keep rate and means in micro units via `div`.
+    * One scan, two partial-agg levels.
+    */
+  def codeDomain(s: SparkSession, d: String): DataFrame =
+    Tables.codeDocs(s, d)
+      .select(col("source"), col("doc_id"), col("body"))
+      .join(statsOf(Tables.codeDocs(s, d).select(col("doc_id"), col("body")))
+        .select(col("doc_id"), col("n_lines"), col("max_line"),
+          col("comment_micro"), col("alnum_micro"), col("keep")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("keep").cast("long")).cast("long").as("n_keep"),
+        sum(col("n_lines")).cast("long").as("sl"),
+        max(col("max_line")).cast("long").as("max_line"),
+        sum(col("comment_micro")).cast("long").as("sc"),
+        sum(col("alnum_micro")).cast("long").as("sa"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        expr("(n_keep * 1000000) div n_docs").as("keep_micro"),
+        expr("(sl * 1000000) div n_docs").as("avg_lines_micro"),
+        col("max_line"),
+        expr("sc div n_docs").as("avg_comment_micro"),
+        expr("sa div n_docs").as("avg_alnum_micro"))
+      .orderBy(col("source"))
+
+  val codeDomainSql: String =
+    s"""WITH ${Tables.codeDocsSql},
+       |lines AS (
+       |  SELECT doc_id, source, body, string_split(body, chr(10)) AS ls
+       |  FROM codedocs
+       |), stats AS (
+       |  SELECT doc_id, source,
+       |    len(ls)::BIGINT AS n_lines,
+       |    list_max(list_transform(ls, x -> length(x)))::BIGINT AS max_line,
+       |    (len(list_filter(ls, x -> starts_with(x, '#')))::BIGINT * 1000000)
+       |      // len(ls) AS comment_micro,
+       |    (length(regexp_replace(body, '[^A-Za-z0-9]', '', 'g'))::BIGINT * 1000000)
+       |      // greatest(length(body), 1) AS alnum_micro
+       |  FROM lines
+       |)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       sum(CASE WHEN max_line <= $MaxLine
+       |                 AND comment_micro <= $MaxCommentMicro
+       |                 AND alnum_micro >= $MinAlnumMicro
+       |                THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+       |       (sum(CASE WHEN max_line <= $MaxLine
+       |                  AND comment_micro <= $MaxCommentMicro
+       |                  AND alnum_micro >= $MinAlnumMicro
+       |                 THEN 1 ELSE 0 END)::BIGINT * 1000000) // count(*)
+       |         AS keep_micro,
+       |       (sum(n_lines)::BIGINT * 1000000) // count(*) AS avg_lines_micro,
+       |       max(max_line)::BIGINT AS max_line,
+       |       sum(comment_micro)::BIGINT // count(*) AS avg_comment_micro,
+       |       sum(alnum_micro)::BIGINT // count(*) AS avg_alnum_micro
+       |FROM stats
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val codeStatsSql: String =
     s"""WITH ${Tables.codeDocsSql},
        |lines AS (

@@ -44,6 +44,28 @@ class CodeStatsSpec extends AnyFunSuite {
     assert(got("alnum_micro") == 0L)
   }
 
+  test("domain rollup is consistent with the per-doc census") {
+    val perDoc = CodeStats.codeStats(spark, "/root/testdata/sf0.001").collect()
+    val docs = graft.Tables.codeDocs(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rolled = CodeStats.codeDomain(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val bySrc = perDoc.groupBy(r => docs(r.getLong(0)))
+    assert(rolled.keySet == bySrc.keySet)
+    for ((src, rs) <- bySrc) {
+      val g = rolled(src)
+      assert(g.getAs[Long]("n_docs") == rs.length.toLong, s"$src n")
+      assert(g.getAs[Long]("n_keep") ==
+        rs.count(_.getAs[Boolean]("keep")).toLong, s"$src keep")
+      assert(g.getAs[Long]("keep_micro") ==
+        rs.count(_.getAs[Boolean]("keep")).toLong * 1000000L / rs.length,
+        s"$src rate")
+      assert(g.getAs[Long]("max_line") ==
+        rs.map(_.getAs[Long]("max_line")).max, s"$src max")
+    }
+  }
+
   test("fixture plants real variation at sf0.001: comments exist, keep splits") {
     val df = CodeStats.codeStats(spark, "/root/testdata/sf0.001").collect()
     assert(df.length > 0)
