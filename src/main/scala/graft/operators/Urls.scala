@@ -119,6 +119,107 @@ object Urls {
        |GROUP BY 1
        |ORDER BY canon_url""".stripMargin
 
+  /** Synthetic per-host robots rules — deterministic in the source
+    * list so both engines derive them independently. Every host
+    * carries the longest-match ladder a real robots.txt exercises:
+    * `Disallow /p/` (everything), `Allow /p/1` (re-allow a subtree —
+    * longer prefix must WIN), and on `src0` the equal-length tie
+    * `Allow /p/2` + `Disallow /p/2` (the spec's tie goes to Allow).
+    * SQL mirror: CTE `robots`.
+    */
+  private def robotsRules(s: SparkSession, d: String): DataFrame = {
+    val hosts = Tables.documents(s, d)
+      .select(concat(col("source"), lit(".example.com")).as("host")).distinct()
+    val base = hosts.select(col("host"),
+      explode(array(
+        struct(lit("/p/").as("prefix"), lit(false).as("allow")),
+        struct(lit("/p/1").as("prefix"), lit(true).as("allow")))).as("r"))
+      .select(col("host"), col("r.prefix"), col("r.allow"))
+    val tie = hosts.filter(col("host") === "src0.example.com")
+      .select(col("host"),
+        explode(array(
+          struct(lit("/p/2").as("prefix"), lit(true).as("allow")),
+          struct(lit("/p/2").as("prefix"), lit(false).as("allow")))).as("r"))
+      .select(col("host"), col("r.prefix"), col("r.allow"))
+    base.unionByName(tie)
+  }
+
+  private val robotsRulesSql: String =
+    """robots AS (
+      |  SELECT h.host, r.prefix, r.allow
+      |  FROM (SELECT DISTINCT source || '.example.com' AS host
+      |        FROM documents) h
+      |  CROSS JOIN (VALUES ('/p/', FALSE), ('/p/1', TRUE)) r(prefix, allow)
+      |  UNION ALL
+      |  SELECT 'src0.example.com', prefix, allow
+      |  FROM (VALUES ('/p/2', TRUE), ('/p/2', FALSE)) t(prefix, allow)
+      |  WHERE 'src0.example.com' IN
+      |        (SELECT DISTINCT source || '.example.com' FROM documents)
+      |)""".stripMargin
+
+  /** q_robots — robots.txt evaluation of the canonical frontier (the
+    * crawl-permission gate ahead of [[crawlSchedule]]; the reference
+    * fetches an API it owns, a web crawler must not): per keeper URL,
+    * the LONGEST matching rule decides (the Google/REP longest-match
+    * semantics, RFC 9309 §2.2.2), Allow wins an equal-length tie, no
+    * matching rule means allowed. Matching is pure prefix arithmetic
+    * (`startswith`), the verdict a struct-argmax over the matched
+    * ladder — no regex, no UDF.
+    *
+    * Scale: the rules table is tiny and broadcasts past the frontier
+    * scan (rules per host is bounded by the robots.txt size cap);
+    * the prefix-match join fans each URL out to its ≤|ladder|
+    * matches and the argmax folds it straight back — no window over
+    * the frontier.
+    */
+  def robots(s: SparkSession, d: String): DataFrame = {
+    val keepers = urlFixture(s, d)
+      .select(col("doc_id"), canonical(col("url")).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("canon_url"),
+        regexp_extract(col("canon_url"), "^https://([^/?]+)", 1).as("host"),
+        regexp_extract(col("canon_url"), "^https://[^/?]+(/[^?]*)", 1)
+          .as("path"))
+    // alias rule cols before the join (fresh names, the house rule)
+    val rules = robotsRules(s, d)
+      .select(col("host").as("rhost"), col("prefix"), col("allow"))
+    keepers.join(broadcast(rules),
+      col("host") === col("rhost") &&
+        expr("startswith(path, prefix)"), "left_outer")
+      .groupBy(col("canon_url"), col("host"), col("path"))
+      .agg(max(when(col("prefix").isNotNull,
+        struct(length(col("prefix")).as("l"), col("allow").as("a"),
+          col("prefix").as("p")))).as("m"))
+      .select(col("canon_url"), col("host"), col("path"),
+        col("m.p").as("matched_rule"),
+        coalesce(col("m.a"), lit(true)).as("allowed"))
+      .orderBy(col("canon_url"))
+  }
+
+  val robotsSql: String =
+    s"""WITH $urlFixtureSql,
+       |$robotsRulesSql,
+       |keepers AS (
+       |  SELECT canon_url,
+       |         regexp_extract(canon_url, '^https://([^/?]+)', 1) AS host,
+       |         regexp_extract(canon_url, '^https://[^/?]+(/[^?]*)', 1) AS path
+       |  FROM (SELECT ${canonicalSql("url")} AS canon_url, min(doc_id)
+       |        FROM urls GROUP BY 1)
+       |), matched AS (
+       |  SELECT k.canon_url, k.host, k.path,
+       |         max(CASE WHEN r.prefix IS NOT NULL THEN
+       |           {'l': length(r.prefix), 'a': r.allow, 'p': r.prefix}
+       |         END) AS m
+       |  FROM keepers k LEFT JOIN robots r
+       |    ON r.host = k.host AND starts_with(k.path, r.prefix)
+       |  GROUP BY k.canon_url, k.host, k.path
+       |)
+       |SELECT canon_url, host, path, m.p AS matched_rule,
+       |       coalesce(m.a, TRUE) AS allowed
+       |FROM matched
+       |ORDER BY canon_url""".stripMargin
+
   /** Per-host crawl delay (politeness interval), ms. */
   val CrawlDelayMs = 1000L
 
