@@ -184,6 +184,106 @@ object Events {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Modified-z constant 0.6745 in micro units and the Iglewicz–
+    * Hoaglin flag threshold (3.5) in the same units.
+    */
+  val MadZMicro = 674500L
+  val MadFlagMicro = 3500000L
+
+  /** q_anomaly_mad — the ROBUST sibling of [[anomaly]]: median/MAD in
+    * place of mean/sd (Iglewicz–Hoaglin modified z, M = 0.6745·(x −
+    * med)/MAD, |M| ≥ 3.5 flags). The failure mode it exists for is
+    * MASKING: one massive outlier hour inflates the sample sd enough
+    * to hide a second, milder anomaly from the z-screen — the median
+    * and MAD have a 50% breakdown point and do not move (asserted in
+    * AnomalyMadSpec with exactly that planted pair). Median and MAD
+    * are EXACT order statistics (rank ⌈n/2⌉ of the per-type hourly
+    * counts, then of |x − med| — the q_quantiles discipline: integer
+    * compares, no interpolation, engines cannot disagree), and the
+    * modified z rides the integer lattice: M_micro = (674500·(x −
+    * med)) div MAD — truncation toward zero, identical both engines;
+    * MAD = 0 (a constant series) reports NULL M, flag 0.
+    *
+    * Scale: the rank windows partition by type over the HOURLY grid
+    * (time-bounded, never the corpus) — two bounded windows + one
+    * broadcast join back.
+    */
+  def anomalyMadQuery(s: SparkSession, d: String): DataFrame =
+    anomalyMad(Tables.events(s, d))
+
+  def anomalyMad(ev: DataFrame): DataFrame = {
+    val hourly = ev
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint() // med, mad and the output all read it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("n_events"), col("hour"))
+    val meds = hourly
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("n_events").as("med"))
+    val devs = hourly.join(broadcast(meds), "event_type")
+      .withColumn("dev", abs(col("n_events") - col("med")))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("dev"), col("hour"))
+    val mads = devs
+      .withColumn("rk", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    hourly.join(broadcast(meds), "event_type")
+      .join(broadcast(mads), "event_type")
+      .withColumn("m_micro", when(col("mad") > 0L,
+        expr(s"($MadZMicro * (n_events - med)) div mad")))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("med"), col("mad"), col("m_micro"),
+        when(col("mad") > 0L,
+          (abs(col("m_micro")) >= MadFlagMicro).cast("int"))
+          .otherwise(lit(0)).as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val anomalyMadSql: String =
+    s"""WITH hourly AS MATERIALIZED (
+       |  SELECT event_type,
+       |         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       |         count(*)::BIGINT AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), meds AS (
+       |  SELECT event_type, n_events AS med
+       |  FROM (
+       |    SELECT event_type, n_events,
+       |           row_number() OVER (PARTITION BY event_type
+       |             ORDER BY n_events, hour) AS rk,
+       |           count(*) OVER (PARTITION BY event_type) AS n
+       |    FROM hourly)
+       |  WHERE rk = (n + 1) // 2
+       |), mads AS (
+       |  SELECT event_type, dev AS mad
+       |  FROM (
+       |    SELECT h.event_type, abs(h.n_events - m.med)::BIGINT AS dev,
+       |           row_number() OVER (PARTITION BY h.event_type
+       |             ORDER BY abs(h.n_events - m.med), h.hour) AS rk,
+       |           count(*) OVER (PARTITION BY h.event_type) AS n
+       |    FROM hourly h JOIN meds m USING (event_type))
+       |  WHERE rk = (n + 1) // 2
+       |)
+       |SELECT h.event_type, h.hour, h.n_events, m.med, d.mad,
+       |       CASE WHEN d.mad > 0
+       |            THEN ($MadZMicro * (h.n_events - m.med)) // d.mad
+       |            END AS m_micro,
+       |       CASE WHEN d.mad > 0 THEN
+       |         (CASE WHEN abs(($MadZMicro * (h.n_events - m.med)) // d.mad)
+       |                    >= $MadFlagMicro THEN 1 ELSE 0 END)
+       |       ELSE 0 END::INT AS is_anomaly
+       |FROM hourly h JOIN meds m USING (event_type)
+       |JOIN mads d USING (event_type)
+       |ORDER BY h.event_type, h.hour""".stripMargin
+
   val anomalySql: String =
     s"""WITH hourly AS (
        |  SELECT event_type,
