@@ -75,9 +75,22 @@ object BenchTrust {
   /** Signals 2–3 for one row. `baseTime` = the row's persisted quiet
     * seconds, when the baseline has it (a new query has none and is
     * judged on variance alone).
+    *
+    * Baseline CLEARANCE comes first: a row whose KEPT min sits at or
+    * below 1.1× its persisted quiet time cannot be inflated — the
+    * committed reference certifies the number, and a large spread
+    * then only says the OTHER samples were slow (JIT/GC jitter),
+    * which min-of-n already discarded. Without this, a quiet
+    * back-to-back run stamps ~25 sub-2s rows whose shipped times are
+    * FASTER than baseline (measured, r8 close) — conservatism that
+    * noisy would train readers to ignore the stamp. The r7 inflated
+    * rows shipped 2–3× their quiet times, so clearance never applies
+    * to the failure class the stamp exists for (asserted in
+    * BenchTrustSpec against the r7 replay).
     */
   def rowSuspect(t: Double, spread: Double, globallyContended: Boolean,
     baseTime: Option[Double]): Boolean =
-    (spread > 0.5 * t && spread > 0.4) ||
+    if (baseTime.exists(b => t <= 1.1 * b)) false
+    else (spread > 0.5 * t && spread > 0.4) ||
       (globallyContended && baseTime.exists(b => t > 1.5 * b))
 }

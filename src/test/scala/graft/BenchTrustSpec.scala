@@ -55,6 +55,22 @@ class BenchTrustSpec extends AnyFunSuite {
     assert(!BenchTrust.rowSuspect(4.6, 0.2, globallyContended = false, Some(4.63)))
   }
 
+  test("baseline clearance: a kept min at/below quiet is trusted despite jitter") {
+    // measured at the r8 close: a quiet back-to-back run stamped ~25
+    // sub-2s rows whose SHIPPED minima beat their own baselines —
+    // the spread only says the discarded samples were slow
+    assert(!BenchTrust.rowSuspect(0.93, 0.51, globallyContended = false,
+      Some(1.16)), "min faster than baseline cannot be inflated")
+    assert(!BenchTrust.rowSuspect(1.0, 0.9, globallyContended = true,
+      Some(1.0)), "at-baseline min is certified even in a contended run")
+    // clearance NEVER applies to the r7 failure class (2-3x quiet)
+    assert(BenchTrust.rowSuspect(12.12, 12.0, globallyContended = true,
+      Some(4.63)))
+    // and a row above 1.1x baseline keeps the variance rule
+    assert(BenchTrust.rowSuspect(2.0, 1.5, globallyContended = false,
+      Some(1.0)))
+  }
+
   test("no baseline: global contention undetectable, variance rule still live") {
     assert(!BenchTrust.globalContended(0.357, None))
     assert(BenchTrust.rowSuspect(10.0, 6.0, globallyContended = false, None))
