@@ -38,12 +38,20 @@ object Cusum {
   def cusumQuery(s: SparkSession, d: String): DataFrame =
     cusum(Tables.events(s, d))
 
-  def cusum(ev: DataFrame): DataFrame = {
-    val s = ev.sparkSession
+  def cusum(ev: DataFrame): DataFrame =
+    cusumFromCells(Changepoint.cells(ev))
+
+  /** The monitor over a maintained `(h, event_type, y)` cell frame —
+    * the SAME state [[graft.streaming.StreamingChangepoint.cells]]
+    * keeps, so a per-trigger streamed CUSUM re-decides without
+    * touching raw events (streamed ≡ batch asserted in CusumSpec).
+    */
+  def cusumFromCells(cellsRaw: DataFrame): DataFrame = {
+    val s = cellsRaw.sparkSession
     import s.implicits._
-    // ONE corpus scan: collect the TIME-bounded sparse cells, densify
-    // on the driver (the Ewma discipline)
-    val sparse = Changepoint.cells(ev)
+    // ONE corpus scan behind the cell fold: collect the TIME-bounded
+    // sparse cells, densify on the driver (the Ewma discipline)
+    val sparse = cellsRaw
       .select(col("event_type"), unix_micros(col("h")).as("hu"), col("y"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     if (sparse.isEmpty)

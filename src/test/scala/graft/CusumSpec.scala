@@ -45,6 +45,28 @@ class CusumSpec extends AnyFunSuite {
     assert(r.getAs[Int]("drifted") == 1)
   }
 
+  test("stream-maintained cells feed the monitor: streamed == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val counts = Seq.fill(20)(10) ++ Seq.fill(20)(14)
+    val rows = evOf(counts)
+      .collect().map(r => (r.getString(1), r.getTimestamp(0)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingChangepoint.cells(
+      mem.toDF().toDF("event_type", "ts"))
+      .writeStream.format("memory").queryName("cusum_cells")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Cusum.cusumFromCells(spark.table("cusum_cells")).collect()
+    val batch = Cusum.cusum(evOf(counts)).collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.head.getAs[Int]("drifted") == 1)
+  }
+
   test("stable series never alarms; a downward outage trips the lower side") {
     val stable = Cusum.cusum(evOf(Seq.fill(40)(8))).collect().head
     assert(stable.getAs[Int]("drifted") == 0)
