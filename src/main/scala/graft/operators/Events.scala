@@ -325,6 +325,68 @@ object Events {
     */
   val AbConvertThreshold = 14
 
+  /** χ²(1df) critical value at α = 0.001 in micro units — SRM checks
+    * run at a TIGHT alpha because they gate every other readout
+    * (a false SRM alarm discards a healthy experiment).
+    */
+  val SrmCritMicro = 10827566L
+
+  /** q_srm — sample-ratio mismatch, the guardrail every experiment
+    * platform runs BEFORE reading any metric (Fabijan et al. 2019,
+    * "Diagnosing sample ratio mismatch"): if the md5 hash splits
+    * users 50/50 by design, a realized split that a χ² test rejects
+    * means the assignment or logging pipeline is broken — bots
+    * filtered from one arm, a crash path dropping exposure events —
+    * and every downstream readout (q_abtest, q_cuped, q_stratified)
+    * is invalid regardless of its p-value. For an equal split the
+    * 1-df statistic collapses to exact integers:
+    * χ² = (n_A − n_B)²/(n_A + n_B), served here in micro units via
+    * one `div` — no doubles, no libm. Verdict at α = 0.001 (the
+    * published practice: SRM alarms must be near-certain).
+    *
+    * Scale: one per-user partial-agg fold (the abtest arm hash), a
+    * 1-row readout.
+    */
+  def srm(s: SparkSession, d: String): DataFrame =
+    srmOfUsers(Tables.events(s, d).select(col("user_id")).distinct())
+
+  /** The check over any distinct `user_id` frame. */
+  def srmOfUsers(users: DataFrame): DataFrame = {
+    val arms = users
+      .select(when(conv(substring(md5(concat(lit("arm:"),
+        col("user_id").cast("string"))), 1, 7), 16, 10)
+        .cast("long") % 2 === 0, 1L).otherwise(0L).as("a"))
+      .agg(sum(col("a")).cast("long").as("na"),
+        sum(lit(1L) - col("a")).cast("long").as("nb"))
+    arms.select(col("na"), col("nb"),
+      when(col("na") + col("nb") > 0L,
+        expr("((na - nb) * (na - nb) * 1000000) div (na + nb)"))
+        .as("chi2_micro"))
+      .withColumn("srm_detected",
+        when(col("chi2_micro").isNotNull,
+          (col("chi2_micro") >= SrmCritMicro).cast("int")))
+  }
+
+  val srmSql: String =
+    s"""WITH users AS (
+       |  SELECT DISTINCT user_id FROM events
+       |), arms AS (
+       |  SELECT sum(CASE WHEN ('0x' || substr(md5('arm:' || user_id), 1, 7))::BIGINT % 2 = 0
+       |                  THEN 1 ELSE 0 END)::BIGINT AS na,
+       |         sum(CASE WHEN ('0x' || substr(md5('arm:' || user_id), 1, 7))::BIGINT % 2 = 0
+       |                  THEN 0 ELSE 1 END)::BIGINT AS nb
+       |  FROM users
+       |)
+       |SELECT na, nb,
+       |       CASE WHEN na + nb > 0
+       |            THEN ((na - nb) * (na - nb) * 1000000) // (na + nb)
+       |            END::BIGINT AS chi2_micro,
+       |       CASE WHEN na + nb > 0 THEN
+       |         (CASE WHEN ((na - nb) * (na - nb) * 1000000) // (na + nb)
+       |                    >= $SrmCritMicro THEN 1 ELSE 0 END)::INT
+       |       END AS srm_detected
+       |FROM arms""".stripMargin
+
   /** The experiment's 1-row moment frame `(na, ca, nb, cb)` — shared
     * by [[abtest]] (the realized z-test) and [[power]] (the design-
     * side MDE readout).
