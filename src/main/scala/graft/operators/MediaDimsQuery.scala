@@ -137,6 +137,198 @@ object MediaDimsQuery {
        |ORDER BY m.media_id""".stripMargin
   }
 
+  /** q_media_mix — the multimodal census capstone: ONE mixed corpus
+    * (images + audio + video payloads, id-offset ranges) classified
+    * by the container parsers ([[graft.functions.MediaDims]] +
+    * [[graft.functions.Mp4Meta]] — recognition is mutually exclusive
+    * by magic bytes, so evaluating both expressions per row is the
+    * scan-shaped classifier) and rolled up per modality: count,
+    * byte mass, and the modality's FIRST-FILTER drop rate (images:
+    * sub-64px thumbnails; audio: sub-16 kHz; video: sub-3 s clips) —
+    * the one-page answer to "what is in my multimodal corpus and how
+    * much survives the cheap filters". Pure integer unpack
+    * arithmetic over one scan; payloads never shuffle. The oracle
+    * re-parses each sub-corpus with the proven recursive walks and
+    * classifies BY SOURCE RANGE — a different derivation of the same
+    * truth (expression ≡ walk, already established per parser).
+    */
+  def mediaMix(s: SparkSession, d: String): DataFrame = {
+    val mix = Tables.mediaHeaders(s, d)
+      .unionAll(Tables.mediaAudio(s, d)
+        .select((col("media_id") + 10000000L).as("media_id"), col("payload")))
+      .unionAll(Tables.mediaVideo(s, d)
+        .select((col("media_id") + 20000000L).as("media_id"), col("payload")))
+    mix
+      .select(col("media_id"), length(col("payload")).cast("long").as("bytes"),
+        MediaDims.dims(col("payload")).as("v1"),
+        graft.functions.Mp4Meta.mvhd(col("payload")).as("v2"))
+      .withColumn("fmt",
+        when(expr("shiftright(v1, 48)") === MediaDims.FmtPng, "png")
+          .when(expr("shiftright(v1, 48)") === MediaDims.FmtJpeg, "jpeg")
+          .when(expr("shiftright(v1, 48)") === MediaDims.FmtWav, "wav")
+          .when(col("v2") =!= 0L, "mp4")
+          .otherwise("other"))
+      .withColumn("dropped",
+        when(col("fmt") === "png" || col("fmt") === "jpeg",
+          expr("shiftright(v1, 24) % 16777216 < 64 OR v1 % 16777216 < 64"))
+          .when(col("fmt") === "wav",
+            expr("shiftright(v1, 24) % 16777216 < 16000"))
+          .when(col("fmt") === "mp4",
+            expr("shiftright(v2, 32) > 0 AND " +
+              "((v2 % 4294967296) * 1000) div shiftright(v2, 32) < 3000"))
+          .otherwise(lit(false)))
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("bytes")).cast("long").as("bytes"),
+        sum(col("dropped").cast("long")).cast("long").as("n_drop"))
+      .withColumn("drop_micro", expr("(n_drop * 1000000) div n"))
+      .orderBy(col("fmt"))
+  }
+
+  val mediaMixSql: String = {
+    def beV(i: String) = s"('0x' || substr(x.s, 2*(g.p+$i)+1, 8))::BIGINT"
+    def bA(i: String) = s"('0x' || substr(x.s, 2*(g.p+$i)+1, 2))::BIGINT"
+    s"""WITH RECURSIVE ${Tables.mediaHeadersSql},
+       |${Tables.mediaAudioSql},
+       |${Tables.mediaVideoSql},
+       |hxi AS (
+       |  SELECT media_id, hex(payload) AS s,
+       |         octet_length(payload)::BIGINT AS n
+       |  FROM mediah
+       |), seg(media_id, p, done_fmt, done_w, done_h) AS (
+       |  SELECT media_id, 2::BIGINT, NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT
+       |  FROM hxi WHERE n >= 4 AND substr(s, 1, 4) = 'FFD8'
+       |  UNION ALL
+       |  SELECT media_id,
+       |    CASE WHEN mk IN ('C0', 'C1', 'C2') THEN -1
+       |         ELSE p + 2 + ('0x' || substr(s, 2*p+5, 4))::BIGINT END,
+       |    CASE WHEN mk IN ('C0', 'C1', 'C2') THEN 'jpeg' END,
+       |    CASE WHEN mk IN ('C0', 'C1', 'C2')
+       |         THEN ('0x' || substr(s, 2*p+15, 4))::BIGINT END,
+       |    CASE WHEN mk IN ('C0', 'C1', 'C2')
+       |         THEN ('0x' || substr(s, 2*p+11, 4))::BIGINT END
+       |  FROM (
+       |    SELECT g.media_id, g.p, x.s, substr(x.s, 2*g.p+3, 2) AS mk
+       |    FROM seg g JOIN hxi x ON x.media_id = g.media_id
+       |    WHERE g.p >= 0 AND g.done_fmt IS NULL AND g.p + 9 <= x.n
+       |      AND substr(x.s, 2*g.p+1, 2) = 'FF'
+       |  )
+       |), imgp AS (
+       |  SELECT media_id, 'png' AS fmt,
+       |         ('0x' || substr(s, 33, 8))::BIGINT AS width,
+       |         ('0x' || substr(s, 41, 8))::BIGINT AS height
+       |  FROM hxi
+       |  WHERE n >= 24 AND substr(s, 1, 16) = '89504E470D0A1A0A'
+       |    AND substr(s, 25, 8) = '49484452'
+       |  UNION ALL
+       |  SELECT media_id, done_fmt, done_w, done_h
+       |  FROM seg WHERE done_fmt IS NOT NULL
+       |), hxa AS (
+       |  SELECT media_id, hex(payload) AS s,
+       |         octet_length(payload)::BIGINT AS n
+       |  FROM mediaa
+       |), rw(media_id, p, rate, ch, bits) AS (
+       |  SELECT media_id, 12::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+       |  FROM hxa
+       |  WHERE n >= 12 AND substr(s, 1, 8) = '52494646'
+       |    AND substr(s, 17, 8) = '57415645'
+       |  UNION ALL
+       |  SELECT media_id,
+       |    CASE WHEN isfmt THEN -1 ELSE p + 8 + sz + (sz % 2) END,
+       |    CASE WHEN isfmt THEN r END,
+       |    CASE WHEN isfmt THEN c END,
+       |    CASE WHEN isfmt THEN bb END
+       |  FROM (
+       |    SELECT g.media_id, g.p, x.n,
+       |      (substr(x.s, 2*g.p+1, 8) = '666D7420' AND g.p + 24 <= x.n)
+       |        AS isfmt,
+       |      ${bA("4")} + 256*${bA("5")} + 65536*${bA("6")}
+       |        + 16777216*${bA("7")} AS sz,
+       |      ${bA("12")} + 256*${bA("13")} + 65536*${bA("14")}
+       |        + 16777216*${bA("15")} AS r,
+       |      ${bA("10")} + 256*${bA("11")} AS c,
+       |      ${bA("22")} + 256*${bA("23")} AS bb
+       |    FROM rw g JOIN hxa x ON x.media_id = g.media_id
+       |    WHERE g.p >= 0 AND g.rate IS NULL AND g.p + 8 <= x.n
+       |  ) WHERE isfmt OR sz <= n
+       |), wavp AS (
+       |  SELECT media_id, rate FROM rw WHERE rate IS NOT NULL
+       |), hxv AS (
+       |  SELECT media_id, hex(payload) AS s,
+       |         octet_length(payload)::BIGINT AS n
+       |  FROM mediav
+       |), wk(media_id, p, lim, inm, ts, dur) AS (
+       |  SELECT media_id, 0::BIGINT, n, FALSE, NULL::BIGINT, NULL::BIGINT
+       |  FROM hxv
+       |  UNION ALL
+       |  SELECT media_id,
+       |    CASE WHEN ismoov THEN p + 8
+       |         WHEN ismvhd OR sz < 8 THEN -1
+       |         ELSE p + sz END,
+       |    CASE WHEN ismoov THEN p + sz ELSE lim END,
+       |    inm OR ismoov,
+       |    CASE WHEN ismvhd THEN
+       |      CASE WHEN ver = 0 AND p + 28 <= lim THEN ts0
+       |           WHEN ver = 1 AND p + 40 <= lim THEN ts1 END END,
+       |    CASE WHEN ismvhd THEN
+       |      CASE WHEN ver = 0 AND p + 28 <= lim THEN du0
+       |           WHEN ver = 1 AND p + 40 <= lim THEN du1 END END
+       |  FROM (
+       |    SELECT g.media_id, g.p, g.lim, g.inm, x.n,
+       |      ${beV("0")} AS sz,
+       |      (NOT g.inm AND substr(x.s, 2*g.p+9, 8) = '6D6F6F76'
+       |        AND ${beV("0")} >= 8
+       |        AND g.p + ${beV("0")} <= x.n) AS ismoov,
+       |      (g.inm AND substr(x.s, 2*g.p+9, 8) = '6D766864'
+       |        AND ${beV("0")} >= 8) AS ismvhd,
+       |      CASE WHEN g.p + 9 <= g.lim
+       |           THEN ('0x' || substr(x.s, 2*g.p+17, 2))::BIGINT END AS ver,
+       |      CASE WHEN g.p + 28 <= g.lim THEN ${beV("20")} END AS ts0,
+       |      CASE WHEN g.p + 28 <= g.lim THEN ${beV("24")} END AS du0,
+       |      CASE WHEN g.p + 40 <= g.lim THEN ${beV("28")} END AS ts1,
+       |      CASE WHEN g.p + 40 <= g.lim THEN ${beV("36")} END AS du1
+       |    FROM wk g JOIN hxv x ON x.media_id = g.media_id
+       |    WHERE g.p >= 0 AND g.ts IS NULL AND g.p + 8 <= g.lim
+       |  )
+       |), mp4p AS (
+       |  SELECT media_id, ts, dur FROM wk
+       |  WHERE ts IS NOT NULL AND NOT (ts = 0 AND dur = 0)
+       |), mix AS (
+       |  SELECT media_id, octet_length(payload)::BIGINT AS bytes, 0 AS k
+       |  FROM mediah
+       |  UNION ALL
+       |  SELECT media_id + 10000000, octet_length(payload)::BIGINT, 1
+       |  FROM mediaa
+       |  UNION ALL
+       |  SELECT media_id + 20000000, octet_length(payload)::BIGINT, 2
+       |  FROM mediav
+       |), class AS (
+       |  SELECT m.media_id, m.bytes,
+       |    CASE WHEN m.k = 0 THEN coalesce(i.fmt, 'other')
+       |         WHEN m.k = 1 THEN
+       |           CASE WHEN w.rate IS NOT NULL THEN 'wav' ELSE 'other' END
+       |         ELSE CASE WHEN v.ts IS NOT NULL THEN 'mp4' ELSE 'other' END
+       |         END AS fmt,
+       |    CASE WHEN m.k = 0 AND i.fmt IS NOT NULL
+       |           THEN (i.width < 64 OR i.height < 64)
+       |         WHEN m.k = 1 AND w.rate IS NOT NULL THEN w.rate < 16000
+       |         WHEN m.k = 2 AND v.ts IS NOT NULL
+       |           THEN v.ts > 0 AND (v.dur * 1000) // v.ts < 3000
+       |         ELSE FALSE END AS dropped
+       |  FROM mix m
+       |  LEFT JOIN imgp i ON m.k = 0 AND i.media_id = m.media_id
+       |  LEFT JOIN wavp w ON m.k = 1 AND w.media_id = m.media_id - 10000000
+       |  LEFT JOIN mp4p v ON m.k = 2 AND v.media_id = m.media_id - 20000000
+       |)
+       |SELECT fmt, count(*)::BIGINT AS n, sum(bytes)::BIGINT AS bytes,
+       |       sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_drop,
+       |       (sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT * 1000000)
+       |         // count(*) AS drop_micro
+       |FROM class
+       |GROUP BY fmt
+       |ORDER BY fmt""".stripMargin
+  }
+
   val mediaAudioSql: String = {
     def b(i: String) = s"('0x' || substr(x.s, 2*(g.p+$i)+1, 2))::BIGINT"
     s"""WITH RECURSIVE ${Tables.mediaAudioSql},
