@@ -124,7 +124,9 @@ object Tables {
     * ([[graft.functions.MediaDims]]): every 3rd doc a PNG (8-byte
     * signature + IHDR with big-endian u32 dims), every 3rd a JPEG
     * (SOI, a variable-length COM segment of `doc_id % 7` filler bytes
-    * so no fixed SOF offset exists, then SOF0 or SOF2 alternating),
+    * so no fixed SOF offset exists, every 5th-ish padded with two
+    * 0xFF fill bytes before SOF per ITU T.81 B.1.1.2, then SOF0 or
+    * SOF2 alternating),
     * the rest raw text (no container). Width/height are deterministic
     * functions of doc_id, so the parse has a closed-form truth both
     * engines can check.
@@ -140,6 +142,10 @@ object Tables {
     val jpeg = concat(unhex(concat(
       lit("FFD8FFFE"), lpad(hex(col("doc_id") % 7 + 2), 4, "0"),
       expr("repeat('41', cast(doc_id % 7 as int))"),
+      // every 5th-ish JPEG: two ITU T.81 B.1.1.2 fill bytes (0xFF)
+      // padding the SOF marker — a walk that treats FF as a marker
+      // code misparses these to 'other'
+      when(col("doc_id") % 5 === 1, lit("FFFF")).otherwise(lit("")),
       when(col("doc_id") % 2 === 0, lit("FFC0")).otherwise(lit("FFC2")),
       lit("001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"))),
       encode(col("text"), "UTF-8"))
@@ -164,6 +170,7 @@ object Tables {
       |      WHEN doc_id % 3 = 1 THEN
       |        unhex('FFD8FFFE' || lpad(hex(doc_id % 7 + 2), 4, '0') ||
       |              repeat('41', (doc_id % 7)::INT) ||
+      |              CASE WHEN doc_id % 5 = 1 THEN 'FFFF' ELSE '' END ||
       |              CASE WHEN doc_id % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END ||
       |              '001108' || lpad(hex(16 + doc_id % 1333), 4, '0') ||
       |              lpad(hex(16 + doc_id % 2000), 4, '0')) ||

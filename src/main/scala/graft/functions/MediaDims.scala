@@ -83,7 +83,9 @@ case class MediaDimsExpr(child: Expression) extends UnaryExpression {
       var done = false
       while (!done && p + 9 <= n && (b(p) & 0xFF) == 0xFF) {
         val mk = b(p + 1) & 0xFF
-        if (mk == 0xC0 || mk == 0xC1 || mk == 0xC2) {
+        if (mk == 0xFF) {
+          p += 1 // ITU T.81 B.1.1.2: 0xFF fill bytes may pad markers
+        } else if (mk == 0xC0 || mk == 0xC1 || mk == 0xC2) {
           val h = ((b(p + 5) & 0xFFL) << 8) | (b(p + 6) & 0xFFL)
           val w = ((b(p + 7) & 0xFFL) << 8) | (b(p + 8) & 0xFFL)
           v = (MediaDims.FmtJpeg << 48) | (w << 24) | h
@@ -144,6 +146,7 @@ case class MediaDimsExpr(child: Expression) extends UnaryExpression {
          |  int $p = 2;
          |  while ($p + 9 <= $n && ($a[$p] & 0xFF) == 0xFF) {
          |    int $mk = $a[$p + 1] & 0xFF;
+         |    if ($mk == 0xFF) { $p += 1; continue; } // T.81 fill byte
          |    if ($mk == 0xC0 || $mk == 0xC1 || $mk == 0xC2) {
          |      long $h = (($a[$p + 5] & 0xFFL) << 8) | ($a[$p + 6] & 0xFFL);
          |      long $w = (($a[$p + 7] & 0xFFL) << 8) | ($a[$p + 8] & 0xFFL);

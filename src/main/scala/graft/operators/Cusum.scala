@@ -108,9 +108,19 @@ object Cusum {
        |  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events) ty
        |  LEFT JOIN agg ON agg.h = hours.h AND agg.event_type = ty.event_type
        |), ref AS MATERIALIZED (
-       |  SELECT c.event_type, ((sum(c.y) * 1000000) // nh.n0)::BIGINT AS mu0
-       |  FROM cells c CROSS JOIN nh WHERE c.t < nh.n0
-       |  GROUP BY c.event_type, nh.n0
+       |  -- n0 > 0 gate mirrors the Scala nH < 4 NULL path: a corpus
+       |  -- spanning a single hour has n0 = 0, and ref must still emit
+       |  -- a row per type (NULL mu0) rather than divide by zero /
+       |  -- vanish while the Scala side returns gated rows.
+       |  SELECT ty.event_type,
+       |         CASE WHEN nh.n0 > 0
+       |              THEN (coalesce(s.sy, 0) * 1000000) // nh.n0
+       |              END::BIGINT AS mu0
+       |  FROM (SELECT DISTINCT event_type FROM events) ty
+       |  CROSS JOIN nh
+       |  LEFT JOIN (SELECT c.event_type, sum(c.y) AS sy
+       |             FROM cells c CROSS JOIN nh WHERE c.t < nh.n0
+       |             GROUP BY c.event_type) s ON s.event_type = ty.event_type
        |), cu(event_type, t, sp, sn, msp, msn, alarm) AS (
        |  SELECT event_type, n0 - 1, 0::BIGINT, 0::BIGINT, 0::BIGINT,
        |         0::BIGINT, NULL::BIGINT

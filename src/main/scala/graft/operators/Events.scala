@@ -453,8 +453,9 @@ object Events {
   def cuped(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val span = ev.agg(
-      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
-        .cast("long").as("mid"))
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
     val users = ev.crossJoin(broadcast(span))
       .groupBy(col("user_id"))
       .agg(sum((unix_micros(col("ts")) < col("mid")).cast("long")).as("x"),

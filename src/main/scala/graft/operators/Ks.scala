@@ -45,8 +45,9 @@ object Ks {
     */
   def ksDrift(ev: DataFrame): DataFrame = {
     val span = ev.agg(
-      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
-        .cast("long").as("mid"))
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
     val flagged = ev.filter(col("value").isNotNull)
       .crossJoin(broadcast(span))
       .select(col("event_type"), col("value"),
@@ -182,8 +183,9 @@ object Ks {
   def ksServed(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val span = ev.agg(
-      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
-        .cast("long").as("mid"))
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
     val flagged = ev.filter(col("value").isNotNull)
       .crossJoin(broadcast(span))
       .select(col("event_type"), col("event_id"), col("value"),

@@ -200,7 +200,8 @@ object MediaDimsQuery {
        |  FROM hxi WHERE n >= 4 AND substr(s, 1, 4) = 'FFD8'
        |  UNION ALL
        |  SELECT media_id,
-       |    CASE WHEN mk IN ('C0', 'C1', 'C2') THEN -1
+       |    CASE WHEN mk = 'FF' THEN p + 1 -- T.81 fill-byte padding
+       |         WHEN mk IN ('C0', 'C1', 'C2') THEN -1
        |         ELSE p + 2 + ('0x' || substr(s, 2*p+5, 4))::BIGINT END,
        |    CASE WHEN mk IN ('C0', 'C1', 'C2') THEN 'jpeg' END,
        |    CASE WHEN mk IN ('C0', 'C1', 'C2')
@@ -381,7 +382,8 @@ object MediaDimsQuery {
        |  FROM hx WHERE n >= 4 AND substr(s, 1, 4) = 'FFD8'
        |  UNION ALL
        |  SELECT media_id,
-       |    CASE WHEN mk IN ('C0', 'C1', 'C2') THEN -1
+       |    CASE WHEN mk = 'FF' THEN p + 1 -- T.81 fill-byte padding
+       |         WHEN mk IN ('C0', 'C1', 'C2') THEN -1
        |         ELSE p + 2 + ('0x' || substr(s, 2*p+5, 4))::BIGINT END,
        |    CASE WHEN mk IN ('C0', 'C1', 'C2') THEN 'jpeg' END,
        |    CASE WHEN mk IN ('C0', 'C1', 'C2')

@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   * (the house split discipline), so both engines enumerate the SAME
   * B = [[Perms]] label vectors; arm mean differences ride the
   * integer lattice ((Σy·1e6) div n per arm), and p is an exact
-  * integer ratio. Fixed-hash Monte-Carlo, B = 200 → p resolution
-  * 1/200 = the 5e3-micro lattice (resolution documented on the row).
+  * integer ratio — the VALID Monte-Carlo estimator
+  * p = (1 + #{|diff| ≥ |obs|}) / (B + 1) (Phipson & Smyth 2010: the
+  * observed labeling counts as one of its own permutations), so p
+  * has a floor of 1/(B+1) and can never be exactly 0. Permutations
+  * with an empty arm yield NULL diff and count only in the
+  * denominator — conservative, never inflating significance.
   *
   * Scale: ONE per-user fold, then users × B — a bounded CONSTANT
   * multiplier (B is a design constant, never data) — folded straight
@@ -71,7 +75,7 @@ object PermTest {
         count(lit(1)).cast("long").as("n_perms"),
         sum(when(abs(col("diff_micro")) >= abs(col("obs_micro")), 1L)
           .otherwise(0L)).cast("long").as("n_ge"))
-      .withColumn("p_micro", expr("(n_ge * 1000000) div n_perms"))
+      .withColumn("p_micro", expr("((n_ge + 1) * 1000000) div (n_perms + 1)"))
       .withColumn("significant_05",
         when(col("obs_diff_micro").isNotNull,
           (col("p_micro") < 50000L).cast("int")))
@@ -116,13 +120,13 @@ object PermTest {
        |       count(*)::BIGINT AS n_perms,
        |       sum(CASE WHEN abs(p.diff_micro) >= abs(o.obs_micro)
        |                THEN 1 ELSE 0 END)::BIGINT AS n_ge,
-       |       (sum(CASE WHEN abs(p.diff_micro) >= abs(o.obs_micro)
-       |                 THEN 1 ELSE 0 END)::BIGINT * 1000000) // count(*)
-       |         AS p_micro,
+       |       ((sum(CASE WHEN abs(p.diff_micro) >= abs(o.obs_micro)
+       |                  THEN 1 ELSE 0 END)::BIGINT + 1) * 1000000)
+       |         // (count(*) + 1) AS p_micro,
        |       CASE WHEN max(o.obs_micro) IS NOT NULL THEN
-       |         (CASE WHEN (sum(CASE WHEN abs(p.diff_micro) >= abs(o.obs_micro)
-       |                          THEN 1 ELSE 0 END)::BIGINT * 1000000)
-       |                    // count(*) < 50000 THEN 1 ELSE 0 END)::INT
+       |         (CASE WHEN ((sum(CASE WHEN abs(p.diff_micro) >= abs(o.obs_micro)
+       |                           THEN 1 ELSE 0 END)::BIGINT + 1) * 1000000)
+       |                    // (count(*) + 1) < 50000 THEN 1 ELSE 0 END)::INT
        |       END AS significant_05
        |FROM perms p CROSS JOIN obs o""".stripMargin
   }

@@ -49,8 +49,9 @@ object Psi {
     */
   def psiDrift(ev: DataFrame): DataFrame = {
     val span = ev.agg(
-      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
-        .cast("long").as("mid"))
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
     val counts = ev.filter(col("value").isNotNull)
       .crossJoin(broadcast(span))
       .select(col("event_type"), col("value"),
@@ -138,8 +139,9 @@ object Psi {
   def psiServed(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val span = ev.agg(
-      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
-        .cast("long").as("mid"))
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
     val flagged = ev.filter(col("value").isNotNull)
       .crossJoin(broadcast(span))
       .select(col("event_type"), col("event_id"), col("value"),

@@ -171,20 +171,40 @@ object Scc {
     * label table is touched by one broadcast-joinable rewrite,
     * exactly the [[Components.mergePairs]] shape.
     */
+  /** Batch-edge endpoints → stored SCC labels, with the scale shape
+    * guaranteed rather than hinted. Spark's BroadcastHashJoin cannot
+    * build the PRESERVED side of an outer join (right_outer supports
+    * BuildLeft only), so a `broadcast(batch)` hint on the right of a
+    * right_outer is silently ignored and the corpus-sized label table
+    * would sort-merge-shuffle. Instead: (1) left_semi against the
+    * broadcast batch key set — supported BuildRight, the stored label
+    * table STREAMS past it with zero stored-side exchange — yielding
+    * a batch-bounded slice; (2) bounded broadcast left_outer lookups
+    * from the batch. SccSpec asserts the executed plan: broadcast
+    * joins only, no sort-merge join anywhere in the lookup.
+    */
+  private[graft] def lookupLabels(labels: DataFrame,
+    batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val batchKeys = batch.select(col("src").as("id"))
+      .unionAll(batch.select(col("dst").as("id"))).distinct()
+    val rel = labels.join(broadcast(batchKeys), Seq("id"), "left_semi")
+      .localCheckpoint()
+    val la = rel.select(col("id").as("src"), col("scc").as("s_lbl"))
+    val lb = rel.select(col("id").as("dst"), col("scc").as("d_lbl"))
+    batch.join(broadcast(la), Seq("src"), "left_outer")
+      .join(broadcast(lb), Seq("dst"), "left_outer")
+  }
+
   def mergeEdges(labels: DataFrame, cond: DataFrame, newEdges: DataFrame,
     checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.broadcast
-    // endpoint → stored SCC representative (itself if unseen): the
-    // bounded BATCH broadcasts, the stored label table STREAMS past
-    // it (the Components.mergePairs lookup shape — broadcasting the
-    // labels would ship the corpus)
+    // endpoint → stored SCC representative (itself if unseen):
+    // [[lookupLabels]] guarantees the stored label table streams past
+    // the bounded batch with zero stored-side exchange
     val batch = newEdges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-    val la = labels.select(col("id").as("src"), col("scc").as("s_lbl"))
-    val lb = labels.select(col("id").as("dst"), col("scc").as("d_lbl"))
-    val looked = lb.join(
-      broadcast(la.join(broadcast(batch), Seq("src"), "right_outer")),
-      Seq("dst"), "right_outer").localCheckpoint()
+    val looked = lookupLabels(labels, batch).localCheckpoint()
     val contracted = looked
       .select(coalesce(col("s_lbl"), col("src")).as("src"),
         coalesce(col("d_lbl"), col("dst")).as("dst"))

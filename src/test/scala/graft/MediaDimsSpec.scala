@@ -94,6 +94,30 @@ class MediaDimsSpec extends AnyFunSuite {
     rows.foreach { case (id, _) => assert(got(id) == 0L, s"payload $id") }
   }
 
+  test("0xFF fill bytes padding a marker are skipped (ITU T.81 B.1.1.2)") {
+    // legal padding: any number of 0xFF bytes may precede a marker code;
+    // a walk that reads a fill byte as the code misparses the length
+    val base = jpeg(321, 123, Seq((0xE0, 5)), 0xC0, Array.fill(3)(9.toByte))
+    def padBefore(sof: Byte, nFill: Int, p: Array[Byte]): Array[Byte] = {
+      val i = p.indexOfSlice(Seq(0xFF.toByte, sof))
+      p.take(i) ++ Array.fill(nFill)(0xFF.toByte) ++ p.drop(i)
+    }
+    val rows = Seq(
+      1L -> padBefore(0xC0.toByte, 1, base),
+      2L -> padBefore(0xC0.toByte, 7, base),
+      3L -> jpeg(55, 44, Seq.empty, 0xC2, Array.empty) // control, no pad
+    )
+    val padded2 = padBefore(0xC2.toByte, 3, rows(2)._2)
+    val got = dimsOf(rows :+ (4L -> padded2))
+    assert(got(1L) == packed(MediaDims.FmtJpeg, 321, 123))
+    assert(got(2L) == packed(MediaDims.FmtJpeg, 321, 123))
+    assert(got(3L) == packed(MediaDims.FmtJpeg, 55, 44))
+    assert(got(4L) == packed(MediaDims.FmtJpeg, 55, 44))
+    // interpreted path agrees
+    assert(MediaDimsExpr(Literal(padBefore(0xC0.toByte, 2, base)))
+      .eval(null) == packed(MediaDims.FmtJpeg, 321, 123))
+  }
+
   test("interpreted eval equals codegen on mixed payloads") {
     val payloads = Seq(
       png(1920, 1080, Array.fill(9)(7.toByte)),

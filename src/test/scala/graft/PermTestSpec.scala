@@ -31,7 +31,8 @@ class PermTestSpec extends AnyFunSuite {
     val r = PermTest.permTestOfUsers(users).collect().head
     assert(math.abs(r.getAs[Long]("obs_diff_micro")) == 99000000L)
     assert(r.getAs[Long]("n_ge") == 0L)
-    assert(r.getAs[Long]("p_micro") == 0L)
+    // the valid estimator counts the identity: floor = 1/(B+1), never 0
+    assert(r.getAs[Long]("p_micro") == 1000000L / (PermTest.Perms + 1))
     assert(r.getAs[Int]("significant_05") == 1)
   }
 

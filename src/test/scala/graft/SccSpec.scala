@@ -130,6 +130,25 @@ class SccSpec extends AnyFunSuite {
       s"diff=${(inc.toSet diff full.toSet).take(5)} / ${(full.toSet diff inc.toSet).take(5)}")
   }
 
+  test("lookupLabels plan: broadcast joins only, stored labels never sort-merge") {
+    // right_outer + broadcast-on-the-preserved-side is a silently
+    // ignored hint (BHJ can't build the preserved side) — the rewrite
+    // must materialize broadcast semi/outer joins with no SortMergeJoin
+    // and no exchange of the stored label table
+    val labels = (0L until 1000L).map(i => (i, i % 10)).toDF("id", "scc")
+    val batch = Seq((1L, 2L), (3L, 4L), (2000L, 1L)).toDF("src", "dst")
+    val looked = Scc.lookupLabels(labels, batch)
+    val plan = looked.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // semantics: present endpoints resolve, unseen endpoints are NULL
+    val m = looked.select(col("src"), col("dst"), col("s_lbl"), col("d_lbl"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(m((1L, 2L)) == (Some(1L), Some(2L)))
+    assert(m((2000L, 1L)) == (None, Some(1L)))
+  }
+
   test("empty edge set: every node is its own singleton SCC") {
     val nodes = Seq(1L, 2L, 3L).toDF("id")
     val e = Seq.empty[(Long, Long)].toDF("src", "dst")
