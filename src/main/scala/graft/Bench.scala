@@ -164,7 +164,7 @@ object Bench {
     // median is elevated against the persisted quiet constant
     val globalContended = BenchTrust.globalContended(quietProbe, baseQuiet)
     def rowSuspect(name: String, t: Double, spread: Double): Boolean =
-      BenchTrust.rowSuspect(t, spread, globalContended, baseTimes.get(name))
+      BenchTrust.rowSuspect(t, spread, baseTimes.get(name))
     val retimed = scala.collection.mutable.Set[String]()
     val untrusted = scala.collection.mutable.Set[String]()
     val results = sweep.map { case (name, fn, t, spread, ok, seg, la) =>

@@ -18,11 +18,18 @@ package graft
   *     sub-second queries' JIT jitter from tripping it: their error
   *     cannot move the metric line, while the r7 inflated rows
   *     carried multi-second spreads);
-  *  3. cross-round drift under global contention: the run's probe
-  *     median > 2× the PERSISTED quiet constant (BASELINE_BENCH.json,
-  *     committed at each round's quiet close) marks the whole run
-  *     contended, and any row > 1.5× its persisted quiet time is then
-  *     presumed inflated.
+  *  3. cross-round drift vs the PERSISTED quiet constant
+  *     (BASELINE_BENCH.json, committed at each round's quiet close):
+  *     any row whose kept min runs > 1.5× its persisted quiet time
+  *     (and > 0.3 s above it in absolute terms — sub-second rows'
+  *     JIT jitter cannot move the metric line) is presumed inflated,
+  *     UNCONDITIONALLY. The r8 driver run proved this must not gate
+  *     on the global probe: a single-threaded sub-second probe barely
+  *     feels a ~6-core background load that inflates 32-way-parallel
+  *     queries 5–10× (probe 0.335 s vs 0.283 quiet = 1.18×, while
+  *     q_trending shipped at 10× its quiet time unstamped). The probe
+  *     gate still rides the calib line as a run-level diagnostic, but
+  *     per-row baseline drift arms on the baseline row alone.
   * A suspect row is retimed once more (min-of-2, min with the earlier
   * measurement — every run is a full honest execution, so min never
   * understates); a row STILL suspect after the retime is stamped in
@@ -64,10 +71,12 @@ object BenchTrust {
     (q, times)
   }
 
-  /** Signal 3's run-level gate: this run's probe median against the
-    * persisted quiet constant. No baseline → never globally contended
-    * (the r7 failure stays possible only until the first baseline
-    * commit, which scripts/update_baseline.py makes a one-liner).
+  /** Run-level contention DIAGNOSTIC (rides the calib line): this
+    * run's probe median against the persisted quiet constant. Since
+    * r9 this no longer gates signal 3 — the r8 artifact showed a
+    * short single-threaded probe nearly blind to background load that
+    * inflates 32-way-parallel queries — but an elevated probe median
+    * is still the strongest run-level tell a reader has.
     */
   def globalContended(runProbeMedian: Double, baselineQuiet: Option[Double]): Boolean =
     baselineQuiet.exists(q => runProbeMedian > 2.0 * q)
@@ -88,9 +97,9 @@ object BenchTrust {
     * to the failure class the stamp exists for (asserted in
     * BenchTrustSpec against the r7 replay).
     */
-  def rowSuspect(t: Double, spread: Double, globallyContended: Boolean,
+  def rowSuspect(t: Double, spread: Double,
     baseTime: Option[Double]): Boolean =
     if (baseTime.exists(b => t <= 1.1 * b)) false
     else (spread > 0.5 * t && spread > 0.4) ||
-      (globallyContended && baseTime.exists(b => t > 1.5 * b))
+      baseTime.exists(b => t > 1.5 * b && t - b > 0.3)
 }
