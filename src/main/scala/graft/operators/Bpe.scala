@@ -1,7 +1,8 @@
 package graft.operators
 
+import graft.Tables
 import graft.functions.TextSim
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BPE tokenizer TRAINING — the iterative loop whose single first
@@ -77,9 +78,18 @@ object Bpe {
     * checkpointing for cluster runs, `localCheckpoint` locally.
     */
   def train(docs: DataFrame, rounds: Int,
+    checkpointDir: Option[String] = None): DataFrame =
+    trainVocab(initVocab(docs), rounds, checkpointDir)
+
+  /** [[train]] over a caller-built `(syms, tf)` vocabulary — the entry
+    * [[bpeEncode]] needs (its vocab carries extra constraints and is
+    * reused for the census).
+    */
+  def trainVocab(vocab0: DataFrame, rounds: Int,
     checkpointDir: Option[String] = None): DataFrame = {
-    val spark = docs.sparkSession
-    var vocab = Iterate.materialize(initVocab(docs), checkpointDir)
+    val spark = vocab0.sparkSession
+    var vocab = Iterate.materialize(vocab0.select(col("syms"), col("tf")),
+      checkpointDir)
     var merges = Vector.empty[(Int, String, String, String, Long)]
     var done = false
     var r = 0
@@ -105,6 +115,130 @@ object Bpe {
     merges.toDF("rank", "left", "right", "merged", "n")
   }
 
+  /** Merge rounds [[bpeEncode]] trains — a design constant (the SQL
+    * mirror unrolls exactly this many rounds), never data-derived.
+    */
+  val EncodeRounds = 8
+
+  /** q_bpe_encode — the trained tokenizer APPLIED corpus-wide: train
+    * [[EncodeRounds]] merges on the corpus vocabulary, segment every
+    * word under the learned inventory, and report the per-source
+    * token census — the fertility counterpart of q_bpe_merges
+    * (which ranks the FIRST round's candidates) and q_fertility
+    * (which scores a FIXED segmenter): `(source, n_words, n_chars,
+    * bpe_tokens, tokens_per_word_micro, chars_per_token_micro)`.
+    *
+    * Scale: the corpus folds ONCE to `(source, word, tf)`; training
+    * and segmentation run over the |vocab|-sized symbol table
+    * (tokenizer vocabularies are bounded by design), and the census
+    * is one broadcast join of the ≤|vocab| `(word, n_tok)` frame back
+    * into the per-source counts — the corpus never reshuffles. At an
+    * extreme open vocabulary the broadcast degrades to a shuffle
+    * hash join on `w`; nothing else changes.
+    *
+    * Oracle parity: the DuckDB mirror unrolls the [[EncodeRounds]]
+    * training rounds over a `'||'`-bounded string representation
+    * (`'||a||b||c||'`) where one greedy [[mergeFold]] pass ≡ ONE
+    * `replace(s, '|a||b|', '|ab|')` pass: plain replace scans
+    * left-to-right non-overlapping without rescanning its own output
+    * (exactly the fold's no-remerge rule), the double boundary means
+    * adjacent element-pair matches never share a character (a
+    * single-pipe encoding provably diverges: in `a a a a a` under
+    * `(a,a)` the consumed shared separator makes replace pair
+    * elements (1,2),(4,5) while greedy pairs (1,2),(3,4) — caught by
+    * BpeSpec before it shipped), each match consumes only the INNER
+    * pipe of each boundary so the `'||'` invariant survives
+    * replacement, and full-symbol anchoring can't match inside longer
+    * symbols (BpeSpec sweeps the adversarial shapes: odd same-symbol
+    * runs, alternations, prefix/suffix collisions, plus a randomized
+    * sweep). Words containing the separator are excluded from the
+    * vocabulary on BOTH sides — a declared contract, not a data
+    * assumption.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("source"), explode(TextSim.tokens(col("text"))).as("w"))
+      .filter(!col("w").contains("|"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint() // read twice: global vocab fold + the census
+    val vocab = words.groupBy(col("w"))
+      .agg(sum(col("tf")).cast("long").as("tf"))
+      .select(col("w"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"),
+        col("tf"))
+      .localCheckpoint() // training rounds + final segmentation
+    val merges = trainVocab(vocab, EncodeRounds).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val toks = segment(vocab.select(col("w"), col("syms"), col("tf")), merges)
+      .select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+    words.join(broadcast(toks), Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).cast("long").as("n_words"),
+        sum(col("tf") * length(col("w"))).cast("long").as("n_chars"),
+        sum(col("tf") * col("n_tok")).cast("long").as("bpe_tokens"))
+      .withColumn("tokens_per_word_micro",
+        expr("(bpe_tokens * 1000000) div n_words"))
+      .withColumn("chars_per_token_micro",
+        expr("(n_chars * 1000000) div bpe_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val bpeEncodeSql: String = {
+    // one unrolled training round: pair counts over v{r-1}, top-1 by
+    // (n desc, a, b), one boundary-anchored replace pass over the
+    // double-pipe representation; an empty candidate set (fully merged
+    // vocab) degrades to the identity via the LEFT JOIN — exactly
+    // trainVocab's early stop
+    def round(r: Int): String = {
+      val prev = s"v${r - 1}"
+      s"""p$r AS (
+         |  SELECT a, b, sum(tf)::BIGINT AS n FROM (
+         |    SELECT tf,
+         |      unnest([l[i] for i in range(2, len(l) - 1)]) AS a,
+         |      unnest([l[i + 1] for i in range(2, len(l) - 1)]) AS b
+         |    FROM (SELECT tf, string_split(s, '||') AS l FROM $prev))
+         |  GROUP BY a, b
+         |), t$r AS (
+         |  SELECT '|' || a || '||' || b || '|' AS pat, '|' || a || b || '|' AS rep
+         |  FROM p$r ORDER BY n DESC, a, b LIMIT 1
+         |), v$r AS MATERIALIZED (
+         |  SELECT v.w, CASE WHEN t.pat IS NULL THEN v.s
+         |              ELSE replace(v.s, t.pat, t.rep) END AS s, v.tf
+         |  FROM $prev v LEFT JOIN t$r t ON TRUE
+         |)""".stripMargin
+    }
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT source, w, count(*)::BIGINT AS tf FROM (
+       |    SELECT source,
+       |           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |    FROM documents)
+       |  WHERE w NOT LIKE '%|%'
+       |  GROUP BY source, w
+       |), v0 AS MATERIALIZED (
+       |  SELECT w, '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS s,
+       |         sum(tf)::BIGINT AS tf
+       |  FROM words GROUP BY w
+       |),
+       |${(1 to EncodeRounds).map(round).mkString(",\n")},
+       |toks AS MATERIALIZED (
+       |  SELECT w, (len(string_split(s, '||')) - 2)::BIGINT AS n_tok
+       |  FROM v$EncodeRounds
+       |)
+       |SELECT w.source, sum(w.tf)::BIGINT AS n_words,
+       |       sum(w.tf * len(w.w))::BIGINT AS n_chars,
+       |       sum(w.tf * t.n_tok)::BIGINT AS bpe_tokens,
+       |       (sum(w.tf * t.n_tok)::BIGINT * 1000000)
+       |         // sum(w.tf)::BIGINT AS tokens_per_word_micro,
+       |       (sum(w.tf * len(w.w))::BIGINT * 1000000)
+       |         // sum(w.tf * t.n_tok)::BIGINT AS chars_per_token_micro
+       |FROM words w JOIN toks t ON t.w = w.w
+       |GROUP BY w.source
+       |ORDER BY w.source""".stripMargin
+  }
+
   /** The trained segmentation itself: apply an ordered merge table to
     * a fresh `(syms, tf)` vocabulary — how a shipped tokenizer
     * re-tokenizes NEW text with the learned inventory. Per-row folds,
@@ -118,7 +252,9 @@ object Bpe {
     merges.grouped(block).foldLeft(vocab) { (v0, grp) =>
       Iterate.materialize(
         grp.foldLeft(v0) { case (v, (a, b)) =>
-          v.select(mergeFold(col("syms"), a, b).as("syms"), col("tf"))
+          // withColumn, not select: carrier columns (the word itself,
+          // per-source keys) ride through the segmentation untouched
+          v.withColumn("syms", mergeFold(col("syms"), a, b))
         }, checkpointDir)
     }
 }

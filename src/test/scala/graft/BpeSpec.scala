@@ -119,6 +119,68 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("greedy fold == one boundary-anchored replace (the q_bpe_encode oracle rep)") {
+    // the DuckDB mirror segments on '||'-bounded strings with ONE plain
+    // replace(s, '|a||b|', '|ab|') pass; Java String.replace shares
+    // DuckDB's semantics (left-to-right, non-overlapping, no rescan of
+    // its own output), so the equivalence is testable here. The double
+    // boundary is load-bearing: adjacent matches never share a
+    // character (a single-pipe encoding pairs the wrong elements in
+    // odd same-symbol runs — this test caught it)
+    def foldMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    def strMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val pat = "|" + a + "||" + b + "|"
+      val rep = "|" + a + b + "|"
+      ("||" + syms.mkString("||") + "||").replace(pat, rep)
+        .split("\\|").filter(_.nonEmpty).toVector
+    }
+    // adversarial shapes: same-symbol runs (boundary sharing), long
+    // alternations, merged-symbol prefix/suffix collisions
+    val cases = Seq(
+      (Vector("a", "a", "a", "a"), ("a", "a")),
+      (Vector("a", "a", "a", "a", "a"), ("a", "a")),
+      (Vector("a", "b", "a", "b", "a", "b", "a", "b"), ("a", "b")),
+      (Vector("a", "a", "b"), ("a", "b")),
+      (Vector("a", "b", "b"), ("a", "b")),
+      (Vector("xa", "b"), ("a", "b")),       // suffix collision: no match
+      (Vector("a", "bx"), ("a", "b")),       // prefix collision: no match
+      (Vector("ab", "c"), ("b", "c")),       // symbol-internal: no match
+      (Vector("a", "ab", "b"), ("a", "ab")),
+      (Vector("ab", "b", "b"), ("ab", "b")))
+    cases.foreach { case (syms, (a, b)) =>
+      assert(foldMerge(syms, a, b) == strMerge(syms, a, b),
+        s"diverged on $syms under ($a,$b)")
+    }
+    // randomized sweep over a 2-symbol alphabet, all 4 rules
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val syms = Vector.fill(2 + rnd.nextInt(9))(
+        if (rnd.nextBoolean()) "a" else "b")
+      for (a <- Seq("a", "b"); b <- Seq("a", "b"))
+        assert(foldMerge(syms, a, b) == strMerge(syms, a, b),
+          s"diverged on $syms under ($a,$b)")
+    }
+  }
+
+  test("trainVocab over a full vocab (1-char words included) trains identically") {
+    // q_bpe_encode trains on the UNFILTERED vocab — 1-char words carry
+    // no pairs, so the merge sequence must match initVocab's filtered one
+    val full = Seq(("a", 9L), ("ab", 4L), ("abc", 3L), ("b", 7L))
+      .toDF("w", "tf")
+      .select(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("syms"), col("tf"))
+    val filtered = full.filter(size(col("syms")) >= 2)
+    val a = Bpe.trainVocab(full, 4).orderBy(col("rank"))
+      .select(col("left"), col("right")).as[(String, String)].collect().toSeq
+    val b = Bpe.trainVocab(filtered, 4).orderBy(col("rank"))
+      .select(col("left"), col("right")).as[(String, String)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("the corpus is folded once: training rounds run over the vocab only") {
     // the round's pair-count plan reads the materialized vocab, not
     // documents: no explode of text tokens may appear in it
