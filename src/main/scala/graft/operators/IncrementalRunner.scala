@@ -91,6 +91,92 @@ object IncrementalRunner {
     * are a handful of driver-side aggregate actions over already-
     * classified frames, not a per-source loop.
     */
+  /** q_etl_e2e — the reference's WHOLE run_etl loop
+    * (Notion_openai_vector_etl.py:617-779) as one hash-checked query:
+    * initialize the store from the manifest, run one real incremental
+    * pass ([[initStore]] → [[runWithStats]] — real parquet partitions,
+    * real dynamic-partition-overwrite upsert, store read BACK from
+    * disk, not from lineage), then report the post-run store state
+    * per source — `(src_id, n_chunks, chunks_sig, provenance)` where
+    * `chunks_sig` = md5 over the source's ordered chunk-id list (the
+    * store partition's content identity) and provenance says whether
+    * this run rewrote the partition — with the run's [[RunStats]]
+    * counters riding every row. The DuckDB mirror recomputes the same
+    * post-run state purely (retained manifest partitions keep the
+    * manifest hash, upserted ones take the snapshot hash) — if the
+    * writer dropped, duplicated, or failed to overwrite a partition,
+    * the per-source signature hash catches it.
+    *
+    * Scale: the sink rewrites only delta partitions; the readback
+    * groups by the partition key (src_id), so the census shuffle is
+    * partition-aligned; stats are four aggregate actions over
+    * already-classified frames.
+    */
+  def etlE2e(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_e2e_store").toString
+    initStore(s, d, path)
+    val (store, stats) = runWithStats(s, d, path)
+    val delta = Etl.manifestDelta(s, d).filter(col("needs_vector"))
+      .select(col("id"))
+    val perSrc = store.groupBy(col("src_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_index"), col("chunk_id")))),
+          x => x.getField("chunk_id")), ",")).as("chunks_sig"))
+    perSrc.join(delta, perSrc("src_id") === delta("id"), "left_outer")
+      .select(col("src_id"), col("n_chunks"), col("chunks_sig"),
+        when(col("id").isNotNull, "upserted").otherwise("retained")
+          .as("provenance"))
+      .withColumn("processed", lit(stats.processed))
+      .withColumn("skipped", lit(stats.skipped))
+      .withColumn("failed", lit(stats.failed))
+      .withColumn("vectorized_chunks", lit(stats.vectorizedChunks))
+      .orderBy(col("src_id"))
+  }
+
+  val etlE2eSql: String =
+    s"""WITH RECURSIVE ${Tables.manifestSql}, ${Tables.currentSql},
+       |${Etl.chunkCteSql(Etl.ChunkLen)},
+       |delta AS (
+       |  SELECT c.id, c.content_hash
+       |  FROM current c LEFT JOIN manifest m ON m.id = c.id
+       |  WHERE m.id IS NULL OR m.content_hash <> c.content_hash
+       |     OR m.last_edited <> c.last_edited
+       |), good AS (
+       |  SELECT d.id, d.content_hash
+       |  FROM delta d JOIN documents dd ON dd.doc_id = d.id
+       |  WHERE NOT (dd.text IS NULL OR trim(dd.text) = '')
+       |), srcs AS (
+       |  SELECT m.id AS src_id, m.content_hash, 'retained' AS provenance
+       |  FROM manifest m WHERE m.id NOT IN (SELECT id FROM delta)
+       |  UNION ALL
+       |  SELECT id, content_hash, 'upserted' FROM good
+       |), per_src AS MATERIALIZED (
+       |  SELECT s.src_id, s.provenance, count(*)::BIGINT AS n_chunks,
+       |         md5(string_agg(
+       |           sha256('/docs/' || c.doc_id || '|' || s.content_hash
+       |                  || '|' || c.chunk_index),
+       |           ',' ORDER BY c.chunk_index)) AS chunks_sig
+       |  FROM srcs s JOIN chunks c ON c.doc_id = s.src_id
+       |  GROUP BY s.src_id, s.provenance
+       |), stats AS (
+       |  SELECT
+       |    (SELECT count(*) FROM good)::BIGINT AS processed,
+       |    (SELECT count(*) FROM current c JOIN manifest m ON m.id = c.id
+       |     WHERE m.content_hash = c.content_hash
+       |       AND m.last_edited = c.last_edited)::BIGINT AS skipped,
+       |    (SELECT count(*) FROM delta d
+       |     LEFT JOIN documents dd ON dd.doc_id = d.id
+       |     WHERE dd.text IS NULL OR trim(dd.text) = '')::BIGINT AS failed,
+       |    (SELECT coalesce(sum(n_chunks), 0) FROM per_src
+       |     WHERE provenance = 'upserted')::BIGINT AS vectorized_chunks
+       |)
+       |SELECT p.src_id, p.n_chunks, p.chunks_sig, p.provenance,
+       |       st.processed, st.skipped, st.failed, st.vectorized_chunks
+       |FROM per_src p CROSS JOIN stats st
+       |ORDER BY p.src_id""".stripMargin
+
   def runWithStats(s: SparkSession, d: String, path: String,
     cfg: Config = Config()): (DataFrame, RunStats) = {
     val classified = Etl.manifestDelta(s, d)
