@@ -180,6 +180,59 @@ object Tables {
       |  FROM documents
       |)""".stripMargin
 
+  /** Media corpus with TEXT-BEARING containers — the [[mediaHeaders]]
+    * sibling for real metadata-text extraction
+    * ([[graft.sources.MediaExtract.decodePngText]]): every 3rd doc a
+    * spec-shaped PNG whose chunk chain is fully walkable (IHDR with
+    * its CRC — [[mediaHeaders]] omits CRCs because the dims sniff
+    * reads fixed offsets; a chunk WALK needs the real layout), then
+    * two tEXt chunks (PNG spec 11.3.4.3: keyword, NUL, Latin-1 text —
+    * here `Title` = the doc's source and `Comment` = its first 40
+    * chars), then IEND. CRCs are deterministic zeros: extractors skip
+    * them by length arithmetic, exactly like real metadata tools.
+    * Non-3rd docs are raw text (no container) — the stub-decoder
+    * path. Closed-form truth both engines can check.
+    */
+  def mediaText(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val w = col("doc_id") % 2000 + 16
+    val h = col("doc_id") % 1333 + 16
+    def tExt(kwHex: String, kwLen: Int, v: org.apache.spark.sql.Column) = concat(
+      lpad(hex(length(v) + lit(kwLen + 1)), 8, "0"),
+      lit("74455874"), lit(kwHex), lit("00"),
+      hex(encode(v, "UTF-8")), lit("00000000"))
+    val png = unhex(concat(
+      lit("89504E470D0A1A0A"), lit("0000000D49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("0806000000"), lit("00000000"),
+      tExt("5469746C65", 5, col("source")), // "Title"
+      tExt("436F6D6D656E74", 7, substring(col("text"), 1, 40)), // "Comment"
+      lit("0000000049454E4400000000")))
+    base.select(col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, png)
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  // NOTE: no line here may BEGIN with "||" (the mediaHeadersSql rule)
+  val mediaTextSql: String =
+    """mediat AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      unhex('89504E470D0A1A0A' || '0000000D49484452' ||
+      |            lpad(hex(16 + doc_id % 2000), 8, '0') ||
+      |            lpad(hex(16 + doc_id % 1333), 8, '0') ||
+      |            '0806000000' || '00000000' ||
+      |            lpad(hex(6 + len(source)), 8, '0') ||
+      |            '74455874' || '5469746C65' || '00' ||
+      |            hex(source) || '00000000' ||
+      |            lpad(hex(8 + len(substr(text, 1, 40))), 8, '0') ||
+      |            '74455874' || '436F6D6D656E74' || '00' ||
+      |            hex(substr(text, 1, 40)) || '00000000' ||
+      |            '0000000049454E4400000000')
+      |    ELSE encode(text) END AS payload
+      |  FROM documents
+      |)""".stripMargin
+
   /** Media corpus with planted CROPS — the [[mediaAug]] sibling for
     * the crop-robust tiled detector ([[graft.operators.MediaCrop]]):
     * every 9th doc also appears with its first 15% removed (front
