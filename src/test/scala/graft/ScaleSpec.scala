@@ -263,6 +263,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(reliable == local && reliable.nonEmpty)
   }
 
+  test("heavy-family count laws are exactly linear under distinct-replica growth") {
+    // the deterministic half of the scaling-exponent story: growing
+    // the CORPUS (not the clone clusters) multiplies minhash pairs and
+    // graph nodes exactly, and leaves the fixed-query IVF result alone
+    val p1 = ScaleExponents.minhashAt(spark, sf, 1)
+    val p3 = ScaleExponents.minhashAt(spark, sf, 3)
+    assert(p3 == 3 * p1, s"minhash pairs must scale x3: $p1 -> $p3")
+    val g1 = ScaleExponents.pagerankAt(spark, sf, 1)
+    val g3 = ScaleExponents.pagerankAt(spark, sf, 3)
+    assert(g3 == 3 * g1, s"graph nodes must scale x3: $g1 -> $g3")
+    val i1 = ScaleExponents.ivfAt(spark, sf, 1)
+    val i3 = ScaleExponents.ivfAt(spark, sf, 3)
+    assert(i3 == i1, s"fixed-query IVF result must not grow: $i1 -> $i3")
+  }
+
+  test("heavy-family wall-clock exponents stay sub-superlinear (load-permitting)") {
+    // the measured half: ln(t_hi/t_lo)/ln(m_hi/m_lo) over an 8x corpus
+    // span. At sf0.1 quiet the three families measure 0.60 / 0.29 /
+    // 0.67 (fixed overhead dominates at toy scale — the law only needs
+    // to NOT bend super-linear). Gate is generous (1.35) because the
+    // suite may run under load; on a loaded machine the test cancels
+    // rather than flakes (timing evidence is meaningless there).
+    val load = scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    val cpus = Runtime.getRuntime.availableProcessors
+    assume(load < cpus / 2.0, s"machine loaded ($load on $cpus cpus); timing law not measurable")
+    ScaleExponents.families.foreach { case (name, fam) =>
+      val (tLo, tHi, e, _, _) = ScaleExponents.measure(spark, sf, fam, 2, 8)
+      assert(e < 1.35,
+        s"$name scales super-linearly: exp=$e ($tLo s @2x -> $tHi s @8x)")
+    }
+  }
+
   test("streaming dedup keeps first copy per hash across batches") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L
