@@ -126,10 +126,11 @@ object Tables {
     * (SOI, a variable-length COM segment of `doc_id % 7` filler bytes
     * so no fixed SOF offset exists, every 5th-ish padded with two
     * 0xFF fill bytes before SOF per ITU T.81 B.1.1.2, then SOF0 or
-    * SOF2 alternating),
-    * the rest raw text (no container). Width/height are deterministic
-    * functions of doc_id, so the parse has a closed-form truth both
-    * engines can check.
+    * SOF2 alternating), every 6th-ish a GIF89a (logical-screen dims as
+    * LITTLE-endian u16 at fixed offsets — the opposite byte order of
+    * PNG/JPEG, which the asymmetric w/h catch), the rest raw text (no
+    * container). Width/height are deterministic functions of doc_id,
+    * so the parse has a closed-form truth both engines can check.
     */
   def mediaHeaders(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
@@ -149,9 +150,16 @@ object Tables {
       when(col("doc_id") % 2 === 0, lit("FFC0")).otherwise(lit("FFC2")),
       lit("001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"))),
       encode(col("text"), "UTF-8"))
+    // LE u16: lpad hex gives BE nibble pairs; swap them
+    def le16(v: org.apache.spark.sql.Column) = concat(
+      substring(lpad(hex(v), 4, "0"), 3, 2),
+      substring(lpad(hex(v), 4, "0"), 1, 2))
+    val gif = concat(unhex(concat(lit("474946383961"), le16(w), le16(h))),
+      encode(col("text"), "UTF-8"))
     base.select(col("doc_id").as("media_id"),
       when(col("doc_id") % 3 === 0, png)
         .when(col("doc_id") % 3 === 1, jpeg)
+        .when(col("doc_id") % 6 === 2, gif)
         .otherwise(encode(col("text"), "UTF-8")).as("payload"))
   }
 
@@ -174,6 +182,13 @@ object Tables {
       |              CASE WHEN doc_id % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END ||
       |              '001108' || lpad(hex(16 + doc_id % 1333), 4, '0') ||
       |              lpad(hex(16 + doc_id % 2000), 4, '0')) ||
+      |        encode(text)
+      |      WHEN doc_id % 6 = 2 THEN
+      |        unhex('474946383961' ||
+      |              substr(lpad(hex(16 + doc_id % 2000), 4, '0'), 3, 2) ||
+      |              substr(lpad(hex(16 + doc_id % 2000), 4, '0'), 1, 2) ||
+      |              substr(lpad(hex(16 + doc_id % 1333), 4, '0'), 3, 2) ||
+      |              substr(lpad(hex(16 + doc_id % 1333), 4, '0'), 1, 2)) ||
       |        encode(text)
       |      ELSE encode(text)
       |    END AS payload

@@ -50,6 +50,14 @@ object MediaDims {
     */
   val FmtWav = 3L
 
+  /** GIF — the fourth container rung: "GIF87a"/"GIF89a" signature,
+    * then the logical-screen width/height as LITTLE-endian u16 at
+    * fixed bytes 6–9 (GIF89a spec §18) — no walk needed, but the
+    * endianness is opposite PNG/JPEG's, which is exactly the byte
+    * order bug the fixture's asymmetric dims catch.
+    */
+  val FmtGif = 4L
+
   def dims(payload: Column): Column = toColumn(MediaDimsExpr(toExpression(payload)))
 }
 
@@ -94,6 +102,11 @@ case class MediaDimsExpr(child: Expression) extends UnaryExpression {
           p += 2 + (((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF))
         }
       }
+    } else if (n >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = (b(6) & 0xFFL) | ((b(7) & 0xFFL) << 8)
+      val h = (b(8) & 0xFFL) | ((b(9) & 0xFFL) << 8)
+      v = (MediaDims.FmtGif << 48) | (w << 24) | h
     } else if (n >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
       b(11) == 'E') {
@@ -155,6 +168,11 @@ case class MediaDimsExpr(child: Expression) extends UnaryExpression {
          |    }
          |    $p += 2 + ((($a[$p + 2] & 0xFF) << 8) | ($a[$p + 3] & 0xFF));
          |  }
+         |} else if ($n >= 10 && $a[0] == 'G' && $a[1] == 'I' && $a[2] == 'F' &&
+         |    $a[3] == '8' && ($a[4] == '7' || $a[4] == '9') && $a[5] == 'a') {
+         |  long $w = ($a[6] & 0xFFL) | (($a[7] & 0xFFL) << 8);
+         |  long $h = ($a[8] & 0xFFL) | (($a[9] & 0xFFL) << 8);
+         |  $v = (${MediaDims.FmtGif}L << 48) | ($w << 24) | $h;
          |} else if ($n >= 12 && $a[0] == 'R' && $a[1] == 'I' && $a[2] == 'F' &&
          |    $a[3] == 'F' && $a[8] == 'W' && $a[9] == 'A' && $a[10] == 'V' &&
          |    $a[11] == 'E') {

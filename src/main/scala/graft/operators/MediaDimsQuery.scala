@@ -28,6 +28,7 @@ object MediaDimsQuery {
       .select(col("media_id"),
         when(expr("shiftright(v, 48)") === MediaDims.FmtPng, "png")
           .when(expr("shiftright(v, 48)") === MediaDims.FmtJpeg, "jpeg")
+          .when(expr("shiftright(v, 48)") === MediaDims.FmtGif, "gif")
           .as("fmt"),
         when(col("v") =!= 0L, expr("shiftright(v, 24) % 16777216")).as("width"),
         when(col("v") =!= 0L, expr("v % 16777216")).as("height"))
@@ -165,11 +166,13 @@ object MediaDimsQuery {
       .withColumn("fmt",
         when(expr("shiftright(v1, 48)") === MediaDims.FmtPng, "png")
           .when(expr("shiftright(v1, 48)") === MediaDims.FmtJpeg, "jpeg")
+          .when(expr("shiftright(v1, 48)") === MediaDims.FmtGif, "gif")
           .when(expr("shiftright(v1, 48)") === MediaDims.FmtWav, "wav")
           .when(col("v2") =!= 0L, "mp4")
           .otherwise("other"))
       .withColumn("dropped",
-        when(col("fmt") === "png" || col("fmt") === "jpeg",
+        when(col("fmt") === "png" || col("fmt") === "jpeg" ||
+          col("fmt") === "gif",
           expr("shiftright(v1, 24) % 16777216 < 64 OR v1 % 16777216 < 64"))
           .when(col("fmt") === "wav",
             expr("shiftright(v1, 24) % 16777216 < 16000"))
@@ -224,6 +227,13 @@ object MediaDimsQuery {
        |  UNION ALL
        |  SELECT media_id, done_fmt, done_w, done_h
        |  FROM seg WHERE done_fmt IS NOT NULL
+       |  UNION ALL
+       |  SELECT media_id, 'gif',
+       |         ('0x' || substr(s, 15, 2) || substr(s, 13, 2))::BIGINT,
+       |         ('0x' || substr(s, 19, 2) || substr(s, 17, 2))::BIGINT
+       |  FROM hxi
+       |  WHERE n >= 10 AND substr(s, 1, 8) = '47494638'
+       |    AND substr(s, 9, 4) IN ('3761', '3961')
        |), hxa AS (
        |  SELECT media_id, hex(payload) AS s,
        |         octet_length(payload)::BIGINT AS n
@@ -406,7 +416,15 @@ object MediaDimsQuery {
        |  FROM hx
        |  WHERE n >= 24 AND substr(s, 1, 16) = '89504E470D0A1A0A'
        |    AND substr(s, 25, 8) = '49484452'
-       |), parsed AS (SELECT * FROM png UNION ALL SELECT * FROM jpeg)
+       |), gif AS (
+       |  SELECT media_id, 'gif' AS fmt,
+       |         ('0x' || substr(s, 15, 2) || substr(s, 13, 2))::BIGINT AS width,
+       |         ('0x' || substr(s, 19, 2) || substr(s, 17, 2))::BIGINT AS height
+       |  FROM hx
+       |  WHERE n >= 10 AND substr(s, 1, 8) = '47494638'
+       |    AND substr(s, 9, 4) IN ('3761', '3961')
+       |), parsed AS (SELECT * FROM png UNION ALL SELECT * FROM jpeg
+       |              UNION ALL SELECT * FROM gif)
        |SELECT m.media_id, p.fmt, p.width, p.height,
        |       CASE WHEN p.fmt IS NOT NULL
        |            THEN p.width < 64 OR p.height < 64 END AS small

@@ -94,6 +94,27 @@ class MediaDimsSpec extends AnyFunSuite {
     rows.foreach { case (id, _) => assert(got(id) == 0L, s"payload $id") }
   }
 
+  test("GIF logical-screen dims are LITTLE-endian u16 at fixed offsets") {
+    def gif(ver: Char, w: Long, h: Long, body: Array[Byte]): Array[Byte] =
+      s"GIF8${ver}a".getBytes ++
+        Array((w & 0xFF).toByte, ((w >> 8) & 0xFF).toByte,
+          (h & 0xFF).toByte, ((h >> 8) & 0xFF).toByte) ++ body
+    val got = dimsOf(Seq(
+      1L -> gif('9', 1024, 768, Array.fill(5)(3.toByte)),
+      2L -> gif('7', 320, 200, Array.empty),
+      3L -> gif('9', 80, 2, Array.empty), // asymmetric: catches a byte swap
+      4L -> "GIF8".getBytes, // truncated signature
+      5L -> gif('8', 10, 10, Array.empty))) // bad version byte
+    assert(got(1L) == packed(MediaDims.FmtGif, 1024, 768))
+    assert(got(2L) == packed(MediaDims.FmtGif, 320, 200))
+    assert(got(3L) == packed(MediaDims.FmtGif, 80, 2))
+    assert(got(4L) == 0L)
+    assert(got(5L) == 0L)
+    // interpreted == codegen
+    assert(MediaDimsExpr(Literal(gif('9', 640, 480, Array.empty)))
+      .eval(null) == packed(MediaDims.FmtGif, 640, 480))
+  }
+
   test("0xFF fill bytes padding a marker are skipped (ITU T.81 B.1.1.2)") {
     // legal padding: any number of 0xFF bytes may precede a marker code;
     // a walk that reads a fill byte as the code misparses the length

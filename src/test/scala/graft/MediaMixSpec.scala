@@ -13,10 +13,11 @@ class MediaMixSpec extends AnyFunSuite {
     .map(r => r.getString(0) -> r).toMap
 
   test("the census partitions the mixed corpus with the fixture's closed forms") {
-    assert(rows.keySet == Set("png", "jpeg", "wav", "mp4", "other"))
+    assert(rows.keySet == Set("png", "jpeg", "gif", "wav", "mp4", "other"))
     assert(rows.values.map(_.getAs[Long]("n")).sum == 3L * ids.length)
     assert(rows("png").getAs[Long]("n") == ids.count(_ % 3 == 0).toLong)
     assert(rows("jpeg").getAs[Long]("n") == ids.count(_ % 3 == 1).toLong)
+    assert(rows("gif").getAs[Long]("n") == ids.count(_ % 6 == 2).toLong)
     assert(rows("wav").getAs[Long]("n") == ids.count(_ % 2 == 0).toLong)
     assert(rows("mp4").getAs[Long]("n") == ids.count(_ % 2 == 0).toLong)
   }
@@ -26,6 +27,8 @@ class MediaMixSpec extends AnyFunSuite {
     def small(id: Long) = (16 + id % 2000) < 64 || (16 + id % 1333) < 64
     val expPng = ids.filter(_ % 3 == 0).count(small).toLong
     assert(rows("png").getAs[Long]("n_drop") == expPng)
+    val expGif = ids.filter(_ % 6 == 2).count(small).toLong
+    assert(rows("gif").getAs[Long]("n_drop") == expGif)
     // audio: rate = 8000 + (id%12)*4000 — low-fi iff id%12 < 2
     val expWav = ids.filter(_ % 2 == 0).count(id => 8000 + (id % 12) * 4000 < 16000)
     assert(rows("wav").getAs[Long]("n_drop") == expWav.toLong)
