@@ -852,6 +852,45 @@ object ExplainAudit {
         !pprInner.contains("Window") &&
         !pprInner.contains("CartesianProduct"))
 
+    // round-9 invariants
+    val rwStep = {
+      // one walk step: frontier joined against ranked edges — must be
+      // joins, never a per-node collect_list adjacency array
+      operators.RandWalk.randWalk(spark, d)
+        .queryExecution.executedPlan.toString
+    }
+    flag("rand_walk steps join ranked edges, no adjacency collect_list",
+      !rwStep.contains("collect_list"))
+
+    val cfPlan = operators.ItemCf.itemCf(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("item_cf top-k window partitions by the item (never global)",
+      "hashpartitioning\\(part".r.findFirstIn(cfPlan).isDefined &&
+        cfPlan.contains("Window"))
+
+    val q7Plan = operators.TpchMore.q7Volume(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("q7: all four dimension decorations broadcast; one SMJ/shuffle max",
+      q7Plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4 &&
+        q7Plan.linesIterator.count(_.contains("SortMergeJoin")) <= 1)
+
+    val benfPlan = operators.Benford.benford(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("benford: corpus folded before the lattice (no scan downstream)",
+      !benfPlan.contains("FileScan") && !benfPlan.contains("SortMergeJoin"))
+
+    val knPlan = operators.KnSmooth.knSmooth(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("kn_smooth: top-k is TakeOrdered, supports broadcast back",
+      knPlan.contains("TakeOrderedAndProject") &&
+        knPlan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2)
+
+    val survPlan = operators.Survival.survival(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("survival: cumulative windows ride the non-foldable grid key",
+      survPlan.contains("gridkey()") &&
+        survPlan.linesIterator.count(_.contains("FileScan")) <= 1)
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)

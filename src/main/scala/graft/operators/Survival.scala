@@ -45,6 +45,7 @@ object Survival {
       .select(expr("(last_us - first_us) div 86400000000").as("t_days"),
         (col("last_us") >= col("hx") - lit(CensorDays * DayUs))
           .cast("long").as("censored"))
+      .localCheckpoint() // read twice: the day-grid fold + the total
     val byT = users.groupBy(col("t_days"))
       .agg(count(lit(1)).cast("long").as("n_at_t"),
         sum(lit(1L) - col("censored")).cast("long").as("d_churn"),
