@@ -891,6 +891,29 @@ object ExplainAudit {
       survPlan.contains("gridkey()") &&
         survPlan.linesIterator.count(_.contains("FileScan")) <= 1)
 
+    val q3Plan = operators.TpchMore.q3Priority(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("q3: both date filters pushed to their scans, top-k is TakeOrdered",
+      "PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate".r
+        .findFirstIn(q3Plan).isDefined &&
+        "PushedFilters: \\[[^\\]]*LessThan\\(o_orderdate".r
+          .findFirstIn(q3Plan).isDefined &&
+        q3Plan.contains("TakeOrderedAndProject"))
+
+    val q5Plan = operators.TpchMore.q5Local(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("q5: snowflake dims all broadcast, lineitem-orders the one big join",
+      q5Plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3 &&
+        q5Plan.linesIterator.count(_.contains("SortMergeJoin")) <= 1)
+
+    val q18Plan = operators.TpchMore.q18Large(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("q18: per-order qty agg is partial (map-side combine), winners " +
+      "join back without a second lineitem shuffle of raw rows",
+      q18Plan.contains("partial_sum") &&
+        q18Plan.linesIterator.count(_.contains("FileScan")) <= 3 &&
+        q18Plan.contains("TakeOrderedAndProject"))
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)

@@ -5,10 +5,9 @@ import graft.functions.TextSim
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Two more classic decision-support shapes over the TPC-H-ish
-  * tables — the cross-nation trade flow (Q7) and the promo revenue
-  * share (Q14), chosen because each exercises a join/aggregate shape
-  * the analytics core didn't yet pin with an oracle:
+/** Classic decision-support shapes over the TPC-H-ish tables, chosen
+  * because each exercises a join/aggregate shape the analytics core
+  * didn't yet pin with an oracle:
   *
   *  - q_tpch_q7: a LARGE⋈LARGE join (lineitem⋈orders on orderkey)
   *    feeding TWO independent dimension decorations (supplier→nation
@@ -17,6 +16,20 @@ import org.apache.spark.sql.functions._
   *  - q_tpch_q14: a conditional-aggregate ratio (promo share) whose
   *    numerator and denominator ride ONE pass — the two-scans-fused
   *    discipline.
+  *  - q_tpch_q3: selective filters on BOTH fact-join sides (orders
+  *    before the date, lineitems shipped after it) that must reach
+  *    their parquet scans as PushedFilters BEFORE the big join, then
+  *    a high-cardinality group (per order) cut to top-k by
+  *    TakeOrdered — the no-global-sort discipline.
+  *  - q_tpch_q5: the snowflake chain (region→nation→{customer,
+  *    supplier}) with the Q5 twist that the SAME nation must serve
+  *    the customer AND the supplier — an extra equality that prunes
+  *    the join output an order of magnitude; dims broadcast, the
+  *    only shuffle is lineitem⋈orders.
+  *  - q_tpch_q18: a HAVING over a fact-sized groupBy (per-order
+  *    quantity mass) SEMI-filtering the same fact — the
+  *    aggregate-then-rejoin shape where the winner list must stay
+  *    small (broadcast back) instead of re-shuffling the fact.
   *
   * Revenue is the house exact form: decimal(20,6) sums (partial-agg,
   * map-side) rounded once at the edge (r4/r6 — both engines share the
@@ -94,6 +107,128 @@ object TpchMore {
         col("promo_revenue") / col("total_revenue")))
       .orderBy(col("ship_month"))
   }
+
+  /** q_tpch_q3 — shipping-priority: top 10 unshipped-revenue orders
+    * for one market segment (no o_shippriority in this schema —
+    * o_orderpriority rides instead).
+    */
+  def q3Priority(s: SparkSession, d: String): DataFrame = {
+    val cu = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1997-07-01").cast("timestamp"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(TextSim.r4(TextSim.dsum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+  }
+
+  val q3PrioritySql: String =
+    s"""SELECT o_orderkey,
+       |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       |       o_orderpriority,
+       |       ${TextSim.r4Sql(TextSim.dsumSql("l_extendedprice * (1 - l_discount)"))} AS revenue
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1997-07-01'
+       |  AND l_shipdate > TIMESTAMP '1997-07-01'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** q_tpch_q5 — local-supplier volume: revenue per ASIA nation where
+    * the customer and the supplier share that nation.
+    */
+  def q5Local(s: SparkSession, d: String): DataFrame = {
+    val asia = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("nk"), col("n_name"))
+    val cu = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val su = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asia), col("s_nationkey") === col("nk"))
+      .groupBy(col("n_name"))
+      .agg(TextSim.r4(TextSim.dsum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).cast("long").as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5LocalSql: String =
+    s"""SELECT n_name,
+       |       ${TextSim.r4Sql(TextSim.dsumSql("l_extendedprice * (1 - l_discount)"))} AS revenue,
+       |       count(*)::BIGINT AS n_items
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |JOIN region ON r_regionkey = n_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** q_tpch_q18 — large-volume customers: orders whose total quantity
+    * clears [[Q18MinQty]], decorated with their customer.
+    */
+  val Q18MinQty = 300L
+
+  def q18Large(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > Q18MinQty)
+    val cu = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    big.join(Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice")),
+      col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        TextSim.r4(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeSql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       |       ${TextSim.r4Sql("o_totalprice")} AS o_totalprice,
+       |       total_qty
+       |FROM (
+       |  SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum(l_quantity)::BIGINT > $Q18MinQty
+       |) big
+       |JOIN orders ON o_orderkey = big.l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 100""".stripMargin
 
   val q14PromoSql: String = {
     val promo = TextSim.r4Sql(TextSim.dsumSql(
