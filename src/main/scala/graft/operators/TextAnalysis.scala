@@ -57,7 +57,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val langIdSql: String = {
+  /** The lang-ID scored-frame CTEs + final SELECT body, WITHOUT the
+    * presentation sort — shared verbatim by langIdSql and the
+    * [[Kappa]] oracle (one definition of the prediction, the
+    * nbClassifySql sharing discipline).
+    */
+  val langPredSql: String = {
     val h = Profiles.map { case (l, ws) => s"${hitsSql("t", ws)} AS ${l}_hits" }
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -73,9 +78,10 @@ object TextAnalysis {
        |            WHEN fr_hits >= es_hits THEN 'fr'
        |            ELSE 'es' END AS pred_lang,
        |       ${TextSim.r6Sql("en_hits::DOUBLE / tok_count")} AS en_ratio
-       |FROM scored
-       |ORDER BY doc_id""".stripMargin
+       |FROM scored""".stripMargin
   }
+
+  val langIdSql: String = s"$langPredSql\nORDER BY doc_id"
 
   /** q_quality — heuristic quality score: token count, mean word
     * length, punctuation ratio, stopword ratio, bounded composite.
