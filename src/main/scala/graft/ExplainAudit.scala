@@ -914,6 +914,33 @@ object ExplainAudit {
         q18Plan.linesIterator.count(_.contains("FileScan")) <= 3 &&
         q18Plan.contains("TakeOrderedAndProject"))
 
+    val skyPlan = operators.Skyline.skyline(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("skyline: segment-partitioned window, frontier broadcast back, " +
+      "no sort-merge join",
+      !skyPlan.contains("SortMergeJoin") &&
+        skyPlan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2)
+
+    val mwPlan = operators.MannWhitney.mannWhitney(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("mann-whitney: one events scan, grid folds, no join at all",
+      mwPlan.linesIterator.count(_.contains("FileScan")) <= 1 &&
+        !mwPlan.contains("Join"))
+
+    val bhPlan = operators.BhFdr.bhFdr(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("bh_fdr: corpus folds behind the checkpoint barrier " +
+      "(zero file scans downstream), perm grid broadcast",
+      !bhPlan.contains("FileScan") &&
+        bhPlan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
+
+    val tePlan = operators.TargetEncode.targetEncode(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("target_encode: bucket stats broadcast back onto the scan, " +
+      "no second shuffle of raw rows",
+      !tePlan.contains("SortMergeJoin") &&
+        tePlan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 1)
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)

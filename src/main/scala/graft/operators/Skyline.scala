@@ -63,10 +63,12 @@ object Skyline {
     val kept = compact
       .withColumn("m1", max(col("y")).over(w))
       .filter(col("m1").isNull || col("y") > col("m1"))
-    // multiplicity = points AT the frontier coordinate (same x AND y)
-    kept.join(pts.groupBy(col("segment"), col("x"), col("y"))
-      .agg(count(lit(1)).cast("long").as("n_points")),
-      Seq("segment", "x", "y"))
+    // multiplicity = points AT the frontier coordinate (same x AND y);
+    // the frontier is tiny — broadcast it past the fact-sized fold
+    pts.groupBy(col("segment"), col("x"), col("y"))
+      .agg(count(lit(1)).cast("long").as("n_points"))
+      .join(broadcast(kept.select(col("segment"), col("x"), col("y"))),
+        Seq("segment", "x", "y"))
       .select(col("segment"), col("x"), col("y"), col("n_points"))
       .orderBy(col("segment"), col("x").desc)
   }
