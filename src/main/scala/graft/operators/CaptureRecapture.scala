@@ -59,10 +59,12 @@ object CaptureRecapture {
   }
 
   val captureRecaptureSql: String =
-    s"""WITH mh AS (SELECT a_id, b_id FROM (${Dedup.minhashSql.linesIterator
-      .mkString(" ")}) x),
-       |sh AS (SELECT a_id, b_id FROM (${Dedup.simhashSql.linesIterator
-      .mkString(" ")}) y),
+    s"""WITH mh AS (SELECT a_id, b_id FROM (
+       |${Dedup.minhashSql.linesIterator.map("  " + _).mkString("\n")}
+       |) x),
+       |sh AS (SELECT a_id, b_id FROM (
+       |${Dedup.simhashSql.linesIterator.map("  " + _).mkString("\n")}
+       |) y),
        |counts AS (
        |  SELECT (SELECT count(*) FROM mh)::BIGINT AS n_minhash,
        |         (SELECT count(*) FROM sh)::BIGINT AS n_simhash,

@@ -67,11 +67,17 @@ object Keyness {
       .crossJoin(broadcast(vTot))
       .withColumn("yr", col("ty") - col("y"))
       .withColumn("nr", col("nn") - col("ns"))
+      // ln-argument guard: in the degenerate single-vocab-term case
+      // (v=1, ns=y) the prior argument hits 0 — Spark log(0) NULLs
+      // while DuckDB ln(0) is -inf; both engines must report the same
+      // guarded NULL instead of diverging
       .withColumn("delta_micro",
-        (lnMicro(col("y") + 1L) -
-          lnMicro(col("ns") + col("v") - col("y") - 1L)) -
-          (lnMicro(col("yr") + 1L) -
-            lnMicro(col("nr") + col("v") - col("yr") - 1L)))
+        when(col("ns") + col("v") - col("y") - 1L > 0L &&
+          col("nr") + col("v") - col("yr") - 1L > 0L,
+          (lnMicro(col("y") + 1L) -
+            lnMicro(col("ns") + col("v") - col("y") - 1L)) -
+            (lnMicro(col("yr") + 1L) -
+              lnMicro(col("nr") + col("v") - col("yr") - 1L))))
       .withColumn("z", TextSim.r6(
         (col("delta_micro").cast("double") / lit(1e6)) /
           sqrt(lit(1.0) / (col("y") + 1L).cast("double") +
@@ -104,10 +110,12 @@ object Keyness {
        |), scored AS (
        |  SELECT tf.source, tf.term, tf.y, (vocab.ty - tf.y)::BIGINT AS yr,
        |         srctot.ns, (vtot.nn - srctot.ns)::BIGINT AS nr, vtot.v,
-       |         (${ln("tf.y + 1")} - ${ln("srctot.ns + vtot.v - tf.y - 1")})
+       |         CASE WHEN srctot.ns + vtot.v - tf.y - 1 > 0
+       |                   AND vtot.nn - srctot.ns + vtot.v - (vocab.ty - tf.y) - 1 > 0
+       |           THEN (${ln("tf.y + 1")} - ${ln("srctot.ns + vtot.v - tf.y - 1")})
        |           - (${ln("vocab.ty - tf.y + 1")}
        |              - ${ln("vtot.nn - srctot.ns + vtot.v - (vocab.ty - tf.y) - 1")})
-       |           AS delta_micro
+       |           END AS delta_micro
        |  FROM tf
        |  JOIN vocab USING (term)
        |  JOIN srctot USING (source)

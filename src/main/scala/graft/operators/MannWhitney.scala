@@ -64,12 +64,16 @@ object MannWhitney {
     ranked.agg(
       sum(col("c")).cast("long").as("n"),
       sum(col("ca")).cast("long").as("n_a"),
-      sum(col("ca") * col("r2")).cast("long").as("r2a"),
+      // decimal(38,0) fold: r2a ~ 2n^2 — a raw BIGINT sum would wrap
+      // silently in Spark past ~2e9 users while DuckDB's HUGEINT errs
+      // loudly; fold exact on decimal (the varnum discipline), cast at
+      // the readout where u_x2 ~ n^2/4 is the documented bound
+      sum(col("ca").cast("decimal(38,0)") * col("r2")).as("r2a"),
       sum(col("c") * col("c") * col("c") - col("c")).cast("long").as("ties"))
       .select(
         col("n_a"),
         (col("n") - col("n_a")).as("n_b"),
-        (col("r2a") - col("n_a") * (col("n_a") + 1L)).as("u_x2"),
+        (col("r2a") - col("n_a") * (col("n_a") + 1L)).cast("long").as("u_x2"),
         col("ties").as("tie_term"),
         col("n"))
       .withColumn("varnum",
@@ -102,7 +106,7 @@ object MannWhitney {
        |  FROM grid
        |), folded AS (
        |  SELECT sum(c)::BIGINT AS n, sum(ca)::BIGINT AS n_a,
-       |         sum(ca * (2 * below + c + 1))::BIGINT AS r2a,
+       |         sum(ca::HUGEINT * (2 * below + c + 1)) AS r2a,
        |         sum(c * c * c - c)::BIGINT AS ties
        |  FROM ranked
        |), stats AS (

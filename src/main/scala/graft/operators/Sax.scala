@@ -74,7 +74,10 @@ object Sax {
       .withColumn("n", count(lit(1)).over(all))
       .filter((1 until Alphabet).map(k =>
         col("rk") === expr(s"(n * $k) div $Alphabet")).reduce(_ || _))
-      .select(col("paa_micro").as("bp"))
+      // distinct: tied paa_micro blocks can land 2 ranks on one value;
+      // without dedup the symbol count would skip a letter (a->c) and
+      // silently shrink the effective alphabet
+      .select(col("paa_micro").as("bp")).distinct()
     val syms = paa.crossJoin(broadcast(bps))
       .groupBy(col("event_type"), col("f"), col("paa_micro"))
       .agg(sum((col("paa_micro") > col("bp")).cast("long")).as("sym"))
@@ -112,7 +115,7 @@ object Sax {
        |), nstat AS (
        |  SELECT count(*)::BIGINT AS n FROM paa
        |), bps AS (
-       |  SELECT paa_micro AS bp
+       |  SELECT DISTINCT paa_micro AS bp
        |  FROM (SELECT paa_micro, row_number() OVER (ORDER BY paa_micro,
        |          event_type, f) AS rk FROM paa)
        |  CROSS JOIN nstat
