@@ -947,4 +947,106 @@ object Ann {
       .toDF("query_id", "rank", "vec_id", "cos_sim", "mmr_score")
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** MMR picks served per query (< shortlist depth so the diversity
+    * term actually bites).
+    */
+  val MmrK = 5
+
+  /** The MMR trade-off weight — relevance 0.7, diversity (1 − 0.7). */
+  val MmrLambda = 0.7
+
+  /** q_mmr_rerank — [[mmrRerank]] as a hash-checked query: brute
+    * shortlist (depth [[TopK]], query set vec_id % 100 = 0) re-ranked
+    * to [[MmrK]] diverse picks at λ = [[MmrLambda]]. The greedy is
+    * deterministic end-to-end (r6-rounded similarities, m-desc/vec_id
+    * tie rule), so the oracle mirrors it exactly by unrolling the
+    * [[MmrK]] sequential picks as CTE stages — each stage recomputes
+    * every unpicked candidate's max-similarity-to-picked from the
+    * same r6-rounded pairwise-sim frame and takes the same argmax.
+    * The float fold order matches bit-for-bit: the Scala greedy
+    * accumulates dot/na/nb in index order exactly as the oracle's
+    * list_sum comprehensions do.
+    *
+    * Scale: shortlist depth bounds the per-query state (depth·dim
+    * floats inside one mapGroups group); the candidate fetch joins
+    * |shortlist| rows, never the corpus — the [[rerank]] cost class.
+    */
+  def mmrServed(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val shortlist = topKNeighbors(s, e, e.filter(col("vec_id") % 100 === 0), TopK)
+    mmrRerank(s, e, shortlist, MmrK, MmrLambda)
+  }
+
+  val mmrServedSql: String = {
+    // (1 - λ) computed IN DOUBLE like the Scala greedy's `1 - lambda`
+    // (0.30000000000000004, not decimal 0.3)
+    def mOf(rel: String, dv: String) = graft.functions.TextSim.r6Sql(
+      s"$MmrLambda::DOUBLE * $rel - (1::DOUBLE - $MmrLambda::DOUBLE) * ($dv)")
+    val pairSim = graft.functions.TextSim.r6Sql(
+      s"${dotSql("a.embedding", "b.embedding")} / " +
+        s"(sqrt(${dotSql("a.embedding", "a.embedding")}) * " +
+        s"sqrt(${dotSql("b.embedding", "b.embedding")}))")
+    val steps = (2 to MmrK).map { i =>
+      s"""d$i AS (
+         |  SELECT c.query_id, c.vec_id, c.cos_sim, coalesce(max(ps.sim), 0.0) AS dv
+         |  FROM cand c
+         |  LEFT JOIN (SELECT p.query_id, p.a_id, p.sim FROM psim p
+         |             JOIN s${i - 1} s ON s.query_id = p.query_id AND s.vec_id = p.b_id) ps
+         |    ON ps.query_id = c.query_id AND ps.a_id = c.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM s${i - 1} s2
+         |                    WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id, c.cos_sim
+         |), p$i AS (
+         |  SELECT query_id, vec_id, cos_sim, m, $i AS rank FROM (
+         |    SELECT query_id, vec_id, cos_sim, m,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY m DESC, vec_id) AS rn
+         |    FROM (SELECT query_id, vec_id, cos_sim,
+         |                 ${mOf("cos_sim", "dv")} AS m FROM d$i)
+         |  ) WHERE rn = 1
+         |), s$i AS (
+         |  SELECT query_id, vec_id FROM s${i - 1}
+         |  UNION ALL SELECT query_id, vec_id FROM p$i
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (1 to MmrK).map(i => s"SELECT * FROM p$i").mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM e WHERE vec_id % 100 = 0
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         ${cosineSql("q.q_emb", "q.q_nrm", "e.embedding", "e.nrm")} AS cos_sim
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+       |), shortlist AS (
+       |  SELECT query_id, vec_id, cos_sim FROM (
+       |    SELECT query_id, vec_id, cos_sim,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, vec_id) AS rank
+       |    FROM scored
+       |  ) WHERE rank <= $TopK
+       |), cand AS MATERIALIZED (
+       |  SELECT sl.query_id, sl.vec_id, sl.cos_sim, e.embedding
+       |  FROM shortlist sl JOIN e ON e.vec_id = sl.vec_id
+       |), psim AS MATERIALIZED (
+       |  SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id, $pairSim AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+       |), p1 AS (
+       |  SELECT query_id, vec_id, cos_sim, m, 1 AS rank FROM (
+       |    SELECT query_id, vec_id, cos_sim, m,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY m DESC, vec_id) AS rn
+       |    FROM (SELECT query_id, vec_id, cos_sim,
+       |                 ${mOf("cos_sim", "0.0::DOUBLE")} AS m FROM cand)
+       |  ) WHERE rn = 1
+       |), s1 AS (
+       |  SELECT query_id, vec_id FROM p1
+       |), $steps
+       |SELECT query_id, rank::BIGINT AS rank, vec_id, cos_sim, m AS mmr_score
+       |FROM ($union)
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

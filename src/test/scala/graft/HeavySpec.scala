@@ -84,4 +84,23 @@ class HeavySpec extends AnyFunSuite {
     val s = Heavy.fit(Seq.empty[String].toDF("g"), "g", k = 8)
     assert(s.total == 0 && s.counters.isEmpty && s.estimate("x") == 0)
   }
+
+  test("q_heavy_topk served census equals the exact census (exact regime)") {
+    val got = graft.operators.HeavyTopK.heavyTopK(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val toks = Tables.documents(spark, SparkTestSession.sf)
+      .select(explode(TextSim.tokens(col("text"))).as("term"))
+    val truth = toks.groupBy("term").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    val n = truth.map(_._2).sum
+    assert(got.length == graft.operators.HeavyTopK.TopN)
+    got.zip(truth.take(graft.operators.HeavyTopK.TopN)).zipWithIndex.foreach {
+      case (((rank, term, est, nTotal, cSum, under), (tTerm, tCount)), i) =>
+        assert(rank == i + 1)
+        assert(term == tTerm && est == tCount, s"rank ${i + 1}")
+        assert(nTotal == n && cSum == n && under == 0L)
+    }
+  }
 }

@@ -106,4 +106,25 @@ class MmrSpec extends AnyFunSuite {
     assert(ids.size == ids.distinct.size)
     assert(ids.toSet == picks(shortlist).toSet)
   }
+
+  test("q_mmr_rerank served query: MmrK distinct shortlist picks, rank-1 = relevance top") {
+    val vectors = Tables.embeddings(spark, sf)
+    val queries = vectors.filter(col("vec_id") % 100 === 0)
+    val sl = Ann.topKNeighbors(spark, vectors, queries, k = Ann.TopK)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val served = Ann.mmrServed(spark, sf)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(served.keySet == sl.keySet)
+    served.foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to Ann.MmrK).toSeq, s"query $q ranks")
+      assert(byRank.map(_._3).distinct.length == Ann.MmrK, s"query $q dup pick")
+      val slIds = sl(q).map(_._3).toSet
+      assert(byRank.forall(r => slIds(r._3)), s"query $q pick outside shortlist")
+      // first pick is pure λ-scaled relevance = the shortlist's top hit
+      assert(byRank.head._3 == sl(q).minBy(_._2)._3, s"query $q rank-1")
+    }
+  }
 }
