@@ -223,8 +223,21 @@ object Tables {
       tExt("5469746C65", 5, col("source")), // "Title"
       tExt("436F6D6D656E74", 7, substring(col("text"), 1, 40)), // "Comment"
       lit("0000000049454E4400000000")))
+    // JPEG rung: ITU T.81 COM (0xFFFE) comment segments — the segment
+    // real tools (exiftool, jhead) read text from; every 5th-ish one
+    // carries B.1.1.2 fill bytes before the second COM so a walk that
+    // can't skip padding FFs misses it
+    def com(v: org.apache.spark.sql.Column) = concat(
+      lit("FFFE"), lpad(hex(length(v) + 2), 4, "0"), hex(encode(v, "UTF-8")))
+    val jpeg = unhex(concat(
+      lit("FFD8"),
+      com(concat(lit("Title="), col("source"))),
+      when(col("doc_id") % 5 === 1, lit("FFFF")).otherwise(lit("")),
+      com(concat(lit("Comment="), substring(col("text"), 1, 40))),
+      lit("FFD9")))
     base.select(col("doc_id").as("media_id"),
       when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, jpeg)
         .otherwise(encode(col("text"), "UTF-8")).as("payload"))
   }
 
@@ -244,6 +257,14 @@ object Tables {
       |            '74455874' || '436F6D6D656E74' || '00' ||
       |            hex(substr(text, 1, 40)) || '00000000' ||
       |            '0000000049454E4400000000')
+      |    WHEN doc_id % 3 = 1 THEN
+      |      unhex('FFD8' ||
+      |            'FFFE' || lpad(hex(8 + len(source)), 4, '0') ||
+      |            hex('Title=' || source) ||
+      |            CASE WHEN doc_id % 5 = 1 THEN 'FFFF' ELSE '' END ||
+      |            'FFFE' || lpad(hex(10 + len(substr(text, 1, 40))), 4, '0') ||
+      |            hex('Comment=' || substr(text, 1, 40)) ||
+      |            'FFD9')
       |    ELSE encode(text) END AS payload
       |  FROM documents
       |)""".stripMargin

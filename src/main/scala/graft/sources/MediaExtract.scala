@@ -72,6 +72,49 @@ object MediaExtract {
     if (out.isEmpty) None else Some(out.mkString("; "))
   }
 
+  /** REAL extraction, second container family: text carried in JPEG
+    * COM segments (ITU T.81 B.2.4.5 — marker 0xFFFE, 2-byte
+    * big-endian length INCLUDING the length field, then comment
+    * bytes). Walks the marker chain from SOI: any number of B.1.1.2
+    * fill bytes (0xFF) may pad a marker and are skipped one at a
+    * time; standalone markers (TEM, RSTn) carry no length; the walk
+    * stops at EOI or SOS (entropy-coded data follows SOS — metadata
+    * extractors never decode it) and at any truncation (a segment
+    * whose declared length runs past the payload is skipped, the
+    * walk ends at the buffer edge — the 100 TB garbage-tolerance
+    * rule, same as [[decodePngText]]). NULs render as '=' (the PNG
+    * keyword convention, applied uniformly). None when no COM text.
+    */
+  def decodeJpegText(p: Array[Byte]): Option[String] = {
+    if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8)
+      return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 2
+    var done = false
+    while (!done && i + 2 <= p.length && (p(i) & 0xFF) == 0xFF) {
+      val m = p(i + 1) & 0xFF
+      if (m == 0xFF) i += 1 // fill byte
+      else if (m == 0xD9 || m == 0xDA) done = true // EOI / SOS
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone
+      else if (i + 4 <= p.length) {
+        val ln = ((p(i + 2) & 0xFF) << 8) | (p(i + 3) & 0xFF)
+        if (m == 0xFE && ln >= 2 && i + 2 + ln <= p.length) {
+          val data = p.slice(i + 4, i + 2 + ln)
+          out += data.map(b => if (b == 0) '=' else (b & 0xFF).toChar).mkString
+        }
+        i += 2 + ln
+      } else done = true
+    }
+    if (out.isEmpty) None else Some(out.mkString("; "))
+  }
+
+  /** Container-text extraction across every real rung (PNG tEXt,
+    * JPEG COM) — the single entry [[extract]] consults before
+    * falling back to the model stub.
+    */
+  def decodeContainerText(p: Array[Byte]): Option[String] =
+    decodePngText(p).orElse(decodeJpegText(p))
+
   /** Records per decoder invocation (reference: one call per file). */
   val BatchSize = 16
 
@@ -98,7 +141,7 @@ object MediaExtract {
         // one model call per batch would happen here for the rows the
         // real container extractor can't serve
         batch.map(r => ExtractedText(r.doc_id, r.kind, r.payload.length.toLong,
-          batch.size, decodePngText(r.payload).getOrElse(decodeStub(r))))
+          batch.size, decodeContainerText(r.payload).getOrElse(decodeStub(r))))
       }
     }
   }
@@ -117,19 +160,29 @@ object MediaExtract {
     */
   def mediaExtract(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     implicit val enc = Encoders.product[MediaRecord]
+    // kind carries the sniffed CONTAINER ('png'/'jpeg'/'text') through
+    // the extraction batch; the presentation projects it back to the
+    // modality + a container census column (the per-rung count the mix
+    // report rolls up)
     val recs = Tables.mediaText(s, d)
       .select(col("media_id").as("doc_id"),
-        when(substring(hex(col("payload")), 1, 16) === "89504E470D0A1A0A",
-          "image").otherwise("text").as("kind"),
+        when(substring(hex(col("payload")), 1, 16) === "89504E470D0A1A0A", "png")
+          .when(substring(hex(col("payload")), 1, 4) === "FFD8", "jpeg")
+          .otherwise("text").as("kind"),
         col("payload")).as[MediaRecord]
     extract(recs).toDF()
-      .select(col("doc_id").as("media_id"), col("kind"), col("n_bytes"),
-        col("text").as("extracted"))
+      .select(col("doc_id").as("media_id"),
+        when(col("kind").isin("png", "jpeg"), "image").otherwise("text")
+          .as("kind"),
+        when(col("kind").isin("png", "jpeg"), col("kind")).otherwise("none")
+          .as("container"),
+        col("n_bytes"), col("text").as("extracted"))
       .orderBy(col("media_id"))
   }
 
   val mediaExtractSql: String = {
     def byteAt(off: String) = s"('0x' || substr(x.s, 2*($off) + 1, 2))::INT"
+    val jln = "('0x' || substr(x.s, 2*w.p + 5, 4))::BIGINT"
     s"""WITH RECURSIVE ${Tables.mediaTextSql},
        |hx AS (
        |  SELECT media_id, hex(payload) AS s,
@@ -157,18 +210,56 @@ object MediaExtract {
        |), png_txt AS (
        |  SELECT media_id, string_agg(txt, '; ' ORDER BY p) AS txt
        |  FROM tx GROUP BY media_id
+       |), jw(media_id, p) AS (
+       |  SELECT media_id, 2::BIGINT
+       |  FROM hx WHERE n >= 4 AND substr(s, 1, 4) = 'FFD8'
+       |  UNION ALL
+       |  SELECT j.media_id,
+       |         CASE WHEN j.mk = 'FF' THEN j.p + 1
+       |              WHEN j.mk = '01'
+       |                   OR (j.mk >= 'D0' AND j.mk <= 'D7') THEN j.p + 2
+       |              ELSE j.p + 2 + j.ln END
+       |  FROM (SELECT w.media_id, w.p, x.n,
+       |               substr(x.s, 2*w.p + 3, 2) AS mk,
+       |               CASE WHEN w.p + 4 <= x.n
+       |                    THEN $jln ELSE 0::BIGINT END AS ln
+       |        FROM jw w JOIN hx x ON x.media_id = w.media_id
+       |        WHERE w.p + 2 <= x.n
+       |          AND substr(x.s, 2*w.p + 1, 2) = 'FF') j
+       |  WHERE j.mk <> 'D9' AND j.mk <> 'DA'
+       |    AND (j.mk = 'FF' OR j.mk = '01'
+       |         OR (j.mk >= 'D0' AND j.mk <= 'D7') OR j.p + 4 <= j.n)
+       |), jtx AS (
+       |  SELECT w.media_id, w.p,
+       |    array_to_string([CASE WHEN ${byteAt("w.p + 4 + i")} = 0 THEN '='
+       |                     ELSE chr(${byteAt("w.p + 4 + i")}) END
+       |                     for i in range(0, $jln - 2)], '') AS txt
+       |  FROM jw w JOIN hx x ON x.media_id = w.media_id
+       |  WHERE w.p + 4 <= x.n AND substr(x.s, 2*w.p + 1, 4) = 'FFFE'
+       |    AND $jln >= 2 AND w.p + 2 + $jln <= x.n
+       |), jpeg_txt AS (
+       |  SELECT media_id, string_agg(txt, '; ' ORDER BY p) AS txt
+       |  FROM jtx GROUP BY media_id
+       |), sniff AS (
+       |  SELECT media_id, s, n,
+       |         CASE WHEN substr(s, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+       |              WHEN substr(s, 1, 4) = 'FFD8' THEN 'jpeg'
+       |              ELSE 'text' END AS container
+       |  FROM hx
        |)
        |SELECT h.media_id,
-       |       CASE WHEN substr(h.s, 1, 16) = '89504E470D0A1A0A'
+       |       CASE WHEN h.container IN ('png', 'jpeg')
        |            THEN 'image' ELSE 'text' END AS kind,
+       |       CASE WHEN h.container IN ('png', 'jpeg')
+       |            THEN h.container ELSE 'none' END AS container,
        |       h.n AS n_bytes,
-       |       coalesce(t.txt,
-       |         '[extracted ' ||
-       |         CASE WHEN substr(h.s, 1, 16) = '89504E470D0A1A0A'
-       |              THEN 'image' ELSE 'text' END ||
+       |       coalesce(t.txt, j.txt,
+       |         '[extracted ' || h.container ||
        |         ' ' || h.n || 'B ' || substr(sha256(h.s), 1, 16) || ']')
        |         AS extracted
-       |FROM hx h LEFT JOIN png_txt t ON t.media_id = h.media_id
+       |FROM sniff h
+       |LEFT JOIN png_txt t ON t.media_id = h.media_id
+       |LEFT JOIN jpeg_txt j ON j.media_id = h.media_id
        |ORDER BY h.media_id""".stripMargin
   }
 
