@@ -235,7 +235,7 @@ object Dedup {
        |  WHERE $jaccardSql >= 0.8
        |)""".stripMargin
 
-  private val minhashCandSql: String =
+  private[graft] val minhashCandSql: String =
     s"""$shingledSql,
        |$minhashBodySql""".stripMargin
 

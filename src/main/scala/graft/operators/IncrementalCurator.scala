@@ -85,4 +85,75 @@ object IncrementalCurator {
       SignatureStore.liveSignatures(spark, sigTable)
         .select(col("doc_id")).distinct(),
       spark.table(labelTable))
+
+  /** Batches the e2e query slices the corpus into (mod split, so the
+    * planted dup pairs straddle batches and every ingest exercises
+    * cross-batch label merging).
+    */
+  val NumBatches = 3
+
+  /** q_curator_e2e — the WHOLE incremental curation loop as one
+    * hash-checked query (the [[IncrementalRunner.etlE2e]] recipe
+    * applied to this composition): bootstrap from batch 0, ingest the
+    * remaining [[NumBatches]]−1 batches through the real
+    * storage-backed state (catalog signature store + label table,
+    * run-unique names, dropped after the readout materializes), then
+    * emit the final keeper frame with the run counters riding every
+    * row. The oracle is the FULL ONE-SHOT recompute (the
+    * IncrementalCuratorSpec fixpoint, now hash-pinned per SF): minhash
+    * LSH pairs → transitive closure → min-id keeper per cluster — if
+    * any ingest lost a cross-batch pair, double-merged a label, or
+    * resurrected a tombstone, some row's keep_id diverges and the
+    * hash fails.
+    *
+    * Scale: each ingest is batch-sized work against broadcast-joined
+    * stored bands (nothing old×old recomputed — the weekly-corpus
+    * contract); the readout is one left join + a 2-value fold.
+    */
+  def curatorE2e(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.docsAug(s, d)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val sigT = s"cur_e2e_sigs_$tag"
+    val lblT = s"cur_e2e_labels_$tag"
+    def batch(i: Int) =
+      docs.filter(pmod(col("doc_id"), lit(NumBatches)) === i)
+    init(s, batch(0), sigT, lblT)
+    (1 until NumBatches).foreach(i => ingest(s, batch(i), sigT, lblT))
+    val cur = curated(s, sigT, lblT)
+    val counts = cur.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum((!col("is_kept")).cast("long")).cast("long").as("n_dropped"))
+    val out = cur.crossJoin(broadcast(counts))
+      .withColumn("n_batches", lit(NumBatches.toLong))
+      .select(col("doc_id"), col("keep_id"), col("is_kept"),
+        col("n_batches"), col("n_docs"), col("n_dropped"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint() // state tables drop below; the frame survives
+    Seq(sigT, s"${sigT}_del", lblT, s"${lblT}_next")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out
+  }
+
+  val curatorE2eSql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashCandSql},
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM verified
+       |), walk(id, r) AS (
+       |  SELECT doc_id, doc_id FROM docs_aug
+       |  UNION
+       |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+       |), lab AS (
+       |  SELECT id AS doc_id, min(r) AS keep_id, min(r) = id AS is_kept
+       |  FROM walk GROUP BY id
+       |), cnt AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |         sum(CASE WHEN is_kept THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+       |  FROM lab
+       |)
+       |SELECT l.doc_id, l.keep_id, l.is_kept,
+       |       $NumBatches::BIGINT AS n_batches, c.n_docs, c.n_dropped
+       |FROM lab l CROSS JOIN cnt c
+       |ORDER BY l.doc_id""".stripMargin
 }
