@@ -290,6 +290,73 @@ object Crawl {
        |SELECT node, min(depth) AS depth FROM walk
        |GROUP BY node ORDER BY depth, node LIMIT 40""".stripMargin
 
+  /** API page size of the reference's data-source query loop. */
+  val PageSize = 100L
+
+  /** q_crawl_pages — the reference's cursor-paginated page iteration
+    * (`iter_database_pages`, Notion_openai_vector_etl.py:440-466) and
+    * its data-source resolution (`get_database_data_source_ids`,
+    * :423-439) as ONE declarative frame, closing the last unmapped
+    * reference lines. Sources play databases; an md5-parity split
+    * models the API's two shapes — "modern" databases expose a
+    * `data_sources` LIST (two shards here, docs split by id parity),
+    * legacy ones fall back to the single `data_source_id` — and each
+    * data source's pages are emitted in cursor order with the
+    * [[PageSize]] pagination made explicit per row: the page's
+    * sequence number, its cursor batch, its position in the batch,
+    * and the batch's `has_more` flag (true unless the data source's
+    * LAST batch — exactly the loop-exit test of the reference).
+    *
+    * Spark-first shape: the sequential cursor loop becomes one
+    * window rank per data source (partitioned by ds_id — thousands
+    * of independent partitions at scale, no global order), the
+    * has_more flag one max-over-partition; nothing is iterative.
+    */
+  def crawlPagesQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
+    val modern = conv(substring(md5(concat(lit("ds:"), col("source"))), 1, 7),
+      16, 10).cast("long") % 2 === 0
+    val withDs = docs.withColumn("ds_id",
+      when(modern, concat(col("source"), lit("#ds"), col("doc_id") % 2))
+        .otherwise(concat(col("source"), lit("#legacy"))))
+    val w = Window.partitionBy(col("ds_id")).orderBy(col("doc_id"))
+    val all = Window.partitionBy(col("ds_id"))
+    withDs
+      .withColumn("page_seq", row_number().over(w).cast("long"))
+      .withColumn("cursor_batch", expr(s"(page_seq - 1) div $PageSize"))
+      .withColumn("pos_in_batch", expr(s"(page_seq - 1) % $PageSize"))
+      .withColumn("has_more",
+        col("cursor_batch") < expr(s"(count(1) over " +
+          s"(partition by ds_id) - 1) div $PageSize"))
+      .select(col("source").as("db_id"), col("ds_id"), col("doc_id"),
+        col("page_seq"), col("cursor_batch"), col("pos_in_batch"),
+        col("has_more"))
+      .orderBy(col("db_id"), col("ds_id"), col("page_seq"))
+  }
+
+  val crawlPagesSql: String =
+    s"""WITH withds AS (
+       |  SELECT source AS db_id, doc_id,
+       |         CASE WHEN ('0x' || substr(md5('ds:' || source), 1, 7))::BIGINT % 2 = 0
+       |              THEN source || '#ds' || (doc_id % 2)
+       |              ELSE source || '#legacy' END AS ds_id
+       |  FROM documents
+       |), seqd AS (
+       |  SELECT db_id, ds_id, doc_id,
+       |         row_number() OVER (PARTITION BY ds_id ORDER BY doc_id)::BIGINT
+       |           AS page_seq,
+       |         count(*) OVER (PARTITION BY ds_id)::BIGINT AS n_pages
+       |  FROM withds
+       |)
+       |SELECT db_id, ds_id, doc_id, page_seq,
+       |       (page_seq - 1) // $PageSize AS cursor_batch,
+       |       (page_seq - 1) % $PageSize AS pos_in_batch,
+       |       (page_seq - 1) // $PageSize < (n_pages - 1) // $PageSize
+       |         AS has_more
+       |FROM seqd
+       |ORDER BY db_id, ds_id, page_seq""".stripMargin
+
   val crawlBfsSql: String =
     s"""WITH RECURSIVE ${Tables.edgesSql},
        |walk(node, depth) AS (
