@@ -167,7 +167,7 @@ object Bench {
       BenchTrust.rowSuspect(t, spread, baseTimes.get(name))
     val retimed = scala.collection.mutable.Set[String]()
     val untrusted = scala.collection.mutable.Set[String]()
-    val results = sweep.map { case (name, fn, t, spread, ok, seg, la) =>
+    val resultsMid = sweep.map { case (name, fn, t, spread, ok, seg, la) =>
       if (ok && (contended(seg) || rowSuspect(name, t, spread))) {
         retimed += name
         val (t3, spread3, ok3) = timeMin2(name, fn)
@@ -181,6 +181,26 @@ object Bench {
         (name, tf, spf, ok, la)
       } else (name, t, spread, ok, la)
     }
+    // Tail pass (r9 brief item 5): the mid-sweep retime runs while the
+    // neighbors' GC debt is still settling — r9 stamped 12 rows that
+    // an immediate quiet re-run all cleared. Re-time every stamped row
+    // once more now that the sweep is over, and keep the stamp only
+    // for rows that fail twice ([[BenchTrust.tailMerge]], spec'd).
+    val tailCleared = scala.collection.mutable.Set[String]()
+    val results =
+      if (untrusted.isEmpty) resultsMid
+      else {
+        calibrate() // drain stragglers before the settled-load retimes
+        resultsMid.map { case row @ (name, t, spread, ok, _) =>
+          if (ok && untrusted(name)) {
+            val (t3, sp3, ok3) = timeMin2(name, picked(name))
+            val (tf, spf, still) = BenchTrust.tailMerge(
+              t, spread, t3, sp3, ok3, baseTimes.get(name))
+            if (!still) { untrusted -= name; tailCleared += name }
+            (name, tf, spf, ok, loadavg())
+          } else row
+        }
+      }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -221,7 +241,7 @@ object Bench {
     val loadPost = loadavg()
     val untrustedJson = untrusted.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val calibJson =
-      s"""{"pre_s":${"%.3f".format(calibPre)},"post_s":${"%.3f".format(calibPost)},"load_pre":${"%.2f".format(loadPre)},"load_post":${"%.2f".format(loadPost)},"quiet_probe_s":${"%.3f".format(quietProbe)},"quiet_ref_s":${baseQuiet.map("%.3f".format(_)).getOrElse("null")},"global_contended":$globalContended,"retimed_n":${retimed.size},"untrusted":$untrustedJson}"""
+      s"""{"pre_s":${"%.3f".format(calibPre)},"post_s":${"%.3f".format(calibPost)},"load_pre":${"%.2f".format(loadPre)},"load_post":${"%.2f".format(loadPost)},"quiet_probe_s":${"%.3f".format(quietProbe)},"quiet_ref_s":${baseQuiet.map("%.3f".format(_)).getOrElse("null")},"global_contended":$globalContended,"retimed_n":${retimed.size},"tail_cleared_n":${tailCleared.size},"untrusted":$untrustedJson}"""
     spark.stop()
     val sideFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE", "bench_detail.json")
     try {

@@ -102,4 +102,27 @@ object BenchTrust {
     if (baseTime.exists(b => t <= 1.1 * b)) false
     else (spread > 0.5 * t && spread > 0.4) ||
       baseTime.exists(b => t > 1.5 * b && t - b > 0.3)
+
+  /** Tail-pass merge (r10, from the r9 brief): a row's FIRST retime
+    * happens mid-sweep, while its neighbors' GC debt is still
+    * settling — the r9 artifact stamped 12 rows that an immediate
+    * quiet re-run all cleared at ≤1.42× baseline. So after the sweep
+    * ends (load settled), every still-stamped row is re-timed once
+    * more; this pure rule merges that tail measurement with the
+    * mid-sweep one (min time, min spread — every run is a full honest
+    * execution, so min never understates) and keeps the stamp ONLY
+    * for a row that fails [[rowSuspect]] on the merged number too
+    * (failed twice, in two load regimes). Returns (time, spread,
+    * stillSuspect). A failed tail run (`tailOk` false) changes
+    * nothing: the row keeps its mid-sweep number and its stamp.
+    */
+  def tailMerge(t: Double, spread: Double, tTail: Double,
+    spreadTail: Double, tailOk: Boolean,
+    baseTime: Option[Double]): (Double, Double, Boolean) =
+    if (!tailOk) (t, spread, true)
+    else {
+      val tf = math.min(t, tTail)
+      val sf = math.min(spread, spreadTail)
+      (tf, sf, rowSuspect(tf, sf, baseTime))
+    }
 }

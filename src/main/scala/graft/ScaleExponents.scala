@@ -120,7 +120,50 @@ object ScaleExponents {
     (tLo, tHi, exponent(tLo, tHi, mLo, mHi), nLo, nHi)
   }
 
+  /** REAL-SF families — the r9 verdict's top item: the same scaling
+    * laws measured on two real parquet directories (sf0.1 vs the
+    * generated sf1: real row groups, footers, partition counts)
+    * instead of in-memory replication. Each family carries its own
+    * true corpus multiplier (docs/events 10× per SF decade,
+    * embeddings 4× — the driver generator's curve). The IVF family
+    * pins the query and centroid sets to the id window present at
+    * BOTH SFs (vec_id < 2000) so only the corpus grows — the same
+    * fixed-query discipline as [[ivfAt]]. The graph families are
+    * absent deliberately: the edge fixture is SF-invariant (150
+    * nodes at every SF), so replication remains their only lever.
+    */
+  val realFamilies: Seq[(String, Double, (SparkSession, String) => Long)] =
+    Seq(
+      ("minhash_pairs", 10.0, (s, d) => operators.Dedup.minhashPairs(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))).count()),
+      ("ivf_search_fixedq", 4.0, (s, d) => {
+        val base = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("nrm", operators.Ann.norm(col("embedding")))
+        val cents = base.filter(col("vec_id") % 25 === 0 &&
+          col("vec_id") < 2000)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+            col("nrm").as("c_nrm"))
+        val queries = base.filter(col("vec_id") % 100 === 0 &&
+          col("vec_id") < 2000)
+        operators.Ann.ivfSearch(s, base, queries, cents).count()
+      }),
+      ("etl_chunks", 10.0, (s, d) => operators.Etl.chunk(s, d).count()),
+      ("sessionize", 10.0,
+        (s, d) => operators.Analytics.sessionize(s, d).count()))
+
+  /** Time one real family at both dirs; exp from the family's own m. */
+  def measureReal(s: SparkSession, dLo: String, dHi: String, m: Double,
+    fam: (SparkSession, String) => Long): (Double, Double, Double, Long, Long) = {
+    fam(s, dLo) // warm codegen/JIT once, untimed
+    s.catalog.clearCache()
+    val (tLo, nLo) = timeMin2(s)(fam(s, dLo))
+    val (tHi, nHi) = timeMin2(s)(fam(s, dHi))
+    (tLo, tHi, math.log(tHi / tLo) / math.log(m), nLo, nHi)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("real")) { mainReal(args); return }
     val mLo = args.lift(0).map(_.toInt).getOrElse(2)
     val mHi = args.lift(1).map(_.toInt).getOrElse(16)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,6 +181,31 @@ object ScaleExponents {
       f""""$name":{"t_lo_s":$tLo%.3f,"t_hi_s":$tHi%.3f,"exp":$e%.3f,"n_lo":$nLo,"n_hi":$nHi}"""
     }
     println(s"""{"m_lo":$mLo,"m_hi":$mHi,"sf":"$sfDir",${rows.mkString(",")}}""")
+    spark.stop()
+  }
+
+  /** `sbt "runMain graft.ScaleExponents real <dirLo> <dirHi>"` —
+    * real-parquet scaling laws (defaults: /root/testdata/sf0.1 vs the
+    * generated ./testdata_sf1). One JSON line, same shape as the
+    * replication mode plus each family's true multiplier.
+    */
+  def mainReal(args: Array[String]): Unit = {
+    val dLo = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val dHi = args.lift(2).getOrElse("testdata_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = realFamilies.map { case (name, m, fam) =>
+      val (tLo, tHi, e, nLo, nHi) = measureReal(spark, dLo, dHi, m, fam)
+      f""""$name":{"mult":$m%.0f,"t_lo_s":$tLo%.3f,"t_hi_s":$tHi%.3f,"exp":$e%.3f,"n_lo":$nLo,"n_hi":$nHi}"""
+    }
+    println(s"""{"mode":"real","dir_lo":"$dLo","dir_hi":"$dHi",${rows.mkString(",")}}""")
     spark.stop()
   }
 }

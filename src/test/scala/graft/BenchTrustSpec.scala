@@ -103,4 +103,25 @@ class BenchTrustSpec extends AnyFunSuite {
       "new query without a baseline row is judged on variance alone")
     assert(BenchTrust.rowSuspect(3.0, 2.0, None))
   }
+
+  test("tail merge: r9 replay — a settled-load retime clears the stamp") {
+    // the r9 pattern: q_autocorr shipped 3.67 s (quiet 0.536); the
+    // judge's immediate quiet re-time landed 0.69 s = 1.29x baseline
+    val (t, sp, still) = BenchTrust.tailMerge(3.67, 0.2, 0.69, 0.05,
+      tailOk = true, Some(0.536))
+    assert(t == 0.69 && sp == 0.05 && !still,
+      "cleared: merged min is within drift bounds")
+    // a row that fails BOTH regimes keeps the stamp and the min
+    val (t2, _, still2) = BenchTrust.tailMerge(12.0, 0.3, 11.5, 0.2,
+      tailOk = true, Some(4.63))
+    assert(t2 == 11.5 && still2, "failed twice: stamp survives")
+    // a failed tail run changes nothing (stamp + mid-sweep number kept)
+    val (t3, sp3, still3) = BenchTrust.tailMerge(3.67, 0.2, -1.0, -1.0,
+      tailOk = false, Some(0.536))
+    assert(t3 == 3.67 && sp3 == 0.2 && still3)
+    // min never understates: tail slower than mid-sweep keeps mid-sweep
+    val (t4, _, _) = BenchTrust.tailMerge(0.7, 0.05, 2.0, 1.0,
+      tailOk = true, Some(0.536))
+    assert(t4 == 0.7)
+  }
 }
