@@ -34,10 +34,14 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 ROW_GROUP = 1 << 17
 
-VOCAB = ['a', 'agg', 'batch', 'big', 'column', 'customer', 'data', 'dup',
+# 30 words — 'dup' is NOT vocabulary: the driver generator uses it as
+# the planted near-duplicate marker (a dup doc = another doc's text +
+# " dup", ~5% of docs, independent lang/source), measured at sf0.1
+VOCAB = ['a', 'agg', 'batch', 'big', 'column', 'customer', 'data',
          'fast', 'filter', 'group', 'hash', 'join', 'key', 'line', 'merge',
          'order', 'part', 'query', 'row', 'scan', 'slow', 'small', 'sort',
          'spark', 'stream', 'table', 'the', 'value', 'vector', 'window']
+DUP_RATE = 0.05
 LANGS = ['en', 'de', 'es', 'fr', 'zh']
 LANG_P = [0.4, 0.15, 0.15, 0.15, 0.15]
 SEGMENTS = ['AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY']
@@ -152,6 +156,14 @@ def gen(sf, out):
     words = np.array(VOCAB)[r.integers(0, len(VOCAB), int(n_words.sum()))]
     offs = np.concatenate([[0], np.cumsum(n_words)])
     texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n_docs)]
+    # plant near-dup copies (the dedup families' natural prey): ~5% of
+    # docs take a random ORIGINAL doc's text + " dup"
+    dup_ids = r.choice(n_docs, size=int(n_docs * DUP_RATE), replace=False)
+    dup_set = set(dup_ids.tolist())
+    originals = np.array([i for i in range(n_docs) if i not in dup_set])
+    for i, b in zip(dup_ids, originals[r.integers(0, len(originals),
+                                                  len(dup_ids))]):
+        texts[i] = texts[b] + " dup"
     write(out, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_docs), pa.int64()),
         "text": texts,

@@ -230,6 +230,147 @@ object TpchMore {
        |ORDER BY o_totalprice DESC, o_orderkey
        |LIMIT 100""".stripMargin
 
+  /** q_tpch_q10 — returned-item report: the 20 customers whose 'R'
+    * returns cost the most revenue in one quarter, decorated with
+    * account balance and nation. Plan shape: both fact filters
+    * (return flag, order-date quarter) reach their scans; the
+    * customer/nation decorations broadcast; top-20 via TakeOrdered,
+    * no global sort.
+    */
+  def q10Returns(s: SparkSession, d: String): DataFrame = {
+    val cu = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+    val na = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(na), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(TextSim.r4(TextSim.dsum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).cast("long").as("n_returns"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"),
+        TextSim.r4(col("c_acctbal")).as("c_acctbal"), col("n_name"),
+        col("revenue"), col("n_returns"))
+  }
+
+  val q10ReturnsSql: String =
+    s"""SELECT c_custkey, c_name,
+       |       ${TextSim.r4Sql("c_acctbal")} AS c_acctbal, n_name,
+       |       ${TextSim.r4Sql(TextSim.dsumSql("l_extendedprice * (1 - l_discount)"))} AS revenue,
+       |       count(*)::BIGINT AS n_returns
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation ON n_nationkey = c_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+       |  AND o_orderdate < TIMESTAMP '1997-10-01'
+       |GROUP BY 1, 2, c_acctbal, 4
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** Days past the order date after which a shipment counts late. */
+  val Q21LateDays = 90
+
+  /** q_tpch_q21 — suppliers-who-kept-orders-waiting, in its SCALABLE
+    * aggregate form: the textbook EXISTS/NOT-EXISTS pair of fact
+    * self-joins is algebraically one per-order fold — an order
+    * contributes to supplier s iff s shipped late
+    * (> [[Q21LateDays]] days past the order date), the order had ≥ 2
+    * distinct suppliers, and s was the ONLY late one. One
+    * lineitem⋈orders join, one groupBy(orderkey) with conditional
+    * distinct counts, one broadcast-back of the tiny winner set —
+    * versus the classic plan's TWO extra fact-sized self-join
+    * shuffles. Top 20 by wait count.
+    */
+  def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") +
+          expr(s"interval $Q21LateDays days"))
+    val perOrder = base.groupBy(col("o_orderkey"))
+      .agg(count_distinct(col("l_suppkey")).as("n_supps"),
+        count_distinct(when(col("late"), col("l_suppkey"))).as("n_late_supps"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supps") >= 2 && col("n_late_supps") === 1)
+    val su = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    perOrder.groupBy(col("late_supp"))
+      .agg(count(lit(1)).cast("long").as("numwait"))
+      .join(broadcast(su), col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("s_suppkey"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21WaitingSql: String =
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |         l_shipdate > o_orderdate + INTERVAL $Q21LateDays DAY AS late
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |  WHERE o_orderstatus = 'F'
+       |), per_order AS (
+       |  SELECT l_orderkey,
+       |         count(DISTINCT l_suppkey) AS n_supps,
+       |         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+       |         max(CASE WHEN late THEN l_suppkey END) AS late_supp
+       |  FROM base GROUP BY 1
+       |)
+       |SELECT s_name, s_suppkey, count(*)::BIGINT AS numwait
+       |FROM per_order JOIN supplier ON s_suppkey = late_supp
+       |WHERE n_supps >= 2 AND n_late = 1
+       |GROUP BY 1, 2
+       |ORDER BY numwait DESC, s_name
+       |LIMIT 20""".stripMargin
+
+  /** q_grouping_sets — the CUBE readout the rollup query doesn't pin:
+    * revenue and item mass over all four grouping sets of
+    * (returnflag, linestatus), each row tagged with its grouping_id
+    * bitmask (Spark `grouping_id()` ≡ DuckDB `GROUPING(a, b)` — first
+    * argument in the high bit) and NULL grouping cells rendered
+    * '<all>' so the frame totally orders. One pass, partial-agg per
+    * set — the bounded 3×2 grid never shuffles more than the
+    * per-partition partials.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(TextSim.r4(TextSim.dsum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).cast("long").as("n_items"),
+        grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+        col("gid"), col("revenue"), col("sum_qty"), col("n_items"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
+  val groupingSetsSql: String =
+    s"""SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       |       coalesce(l_linestatus, '<all>') AS linestatus,
+       |       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+       |       ${TextSim.r4Sql(TextSim.dsumSql("l_extendedprice * (1 - l_discount)"))} AS revenue,
+       |       sum(l_quantity)::BIGINT AS sum_qty,
+       |       count(*)::BIGINT AS n_items
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid, returnflag, linestatus""".stripMargin
+
   val q14PromoSql: String = {
     val promo = TextSim.r4Sql(TextSim.dsumSql(
       "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"))

@@ -296,6 +296,28 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("REAL-parquet sf0.1 -> sf1 exponents stay sub-superlinear (data+load-permitting)") {
+    // the r9 brief's top item: the same laws on real parquet (row
+    // groups, footers, partition counts) instead of replication. The
+    // sf1 directory is generated by scripts/gen_sf.py (gitignored,
+    // ~195 MB); the test cancels when it is absent or the machine is
+    // loaded — when it runs, the gate is the same 1.35.
+    val sf1 = new java.io.File("testdata_sf1")
+    assume(sf1.isDirectory && new java.io.File(sf1, "documents.parquet").exists,
+      "no generated sf1 dataset (scripts/gen_sf.py 1 testdata_sf1)")
+    val load = scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    val cpus = Runtime.getRuntime.availableProcessors
+    assume(load < cpus / 2.0, s"machine loaded ($load on $cpus cpus); timing law not measurable")
+    ScaleExponents.realFamilies.foreach { case (name, m, fam) =>
+      val (tLo, tHi, e, nLo, nHi) = ScaleExponents.measureReal(
+        spark, "/root/testdata/sf0.1", sf1.getPath, m, fam)
+      assert(e < 1.35,
+        s"$name scales super-linearly on real parquet: exp=$e " +
+          s"($tLo s @sf0.1 -> $tHi s @sf1, rows $nLo -> $nHi)")
+    }
+  }
+
   test("streaming dedup keeps first copy per hash across batches") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000000L
