@@ -941,6 +941,43 @@ object ExplainAudit {
       !tePlan.contains("SortMergeJoin") &&
         tePlan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 1)
 
+    // round-10 invariants
+    val q10Plan = operators.TpchMore.q10Returns(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("q10: return-flag + quarter filters pushed to their scans, " +
+      "customer/nation broadcast, top-20 partial",
+      "PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(q10Plan).isDefined &&
+        "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(q10Plan).isDefined &&
+        q10Plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2 &&
+        q10Plan.contains("TakeOrderedAndProject"))
+
+    val q21Plan = operators.TpchMore.q21Waiting(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("q21: aggregate form — exactly one lineitem scan (no EXISTS " +
+      "self-joins), winner set broadcast to the supplier dim",
+      q21Plan.linesIterator.count(_.contains("FileScan")) <= 3 &&
+        q21Plan.contains("partial_count") &&
+        q21Plan.contains("BroadcastHashJoin"))
+
+    val gsPlan = operators.TpchMore.groupingSets(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("grouping_sets: one lineitem scan, partial-agg expand, no join",
+      gsPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
+        gsPlan.contains("Expand") && !gsPlan.contains("Join"))
+
+    val mmrPlan = operators.Ann.mmrServed(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("mmr_rerank: greedy inside per-query mapGroups; candidate fetch " +
+      "joins the shortlist, never a corpus-sized window",
+      mmrPlan.contains("MapGroups") && !mmrPlan.contains("Window"))
+
+    val pagesPlan = operators.Crawl.crawlPagesQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("crawl_pages: one documents scan, windows partitioned by ds_id " +
+      "(no global single-partition window)",
+      pagesPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
+        "Window.*ds_id".r.findFirstIn(pagesPlan).isDefined)
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)
