@@ -45,6 +45,24 @@ class SaxSpec extends AnyFunSuite {
     val bursty = (0L until 8L).map(t => ("b", t, if (t == 7L) 100L else 10L))
     val words = run(steady ++ bursty)
     assert(words("s") != words("b"))
-    assert(words("b").last == 'd') // the burst frame tops the alphabet
+    // two distinct pooled values -> ONE deduped breakpoint -> a 2-letter
+    // effective alphabet: the burst frame sits exactly one letter above
+    // the steady floor ('b'), never a skipped letter (the r9 ADVICE
+    // tied-block fix: pre-dedup this read 'd' because three tied rank
+    // picks each counted once)
+    assert(words("b") == "aaaaaaab")
+    assert(words("s") == "aaaaaaaa")
+  }
+
+  test("tied breakpoint blocks collapse: letters are contiguous") {
+    // heavy ties: half the grid at one value, half at another, plus one
+    // top frame — rank picks land inside tied blocks; after dedup the
+    // symbols must walk a,b,c with no skips
+    val lo = (0L until 4L).map(t => ("x", t, 0L))
+    val mid = (4L until 8L).map(t => ("x", t, 10L))
+    val words = run(lo ++ mid)
+    val letters = words("x").distinct.sorted
+    assert(letters.zipWithIndex.forall { case (c, i) => c - 'a' == i },
+      s"letters must be contiguous from 'a': ${words("x")}")
   }
 }
