@@ -263,6 +263,39 @@ object MediaExtract {
        |ORDER BY h.media_id""".stripMargin
   }
 
+  /** q_media_text_census — the extraction-mix rollup: per container
+    * rung (png / jpeg / none), how many payloads, how many yielded
+    * REAL container text, and the total extracted character mass —
+    * the one-line answer to "which rungs carry text and how much",
+    * rolled up over the SAME extraction [[mediaExtract]] serves
+    * row-level (stub rows contribute zero mass: the census counts
+    * what the CONTAINERS yielded, not what the model fallback would
+    * fabricate). The q_media_mix discipline applied to the
+    * text-extraction stage.
+    */
+  def mediaTextCensus(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    mediaExtract(s, d)
+      .withColumn("is_text", col("container") =!= "none")
+      .groupBy(col("container"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("is_text").cast("long")).cast("long").as("n_text_bearing"),
+        sum(when(col("is_text"), length(col("extracted")).cast("long"))
+          .otherwise(0L)).cast("long").as("extracted_chars"),
+        sum(col("n_bytes")).cast("long").as("bytes"))
+      .orderBy(col("container"))
+
+  val mediaTextCensusSql: String =
+    s"""SELECT container, count(*)::BIGINT AS n,
+       |       sum((container <> 'none')::BIGINT)::BIGINT AS n_text_bearing,
+       |       sum(CASE WHEN container <> 'none' THEN length(extracted)
+       |                ELSE 0 END)::BIGINT AS extracted_chars,
+       |       sum(n_bytes)::BIGINT AS bytes
+       |FROM (
+       |${mediaExtractSql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |GROUP BY container
+       |ORDER BY container""".stripMargin
+
   /** Media ingest from the documents table: payload = UTF-8 bytes,
     * kind by the same sniff rule as `q_media_meta`.
     */
