@@ -77,6 +77,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only is not None:
+        missing = only - set(oracles)
+        if missing:
+            # a misspelled name must NOT yield a vacuously green gate
+            sys.exit(f"unknown queries: {sorted(missing)}")
         oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):

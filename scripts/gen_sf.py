@@ -20,9 +20,27 @@ measured from /root/testdata/sf0.1 (seed measurements in git history):
   - row groups: 2^17 rows (several groups per big table - the pruning
     realism sf0.1's single-group files cannot give)
 
-Usage: python3 scripts/gen_sf.py <sf> <outDir>   (e.g. 1 testdata_sf1)
-Deterministic: numpy PCG64 seeded per (sf, table).
+Usage: python3 scripts/gen_sf.py <sf> <outDir> [--skew] [--openvocab]
+Deterministic: numpy PCG64 seeded per (sf, table) via sha256 (stable
+across processes — Python hash() is PYTHONHASHSEED-salted).
+
+Variants (each its own dir so the MAIN sf1 keeps matching the driver's
+sf0.1 distributions — the cross-dir scaling laws in ScaleExponents
+compare /root/testdata/sf0.1 against it and need like-for-like data):
+  --skew      skewed-key rehearsal: ~30% of docs land on ONE source
+              (src0) and ~30% of events on ONE user (user 0) — the
+              head-domain / hot-join-key shape the salted families
+              (prefix join, minhash bands, para dedup, q_skew_report)
+              must survive at 10x.
+  --openvocab every doc gets 2 extra words drawn with a Zipf-like
+              rank law from a tail vocabulary sized 1x n_docs, so the
+              df-in-[2,5] rarity window q_dedup_ngram keys on has a
+              real tail at EVERY sf (the closed 30-word vocab
+              saturates it at sf1 — r10 verdict item 5). Tail words
+              are appended BEFORE dup planting, so planted pairs
+              still share them.
 """
+import hashlib
 import os
 import shutil
 import sys
@@ -53,7 +71,12 @@ ETYPES = ['click', 'error', 'purchase', 'signup', 'view']
 
 
 def rng(sf, table):
-    return np.random.default_rng(abs(hash((42, float(sf), table))) % (2**63))
+    # hashlib, NOT Python hash(): str hashing is salted per process
+    # (PYTHONHASHSEED), which made every invocation generate different
+    # data and every pinned sf1 number irreproducible (r10 ADVICE).
+    seed = int(hashlib.sha256(f"42:{float(sf)}:{table}".encode())
+               .hexdigest()[:15], 16)
+    return np.random.default_rng(seed)
 
 
 def write(out, name, table):
@@ -67,7 +90,7 @@ def day_ts(days_arr, base):
     return (base + days_arr.astype('timedelta64[D]')).astype('datetime64[us]')
 
 
-def gen(sf, out):
+def gen(sf, out, skew=False, openvocab=False):
     mult = sf / 0.1  # vs the measured sf0.1 base
     n_supp = int(1000 * mult)
     n_cust = int(15000 * mult)
@@ -142,11 +165,14 @@ def gen(sf, out):
     span_us = 30 * 86400 * 1000000
     ts = np.sort(r.integers(0, span_us, n_events))
     n_users = int(1500 * mult)
+    users = r.integers(0, n_users, n_events)
+    if skew:  # hot join key: ~30% of events collapse onto user 0
+        users = np.where(r.random(n_events) < 0.3, 0, users)
     write(out, "events", pa.table({
         "event_id": pa.array(np.arange(n_events), pa.int64()),
         "ts": (np.datetime64('2024-01-01', 'us') +
                ts.astype('timedelta64[us]')),
-        "user_id": pa.array(r.integers(0, n_users, n_events), pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
         "event_type": np.array(ETYPES)[r.integers(0, 5, n_events)],
         "value": np.round(r.exponential(50.0, n_events), 2),
         "props": [f'{{"k": {k}}}' for k in r.integers(0, 100, n_events)]}))
@@ -156,6 +182,13 @@ def gen(sf, out):
     words = np.array(VOCAB)[r.integers(0, len(VOCAB), int(n_words.sum()))]
     offs = np.concatenate([[0], np.cumsum(n_words)])
     texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n_docs)]
+    if openvocab:
+        # Zipf-like tail: rank = floor(V * u^2) concentrates mass on
+        # low ranks while the high ranks land in the df [2,5] window
+        # (V scales with the corpus, so the window never saturates)
+        tail_v = n_docs
+        tail = (tail_v * r.random((n_docs, 2)) ** 2).astype(np.int64)
+        texts = [f"{t} w{a} w{b}" for t, (a, b) in zip(texts, tail)]
     # plant near-dup copies (the dedup families' natural prey): ~5% of
     # docs take a random ORIGINAL doc's text + " dup"
     dup_ids = r.choice(n_docs, size=int(n_docs * DUP_RATE), replace=False)
@@ -164,11 +197,14 @@ def gen(sf, out):
     for i, b in zip(dup_ids, originals[r.integers(0, len(originals),
                                                   len(dup_ids))]):
         texts[i] = texts[b] + " dup"
+    sources = r.integers(0, 20, n_docs)
+    if skew:  # head domain: ~30% of docs collapse onto src0
+        sources = np.where(r.random(n_docs) < 0.3, 0, sources)
     write(out, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_docs), pa.int64()),
         "text": texts,
         "lang": np.array(LANGS)[r.choice(5, n_docs, p=LANG_P)],
-        "source": [f"src{i}" for i in r.integers(0, 20, n_docs)],
+        "source": [f"src{i}" for i in sources],
         "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
 
     r = rng(sf, "embeddings")
@@ -184,6 +220,9 @@ def gen(sf, out):
 if __name__ == "__main__":
     sf = float(sys.argv[1])
     out = sys.argv[2]
-    print(f"generating sf{sf} -> {out}")
-    gen(sf, out)
+    skew = "--skew" in sys.argv[3:]
+    openvocab = "--openvocab" in sys.argv[3:]
+    tag = (" [skew]" if skew else "") + (" [openvocab]" if openvocab else "")
+    print(f"generating sf{sf} -> {out}{tag}")
+    gen(sf, out, skew=skew, openvocab=openvocab)
     print("done")

@@ -108,21 +108,26 @@ object BenchTrust {
     * settling — the r9 artifact stamped 12 rows that an immediate
     * quiet re-run all cleared at ≤1.42× baseline. So after the sweep
     * ends (load settled), every still-stamped row is re-timed once
-    * more; this pure rule merges that tail measurement with the
-    * mid-sweep one (min time, min spread — every run is a full honest
-    * execution, so min never understates) and keeps the stamp ONLY
-    * for a row that fails [[rowSuspect]] on the merged number too
-    * (failed twice, in two load regimes). Returns (time, spread,
-    * stillSuspect). A failed tail run (`tailOk` false) changes
-    * nothing: the row keeps its mid-sweep number and its stamp.
+    * more; this pure rule merges the tail measurement with the
+    * mid-sweep one by keeping the WHOLE (time, spread) pair of the
+    * faster run — never a min-of-each synthetic pair that no run
+    * observed: min(time) is honest (every run is a full execution)
+    * but min(spread) from the OTHER run is a stability number the
+    * faster run didn't exhibit (r10 ADVICE). The stamp clears ONLY
+    * if at least one run's ACTUAL pair passes [[rowSuspect]]
+    * (i.e. it stays when both real measurements fail, in two load
+    * regimes). Returns (time, spread, stillSuspect). A failed tail
+    * run (`tailOk` false) changes nothing: the row keeps its
+    * mid-sweep number and its stamp.
     */
   def tailMerge(t: Double, spread: Double, tTail: Double,
     spreadTail: Double, tailOk: Boolean,
     baseTime: Option[Double]): (Double, Double, Boolean) =
     if (!tailOk) (t, spread, true)
     else {
-      val tf = math.min(t, tTail)
-      val sf = math.min(spread, spreadTail)
-      (tf, sf, rowSuspect(tf, sf, baseTime))
+      val (tf, sf) = if (tTail < t) (tTail, spreadTail) else (t, spread)
+      val still = rowSuspect(t, spread, baseTime) &&
+        rowSuspect(tTail, spreadTail, baseTime)
+      (tf, sf, still)
     }
 }

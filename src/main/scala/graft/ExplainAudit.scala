@@ -971,6 +971,26 @@ object ExplainAudit {
       "joins the shortlist, never a corpus-sized window",
       mmrPlan.contains("MapGroups") && !mmrPlan.contains("Window"))
 
+    // r11: the sequential time-series folds run per type inside
+    // mapGroups on executors (not a driver collect); the returned plan
+    // reads the H·|types| checkpoint blocks, so a FileScan here would
+    // mean a cell re-derivation leaked a second corpus scan
+    for ((nm, df) <- Seq(
+      "ewma" -> operators.Ewma.ewmaQuery(spark, d),
+      "cusum" -> operators.Cusum.cusumQuery(spark, d),
+      "holt_winters" -> operators.HoltWinters.hwQuery(spark, d))) {
+      val p = df.queryExecution.executedPlan.toString
+      flag(s"$nm: per-type sequential fold inside mapGroups over the " +
+        "materialized cell frame (no driver fold, no corpus re-scan)",
+        p.contains("MapGroups") && !p.contains("FileScan") &&
+          !p.contains("Window"))
+    }
+    val markovPlan = operators.Markov.markovQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("markov: power iteration executor-side (single flatMapGroups " +
+      "group over the |types|^2-bounded transition matrix)",
+      markovPlan.contains("MapGroups"))
+
     val pagesPlan = operators.Crawl.crawlPagesQuery(spark, d)
       .queryExecution.executedPlan.toString
     flag("crawl_pages: one documents scan, windows partitioned by ds_id " +

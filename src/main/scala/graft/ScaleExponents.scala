@@ -113,7 +113,8 @@ object ScaleExponents {
   def measure(s: SparkSession, d: String,
     fam: (SparkSession, String, Int) => Long,
     mLo: Int, mHi: Int): (Double, Double, Double, Long, Long) = {
-    fam(s, d, mLo) // warm codegen/JIT once, untimed
+    fam(s, d, mLo) // warm BOTH m points untimed (same rule as
+    fam(s, d, mHi) // measureReal: each m is a distinct codegen'd plan)
     s.catalog.clearCache()
     val (tLo, nLo) = timeMin2(s)(fam(s, d, mLo))
     val (tHi, nHi) = timeMin2(s)(fam(s, d, mHi))
@@ -155,7 +156,11 @@ object ScaleExponents {
   /** Time one real family at both dirs; exp from the family's own m. */
   def measureReal(s: SparkSession, dLo: String, dHi: String, m: Double,
     fam: (SparkSession, String) => Long): (Double, Double, Double, Long, Long) = {
-    fam(s, dLo) // warm codegen/JIT once, untimed
+    // warm BOTH dirs untimed: file listing + per-directory plan codegen
+    // are one-time costs, and warming only dLo left them inside the dHi
+    // timing, biasing the published exponent upward (r10 ADVICE)
+    fam(s, dLo)
+    fam(s, dHi)
     s.catalog.clearCache()
     val (tLo, nLo) = timeMin2(s)(fam(s, dLo))
     val (tHi, nHi) = timeMin2(s)(fam(s, dHi))

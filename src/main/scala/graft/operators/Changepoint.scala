@@ -55,6 +55,30 @@ object Changepoint {
     ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).cast("long").as("y"))
 
+  /** Materialized sparse cells + hour span, for the sequential
+    * time-series folds ([[Ewma]], [[Cusum]], [[HoltWinters]]): ONE
+    * corpus scan materializes the TIME-bounded `(event_type, hu, y)`
+    * frame (localCheckpoint — the [[Iterate.materialize]] lineage
+    * cut), and the span rides that same job as Observation metrics,
+    * so deriving `lo`/`nH` adds NO extra job and the returned frame's
+    * consumers re-read H·|types| checkpoint blocks, never events.
+    * Returns `(cells, loMicros, nHours)`; `nHours = 0` on empty.
+    */
+  def cellsWithSpan(ev: DataFrame): (DataFrame, Long, Int) = {
+    val obs = org.apache.spark.sql.Observation()
+    val c = Iterate.materialize(
+      cells(ev)
+        .select(col("event_type"), unix_micros(col("h")).as("hu"), col("y"))
+        .observe(obs, count(lit(1)).as("n"),
+          min(col("hu")).as("lo"), max(col("hu")).as("hi")), None)
+    if (obs.get("n").asInstanceOf[Long] == 0L) (c, 0L, 0)
+    else {
+      val lo = obs.get("lo").asInstanceOf[Long]
+      val hi = obs.get("hi").asInstanceOf[Long]
+      (c, lo, ((hi - lo) / 3600000000L).toInt + 1)
+    }
+  }
+
   /** Detection over a sparse `(h, event_type, y)` cell frame: densify
     * over the observed span (missing hours are y = 0), then the
     * prefix-sum argmax. Runs on H·|types| rows — the shape a

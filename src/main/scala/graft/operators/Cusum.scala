@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: every quantity is a BIGINT in micro units — no σ
   * estimate, no sqrt, nothing to diverge; the recursion is the
-  * [[Ewma]] driver-fold class (inherently sequential in t, folded
-  * over the TIME-bounded dense cell frame — never event volume; one
-  * corpus scan total), mirrored by a recursive-CTE oracle whose arm
+  * [[Ewma]] executor-fold class (inherently sequential in t, folded
+  * per type inside `mapGroups` over the TIME-bounded dense cell
+  * frame — never event volume; one corpus scan total, span riding it
+  * as Observation metrics), mirrored by a recursive-CTE oracle whose arm
   * computes each new state once in a subquery (the HoltWinters
   * rule). Spans too short to split (< 4 hours) report NULLs.
   */
@@ -49,42 +50,47 @@ object Cusum {
   def cusumFromCells(cellsRaw: DataFrame): DataFrame = {
     val s = cellsRaw.sparkSession
     import s.implicits._
-    // ONE corpus scan behind the cell fold: collect the TIME-bounded
-    // sparse cells, densify on the driver (the Ewma discipline)
-    val sparse = cellsRaw
+    // ONE scan materializes the TIME-bounded sparse cells (span rides
+    // it as Observation metrics); the sequential monitor runs per type
+    // INSIDE mapGroups — executor-side, densified per group
+    val obs = org.apache.spark.sql.Observation()
+    val cells = Iterate.materialize(cellsRaw
       .select(col("event_type"), unix_micros(col("h")).as("hu"), col("y"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    if (sparse.isEmpty)
+      .observe(obs, count(lit(1)).as("n"),
+        min(col("hu")).as("lo"), max(col("hu")).as("hi")), None)
+    if (obs.get("n").asInstanceOf[Long] == 0L)
       return s.emptyDataFrame.select(lit("").as("event_type"),
         lit(0L).as("n_hours"), lit(0L).as("n_ref"), lit(0L).as("mu0_micro"),
         lit(0L).as("max_up_micro"), lit(0L).as("max_down_micro"),
         lit(0L).as("first_alarm"), lit(0).as("drifted"))
-    val lo = sparse.map(_._2).min
-    val nH = ((sparse.map(_._2).max - lo) / HourUs).toInt + 1
+    val lo = obs.get("lo").asInstanceOf[Long]
+    val nH = ((obs.get("hi").asInstanceOf[Long] - lo) / HourUs).toInt + 1
     val n0 = nH / 2
-    val out = sparse.groupBy(_._1).toSeq.map { case (tpe, rows) =>
-      val ys = Array.fill(nH)(0L)
-      rows.foreach { case (_, hu, y) => ys(((hu - lo) / HourUs).toInt) = y }
-      if (nH < 4) (tpe, nH.toLong, n0.toLong, None: Option[Long], 0L, 0L,
-        None: Option[Long], 0)
-      else {
-        val mu0 = (ys.take(n0).sum * 1000000L) / n0
-        val k = mu0 / 10L
-        val h = mu0 + 1000000L
-        var sp = 0L; var sn = 0L; var msp = 0L; var msn = 0L
-        var alarm: Option[Long] = None
-        for (t <- n0 until nH) {
-          sp = math.max(0L, sp + ys(t) * 1000000L - mu0 - k)
-          sn = math.max(0L, sn + mu0 - ys(t) * 1000000L - k)
-          msp = math.max(msp, sp); msn = math.max(msn, sn)
-          if (alarm.isEmpty && (sp > h || sn > h)) alarm = Some(t.toLong)
+    cells.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tpe, it) =>
+        val ys = Array.fill(nH)(0L)
+        it.foreach { case (_, hu, y) => ys(((hu - lo) / HourUs).toInt) = y }
+        if (nH < 4) (tpe, nH.toLong, n0.toLong, None: Option[Long], 0L, 0L,
+          None: Option[Long], 0)
+        else {
+          val mu0 = (ys.take(n0).sum * 1000000L) / n0
+          val k = mu0 / 10L
+          val h = mu0 + 1000000L
+          var sp = 0L; var sn = 0L; var msp = 0L; var msn = 0L
+          var alarm: Option[Long] = None
+          for (t <- n0 until nH) {
+            sp = math.max(0L, sp + ys(t) * 1000000L - mu0 - k)
+            sn = math.max(0L, sn + mu0 - ys(t) * 1000000L - k)
+            msp = math.max(msp, sp); msn = math.max(msn, sn)
+            if (alarm.isEmpty && (sp > h || sn > h)) alarm = Some(t.toLong)
+          }
+          (tpe, nH.toLong, n0.toLong, Some(mu0), msp, msn, alarm,
+            if (alarm.isDefined) 1 else 0)
         }
-        (tpe, nH.toLong, n0.toLong, Some(mu0), msp, msn, alarm,
-          if (alarm.isDefined) 1 else 0)
       }
-    }
-    out.toDF("event_type", "n_hours", "n_ref", "mu0_micro",
-      "max_up_micro", "max_down_micro", "first_alarm", "drifted")
+      .toDF("event_type", "n_hours", "n_ref", "mu0_micro",
+        "max_up_micro", "max_down_micro", "first_alarm", "drifted")
       .select(col("event_type"), col("n_hours"), col("n_ref"),
         col("mu0_micro"), col("max_up_micro"), col("max_down_micro"),
         col("first_alarm"), col("drifted"))

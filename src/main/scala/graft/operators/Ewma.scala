@@ -22,13 +22,17 @@ import org.apache.spark.sql.functions._
   * quiet hour decays the level — skipping it freezes the forecast,
   * the q_gapfill lesson).
   *
-  * Scale note: EWMA is inherently SEQUENTIAL in t, so the fold runs
-  * on the driver over the H·|types| dense cell frame — bounded by
-  * the TIME span (the [[Markov]] bounded-statistic class, ~10⁴ rows
-  * for a year of hours), never by event volume; the one corpus-sized
-  * operation is the cell fold ([[Changepoint.cells]], shared). A
-  * per-key-windowed variant would shuffle the same cells without
-  * removing the sequential chain.
+  * Scale note: EWMA is inherently SEQUENTIAL in t but the per-type
+  * recursions are independent, so the fold runs EXECUTOR-SIDE as a
+  * `mapGroups` per event_type over the H·|types| materialized cell
+  * frame — each group holds one type's TIME-bounded dense series
+  * (~10⁴ longs for a year of hours), and the driver never holds any
+  * frame that grows with a data-cardinality dimension (r10 verdict
+  * item: the old driver collect was bounded by H·|types|, which
+  * grows with the type enum). The one corpus-sized operation is the
+  * shared cell fold ([[Changepoint.cellsWithSpan]]); span rides it
+  * as Observation metrics, so the whole query is the one scan plus
+  * a |types|-group shuffle of H-row groups.
   */
 object Ewma {
 
@@ -43,27 +47,25 @@ object Ewma {
   def ewma(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
-    // ONE corpus scan: the sparse cell fold is collected (TIME-bounded)
-    // and the dense grid, span and type list all derive from it on the
-    // driver — span/types as separate frames would each re-scan events
-    val sparse = Changepoint.cells(ev)
-      .select(col("event_type"), unix_micros(col("h")).as("hu"), col("y"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val lo = sparse.map(_._2).min
-    val hi = sparse.map(_._2).max
-    val nH = ((hi - lo) / 3600000000L).toInt + 1
-    val out = sparse.groupBy(_._1).toSeq.map { case (tpe, rows) =>
-      val ys = Array.fill(nH)(0L)
-      rows.foreach { case (_, hu, y) => ys(((hu - lo) / 3600000000L).toInt) = y }
-      var s0 = ys.head * 1000000L
-      var absErr = 0L
-      for (y <- ys.tail) {
-        absErr += math.abs(y * 1000000L - s0)
-        s0 = (AlphaNum * y * 1000000L + (AlphaDen - AlphaNum) * s0) / AlphaDen
+    // ONE corpus scan (cells materialized, span rides the same job);
+    // the sequential fold runs per type INSIDE mapGroups — identical
+    // integer recursion, executor-side, densified per group
+    val (cells, lo, nH) = Changepoint.cellsWithSpan(ev)
+    cells.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tpe, it) =>
+        val ys = Array.fill(nH)(0L)
+        it.foreach { case (_, hu, y) =>
+          ys(((hu - lo) / 3600000000L).toInt) = y }
+        var s0 = ys.head * 1000000L
+        var absErr = 0L
+        for (y <- ys.tail) {
+          absErr += math.abs(y * 1000000L - s0)
+          s0 = (AlphaNum * y * 1000000L + (AlphaDen - AlphaNum) * s0) / AlphaDen
+        }
+        (tpe, nH.toLong, s0, absErr)
       }
-      (tpe, nH.toLong, s0, absErr)
-    }
-    out.toDF("event_type", "n_hours", "level_micro", "abs_err_micro")
+      .toDF("event_type", "n_hours", "level_micro", "abs_err_micro")
       .select(col("event_type"), col("n_hours"), col("level_micro"),
         TextSim.r6(col("level_micro").cast("double") / 1e6).as("forecast"),
         // single-hour span: 0/0 would yield NaN (and engines disagree

@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   * the oracle). Missing hours are y = 0 observations off the dense
   * grid (the q_gapfill rule).
   *
-  * Scale: like [[Ewma]], the recursion is inherently sequential in t,
-  * so it runs on the driver over the H·|types| TIME-bounded cell
-  * frame (the Markov bounded-statistic class); the one corpus-sized
-  * op is the shared [[Changepoint.cells]] fold. The oracle mirrors
+  * Scale: like [[Ewma]], the recursion is inherently sequential in t
+  * but independent across types, so it runs EXECUTOR-SIDE per type
+  * inside `mapGroups` over the H·|types| TIME-bounded cell frame; the
+  * one corpus-sized op is the shared [[Changepoint.cellsWithSpan]]
+  * fold (span rides it as Observation metrics). The oracle mirrors
   * the recursion as a recursive CTE carrying the 24-slot seasonal
   * state as a LIST (head = current phase, rotate-append per step).
   */
@@ -48,32 +49,30 @@ object HoltWinters {
   def hw(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
-    val sparse = Changepoint.cells(ev)
-      .select(col("event_type"), unix_micros(col("h")).as("hu"), col("y"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val lo = sparse.map(_._2).min
-    val hi = sparse.map(_._2).max
-    val nH = ((hi - lo) / 3600000000L).toInt + 1
-    val out = sparse.groupBy(_._1).toSeq.map { case (tpe, rows) =>
-      val ys = Array.fill(nH)(0L)
-      rows.foreach { case (_, hu, y) => ys(((hu - lo) / 3600000000L).toInt) = y }
-      var l = ys.head * 1000000L
-      var b = 0L
-      val sArr = Array.fill(SeasonLen)(0L)
-      var absErr = 0L
-      for (t <- 1 until nH) {
-        val ym = ys(t) * 1000000L
-        val sh = sArr(t % SeasonLen)
-        absErr += math.abs(ym - (l + b + sh))
-        val lNew = (2L * (ym - sh) + 8L * (l + b)) / 10L
-        b = ((lNew - l) + 9L * b) / 10L
-        sArr(t % SeasonLen) = ((ym - lNew) + 9L * sh) / 10L
-        l = lNew
+    val (cells, lo, nH) = Changepoint.cellsWithSpan(ev)
+    cells.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tpe, it) =>
+        val ys = Array.fill(nH)(0L)
+        it.foreach { case (_, hu, y) =>
+          ys(((hu - lo) / 3600000000L).toInt) = y }
+        var l = ys.head * 1000000L
+        var b = 0L
+        val sArr = Array.fill(SeasonLen)(0L)
+        var absErr = 0L
+        for (t <- 1 until nH) {
+          val ym = ys(t) * 1000000L
+          val sh = sArr(t % SeasonLen)
+          absErr += math.abs(ym - (l + b + sh))
+          val lNew = (2L * (ym - sh) + 8L * (l + b)) / 10L
+          b = ((lNew - l) + 9L * b) / 10L
+          sArr(t % SeasonLen) = ((ym - lNew) + 9L * sh) / 10L
+          l = lNew
+        }
+        (tpe, nH.toLong, l, b, l + b + sArr(nH % SeasonLen), absErr)
       }
-      (tpe, nH.toLong, l, b, l + b + sArr(nH % SeasonLen), absErr)
-    }
-    out.toDF("event_type", "n_hours", "level_micro", "trend_micro",
-      "pred_micro", "abs_err_micro")
+      .toDF("event_type", "n_hours", "level_micro", "trend_micro",
+        "pred_micro", "abs_err_micro")
       .select(col("event_type"), col("n_hours"), col("level_micro"),
         col("trend_micro"),
         TextSim.r6(col("pred_micro").cast("double") / 1e6).as("forecast"),

@@ -73,7 +73,11 @@ object MannWhitney {
       .select(
         col("n_a"),
         (col("n") - col("n_a")).as("n_b"),
-        (col("r2a") - col("n_a") * (col("n_a") + 1L)).cast("long").as("u_x2"),
+        // n_a·(n_a+1) on decimal too: a BIGINT product wraps silently in
+        // Spark past n_a ~ 3e9 while DuckDB's errs loudly (r10 ADVICE) —
+        // the whole u_x2 expression folds exact, long only at the end
+        (col("r2a") - col("n_a").cast("decimal(38,0)") * (col("n_a") + 1L))
+          .cast("long").as("u_x2"),
         col("ties").as("tie_term"),
         col("n"))
       .withColumn("varnum",
@@ -111,7 +115,7 @@ object MannWhitney {
        |  FROM ranked
        |), stats AS (
        |  SELECT n_a, (n - n_a)::BIGINT AS n_b,
-       |         (r2a - n_a * (n_a + 1))::BIGINT AS u_x2,
+       |         (r2a - n_a::HUGEINT * (n_a + 1))::BIGINT AS u_x2,
        |         ties AS tie_term, n,
        |         n_a::HUGEINT * (n - n_a) *
        |           ((n + 1)::HUGEINT * n * (n - 1) - ties::HUGEINT) AS varnum

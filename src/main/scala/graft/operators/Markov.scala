@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * reported share divides once (r6).
   *
   * Scale note: the transition matrix is |types|² — an audit-bounded
-  * statistic (the ≤512-row collect class), so the 20 rounds run on
-  * the driver over exact longs; a state space that grows with the
-  * data (per-page chains) runs the same update through the
-  * [[Crawl.pageRank]] distributed join driver instead.
+  * statistic; the 20 rounds run EXECUTOR-SIDE over exact longs as a
+  * single `flatMapGroups` group (the chain couples all states, so
+  * unlike [[Ewma]]'s per-type split the iteration is one group — but
+  * the driver now holds nothing that grows with the type enum); a
+  * state space that grows with the data (per-page chains) runs the
+  * same update through the [[Crawl.pageRank]] distributed join
+  * driver instead.
   */
 object Markov {
 
@@ -56,13 +59,16 @@ object Markov {
       .select(col("from_type"), col("to_type"), col("n"))
     val tot = trans.groupBy(col("from_type"))
       .agg(sum(col("n")).cast("long").as("t"))
-    val cells = trans.join(tot, "from_type")
+    trans.join(tot, "from_type")
       .select(col("from_type"), col("to_type"), col("n").cast("long"), col("t"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      .toSeq
-    val states = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
-    val pi = stationary(cells, states)
-    states.map(st => (st, pi(st)))
+      .as[(String, String, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        val cells = it.toSeq
+        val states = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+        val pi = stationary(cells, states)
+        states.iterator.map(st => (st, pi(st)))
+      }
       .toDF("state", "pi_units")
       .select(col("state"), col("pi_units"),
         TextSim.r6(col("pi_units").cast("double") / Crawl.PrScale.toDouble)
