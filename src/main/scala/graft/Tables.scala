@@ -205,8 +205,11 @@ object Tables {
     * here `Title` = the doc's source and `Comment` = its first 40
     * chars), then IEND. CRCs are deterministic zeros: extractors skip
     * them by length arithmetic, exactly like real metadata tools.
-    * Non-3rd docs are raw text (no container) — the stub-decoder
-    * path. Closed-form truth both engines can check.
+    * JPEG docs (doc_id % 3 = 1) carry COM comment segments, and the
+    * odd-id half additionally an EXIF APP1 (TIFF IFD0 with inline
+    * and offset ASCII tags, II or MM byte order by doc_id % 4 — the
+    * r11 third rung). Non-3rd docs are raw text (no container) — the
+    * stub-decoder path. Closed-form truth both engines can check.
     */
   def mediaText(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
@@ -229,8 +232,33 @@ object Tables {
     // can't skip padding FFs misses it
     def com(v: org.apache.spark.sql.Column) = concat(
       lit("FFFE"), lpad(hex(length(v) + 2), 4, "0"), hex(encode(v, "UTF-8")))
+    // EXIF rung (r11): odd-id jpegs get an APP1 "Exif\0\0" + TIFF
+    // segment before the COM chain — IFD0 with TWO ASCII tags, Make
+    // (0x010F, 3 bytes: fits the 4-byte inline value slot) and
+    // ImageDescription (0x010E, first 20 chars of text: value stored
+    // at offset 38, right after the 2-entry IFD). doc_id % 4 picks
+    // the byte order: 1 → II (little), 3 → MM (big) — both real
+    // layouts, so the walk and its oracle mirror handle both.
+    val desc = substring(col("text"), 1, 20)
+    val make = concat(lit("d"), (col("doc_id") % 10).cast("string"))
+    val tiffLe = concat(
+      lit("49492A00" + "08000000" + "0200"),
+      lit("0F01" + "0200" + "03000000"), hex(encode(make, "UTF-8")), lit("0000"),
+      lit("0E01" + "0200"), lpad(hex(length(desc) + 1), 2, "0"), lit("000000"),
+      lit("26000000"), lit("00000000"),
+      hex(encode(desc, "UTF-8")), lit("00"))
+    val tiffBe = concat(
+      lit("4D4D002A" + "00000008" + "0002"),
+      lit("010F" + "0002" + "00000003"), hex(encode(make, "UTF-8")), lit("0000"),
+      lit("010E" + "0002" + "000000"), lpad(hex(length(desc) + 1), 2, "0"),
+      lit("00000026"), lit("00000000"),
+      hex(encode(desc, "UTF-8")), lit("00"))
+    val app1 = concat(
+      lit("FFE1"), lpad(hex(length(desc) + 47), 4, "0"), lit("457869660000"),
+      when(col("doc_id") % 4 === 1, tiffLe).otherwise(tiffBe))
     val jpeg = unhex(concat(
       lit("FFD8"),
+      when(col("doc_id") % 2 === 1, app1).otherwise(lit("")),
       com(concat(lit("Title="), col("source"))),
       when(col("doc_id") % 5 === 1, lit("FFFF")).otherwise(lit("")),
       com(concat(lit("Comment="), substring(col("text"), 1, 40))),
@@ -259,6 +287,27 @@ object Tables {
       |            '0000000049454E4400000000')
       |    WHEN doc_id % 3 = 1 THEN
       |      unhex('FFD8' ||
+      |            CASE WHEN doc_id % 2 = 1 THEN
+      |              'FFE1' || lpad(hex(47 + len(substr(text, 1, 20))), 4, '0') ||
+      |              '457869660000' ||
+      |              CASE WHEN doc_id % 4 = 1 THEN
+      |                '49492A00' || '08000000' || '0200' ||
+      |                '0F010200' || '03000000' ||
+      |                hex('d' || (doc_id % 10)) || '0000' ||
+      |                '0E010200' ||
+      |                lpad(hex(len(substr(text, 1, 20)) + 1), 2, '0') ||
+      |                '000000' || '26000000' || '00000000' ||
+      |                hex(substr(text, 1, 20)) || '00'
+      |              ELSE
+      |                '4D4D002A' || '00000008' || '0002' ||
+      |                '010F0002' || '00000003' ||
+      |                hex('d' || (doc_id % 10)) || '0000' ||
+      |                '010E0002' || '000000' ||
+      |                lpad(hex(len(substr(text, 1, 20)) + 1), 2, '0') ||
+      |                '00000026' || '00000000' ||
+      |                hex(substr(text, 1, 20)) || '00'
+      |              END
+      |            ELSE '' END ||
       |            'FFFE' || lpad(hex(8 + len(source)), 4, '0') ||
       |            hex('Title=' || source) ||
       |            CASE WHEN doc_id % 5 = 1 THEN 'FFFF' ELSE '' END ||

@@ -83,12 +83,43 @@ object MediaExtract {
     * whose declared length runs past the payload is skipped, the
     * walk ends at the buffer edge — the 100 TB garbage-tolerance
     * rule, same as [[decodePngText]]). NULs render as '=' (the PNG
-    * keyword convention, applied uniformly). None when no COM text.
+    * keyword convention, applied uniformly). Since r11 the same walk
+    * also yields EXIF APP1 ASCII tags ([[exifAscii]], third rung);
+    * segments merge in stream order. None when no segment yields.
     */
   def decodeJpegText(p: Array[Byte]): Option[String] = {
+    val segs = jpegTextSegments(p)
+    if (segs.isEmpty) None else Some(segs.map(_._3).mkString("; "))
+  }
+
+  /** COM-only / EXIF-only views of the same walk — the per-rung
+    * census ([[mediaTextCensus]]) counts each rung's own yield.
+    */
+  def decodeJpegCom(p: Array[Byte]): Option[String] = {
+    val t = jpegTextSegments(p).collect { case (_, "com", s) => s }
+    if (t.isEmpty) None else Some(t.mkString("; "))
+  }
+
+  def decodeJpegExif(p: Array[Byte]): Option[String] = {
+    val t = jpegTextSegments(p).collect { case (_, "exif", s) => s }
+    if (t.isEmpty) None else Some(t.mkString("; "))
+  }
+
+  private val ExifHdr =
+    Array(0x45, 0x78, 0x69, 0x66, 0x00, 0x00).map(_.toByte) // "Exif\0\0"
+
+  /** The JPEG marker walk yielding `(position, rung, text)` in stream
+    * order, rung ∈ {com, exif}: COM segments render as before; an
+    * APP1 segment (0xFFE1) opening with the "Exif\0\0" header hands
+    * its TIFF body to [[exifAscii]] (third extraction rung, r10
+    * verdict item 3). Same truncation tolerance as the single-rung
+    * walks: a segment whose declared length runs past the payload is
+    * skipped and the walk ends at the buffer edge.
+    */
+  def jpegTextSegments(p: Array[Byte]): Seq[(Int, String, String)] = {
     if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8)
-      return None
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     var i = 2
     var done = false
     while (!done && i + 2 <= p.length && (p(i) & 0xFF) == 0xFF) {
@@ -100,16 +131,74 @@ object MediaExtract {
         val ln = ((p(i + 2) & 0xFF) << 8) | (p(i + 3) & 0xFF)
         if (m == 0xFE && ln >= 2 && i + 2 + ln <= p.length) {
           val data = p.slice(i + 4, i + 2 + ln)
-          out += data.map(b => if (b == 0) '=' else (b & 0xFF).toChar).mkString
+          out += ((i, "com",
+            data.map(b => if (b == 0) '=' else (b & 0xFF).toChar).mkString))
+        } else if (m == 0xE1 && ln >= 16 && i + 2 + ln <= p.length &&
+          p.slice(i + 4, i + 10).sameElements(ExifHdr)) {
+          exifAscii(p, i + 10, i + 2 + ln).foreach(t => out += ((i, "exif", t)))
         }
         i += 2 + ln
       } else done = true
+    }
+    out.toSeq
+  }
+
+  /** REAL extraction, third container rung: ASCII tags of an EXIF
+    * IFD0 (TIFF 6.0 §2 + EXIF 2.3 §4.5.2) inside a JPEG APP1
+    * segment — the Make / ImageDescription / Artist class of
+    * metadata exiftool prints. `tb` is the TIFF header base (both
+    * byte orders handled — II little- and MM big-endian, decided by
+    * the header the data actually carries), `end` the exclusive
+    * segment bound; every offset is validated against it before any
+    * read (IFD count, each 12-byte entry, each value run — out of
+    * bounds skips the tag or the IFD, never throws: the 100 TB
+    * garbage rule). Only type-2 (ASCII) tags are text; the trailing
+    * NUL the spec mandates is dropped, interior NULs render '=' (the
+    * house convention). Tags render `Exif.<TAG4HEX>=<text>` in entry
+    * order, joined "; ".
+    */
+  def exifAscii(p: Array[Byte], tb: Int, end: Int): Option[String] = {
+    def u16(o: Long, le: Boolean): Long = {
+      val q = o.toInt
+      if (le) (p(q) & 0xFFL) | ((p(q + 1) & 0xFFL) << 8)
+      else ((p(q) & 0xFFL) << 8) | (p(q + 1) & 0xFFL)
+    }
+    def u32(o: Long, le: Boolean): Long = {
+      val q = o.toInt
+      if (le) (p(q) & 0xFFL) | ((p(q + 1) & 0xFFL) << 8) |
+        ((p(q + 2) & 0xFFL) << 16) | ((p(q + 3) & 0xFFL) << 24)
+      else ((p(q) & 0xFFL) << 24) | ((p(q + 1) & 0xFFL) << 16) |
+        ((p(q + 2) & 0xFFL) << 8) | (p(q + 3) & 0xFFL)
+    }
+    if (tb + 8 > end) return None
+    val le = (p(tb) & 0xFF) == 0x49 && (p(tb + 1) & 0xFF) == 0x49
+    val be = (p(tb) & 0xFF) == 0x4D && (p(tb + 1) & 0xFF) == 0x4D
+    if ((!le && !be) || u16(tb + 2L, le) != 42L) return None
+    val ifd = tb + u32(tb + 4L, le)
+    if (ifd + 2 > end) return None
+    val cnt = u16(ifd, le)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (i <- 0L until cnt) {
+      val ep = ifd + 2 + 12 * i
+      if (ep + 12 <= end) {
+        val tag = u16(ep, le)
+        val typ = u16(ep + 2, le)
+        val n = u32(ep + 4, le)
+        if (typ == 2L && n >= 1L) {
+          val start = if (n <= 4L) ep + 8 else tb + u32(ep + 8, le)
+          if (start >= tb && start + n <= end) {
+            val txt = p.slice(start.toInt, (start + n - 1).toInt)
+              .map(b => if (b == 0) '=' else (b & 0xFF).toChar).mkString
+            out += f"Exif.$tag%04X=$txt"
+          }
+        }
+      }
     }
     if (out.isEmpty) None else Some(out.mkString("; "))
   }
 
   /** Container-text extraction across every real rung (PNG tEXt,
-    * JPEG COM) — the single entry [[extract]] consults before
+    * JPEG COM + EXIF) — the single entry [[extract]] consults before
     * falling back to the model stub.
     */
   def decodeContainerText(p: Array[Byte]): Option[String] =
@@ -180,11 +269,33 @@ object MediaExtract {
       .orderBy(col("media_id"))
   }
 
-  val mediaExtractSql: String = {
+  /** Endian-aware 16/32-bit reads over carried columns `s` (hex
+    * string) and `le` (bool) — the oracle mirror of [[exifAscii]]'s
+    * u16/u32 (II reverses bytes, MM reads straight).
+    */
+  private def u16e(off: String) =
+    s"(CASE WHEN le THEN ('0x' || substr(s, 2*(($off)+1) + 1, 2) ||" +
+      s" substr(s, 2*($off) + 1, 2))::BIGINT" +
+      s" ELSE ('0x' || substr(s, 2*($off) + 1, 4))::BIGINT END)"
+
+  private def u32e(off: String) =
+    s"(CASE WHEN le THEN ('0x' || substr(s, 2*(($off)+3) + 1, 2) ||" +
+      s" substr(s, 2*(($off)+2) + 1, 2) || substr(s, 2*(($off)+1) + 1, 2) ||" +
+      s" substr(s, 2*($off) + 1, 2))::BIGINT" +
+      s" ELSE ('0x' || substr(s, 2*($off) + 1, 8))::BIGINT END)"
+
+  /** The shared walk CTE block (PNG chunk walk + JPEG marker walk +
+    * EXIF IFD parse + per-rung text aggregates) — both the row-level
+    * extraction oracle and the rung census build on it. Emits:
+    * `hx(media_id, s, n)`, `png_txt`, `com_txt`, `exif_txt` (per-rung
+    * yields) and `jpeg_txt` (COM + EXIF merged in stream order — what
+    * the Scala walk returns row-level).
+    */
+  private val walkCtes: String = {
     def byteAt(off: String) = s"('0x' || substr(x.s, 2*($off) + 1, 2))::INT"
+    def byteAtS(off: String) = s"('0x' || substr(s, 2*($off) + 1, 2))::INT"
     val jln = "('0x' || substr(x.s, 2*w.p + 5, 4))::BIGINT"
-    s"""WITH RECURSIVE ${Tables.mediaTextSql},
-       |hx AS (
+    s"""hx AS (
        |  SELECT media_id, hex(payload) AS s,
        |         octet_length(payload)::BIGINT AS n
        |  FROM mediat
@@ -237,10 +348,64 @@ object MediaExtract {
        |  FROM jw w JOIN hx x ON x.media_id = w.media_id
        |  WHERE w.p + 4 <= x.n AND substr(x.s, 2*w.p + 1, 4) = 'FFFE'
        |    AND $jln >= 2 AND w.p + 2 + $jln <= x.n
+       |), ex0 AS (
+       |  SELECT w.media_id, w.p, x.s, w.p + 10 AS tb,
+       |         w.p + 2 + $jln AS fin,
+       |         substr(x.s, 2*(w.p + 10) + 1, 4) AS bom
+       |  FROM jw w JOIN hx x ON x.media_id = w.media_id
+       |  WHERE w.p + 4 <= x.n AND substr(x.s, 2*w.p + 1, 4) = 'FFE1'
+       |    AND $jln >= 16 AND w.p + 2 + $jln <= x.n
+       |    AND substr(x.s, 2*(w.p + 4) + 1, 12) = '457869660000'
+       |), ex1 AS (
+       |  SELECT media_id, p, s, tb, fin, (bom = '4949') AS le
+       |  FROM ex0 WHERE bom IN ('4949', '4D4D') AND tb + 8 <= fin
+       |), ex2 AS (
+       |  SELECT media_id, p, s, tb, fin, le, tb + ${u32e("tb + 4")} AS ifd
+       |  FROM ex1 WHERE ${u16e("tb + 2")} = 42
+       |), ex3 AS (
+       |  SELECT media_id, p, s, tb, fin, le, ifd,
+       |         unnest(range(0, CASE WHEN ifd + 2 <= fin
+       |                       THEN ${u16e("ifd")} ELSE 0 END)) AS i
+       |  FROM ex2
+       |), ex4 AS (
+       |  SELECT media_id, p, s, tb, fin, le, i, ep,
+       |         ${u16e("ep + 2")} AS typ, ${u32e("ep + 4")} AS cnt,
+       |         CASE WHEN le THEN substr(s, 2*ep + 3, 2) || substr(s, 2*ep + 1, 2)
+       |              ELSE substr(s, 2*ep + 1, 4) END AS taghex,
+       |         CASE WHEN ${u32e("ep + 4")} <= 4 THEN ep + 8
+       |              ELSE tb + ${u32e("ep + 8")} END AS vstart
+       |  FROM (SELECT *, ifd + 2 + 12*i AS ep FROM ex3)
+       |  WHERE ep + 12 <= fin
+       |), ex5 AS (
+       |  SELECT media_id, p, i, 'Exif.' || taghex || '=' ||
+       |    array_to_string([CASE WHEN ${byteAtS("vstart + k")} = 0 THEN '='
+       |                     ELSE chr(${byteAtS("vstart + k")}) END
+       |                     for k in range(0, cnt - 1)], '') AS txt
+       |  FROM ex4
+       |  WHERE typ = 2 AND cnt >= 1 AND vstart >= tb AND vstart + cnt <= fin
+       |), exif_seg AS (
+       |  SELECT media_id, p, string_agg(txt, '; ' ORDER BY i) AS txt
+       |  FROM ex5 GROUP BY media_id, p
+       |), jseg AS (
+       |  SELECT media_id, p, txt FROM jtx
+       |  UNION ALL
+       |  SELECT media_id, p, txt FROM exif_seg
        |), jpeg_txt AS (
        |  SELECT media_id, string_agg(txt, '; ' ORDER BY p) AS txt
+       |  FROM jseg GROUP BY media_id
+       |), com_txt AS (
+       |  SELECT media_id, string_agg(txt, '; ' ORDER BY p) AS txt
        |  FROM jtx GROUP BY media_id
-       |), sniff AS (
+       |), exif_txt AS (
+       |  SELECT media_id, string_agg(txt, '; ' ORDER BY p) AS txt
+       |  FROM exif_seg GROUP BY media_id
+       |)""".stripMargin
+  }
+
+  val mediaExtractSql: String =
+    s"""WITH RECURSIVE ${Tables.mediaTextSql},
+       |$walkCtes,
+       |sniff AS (
        |  SELECT media_id, s, n,
        |         CASE WHEN substr(s, 1, 16) = '89504E470D0A1A0A' THEN 'png'
        |              WHEN substr(s, 1, 4) = 'FFD8' THEN 'jpeg'
@@ -261,40 +426,69 @@ object MediaExtract {
        |LEFT JOIN png_txt t ON t.media_id = h.media_id
        |LEFT JOIN jpeg_txt j ON j.media_id = h.media_id
        |ORDER BY h.media_id""".stripMargin
+
+  /** q_media_text_census — the extraction-mix rollup, per EXTRACTION
+    * RUNG since r11 (png_text tEXt / jpeg_com / jpeg_exif / none —
+    * the r10 census keyed on the container, which could not see that
+    * one jpeg yields through two independent rungs): per rung, how
+    * many payloads yielded, the character mass yielded, and the
+    * payload bytes behind it — the one-line answer to "which rungs
+    * carry text and how much". A payload counts under every rung
+    * that yields for it; `none` collects payloads no rung serves
+    * (the model-stub population). Runs the same walk kernels
+    * [[mediaExtract]] serves row-level. Scale: one narrow map over
+    * the payload column, a ≤4-group fold after it.
+    */
+  def mediaTextCensus(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.mediaText(s, d)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (_, p) =>
+        val rungs = Seq(
+          "png_text" -> decodePngText(p),
+          "jpeg_com" -> decodeJpegCom(p),
+          "jpeg_exif" -> decodeJpegExif(p))
+        val hit = rungs.collect { case (r, Some(t)) =>
+          (r, t.length.toLong, p.length.toLong) }
+        if (hit.isEmpty) Seq(("none", 0L, p.length.toLong)) else hit
+      }
+      .toDF("rung", "chars", "bytes")
+      .groupBy(col("rung"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("chars")).cast("long").as("chars"),
+        sum(col("bytes")).cast("long").as("bytes"))
+      .orderBy(col("rung"))
   }
 
-  /** q_media_text_census — the extraction-mix rollup: per container
-    * rung (png / jpeg / none), how many payloads, how many yielded
-    * REAL container text, and the total extracted character mass —
-    * the one-line answer to "which rungs carry text and how much",
-    * rolled up over the SAME extraction [[mediaExtract]] serves
-    * row-level (stub rows contribute zero mass: the census counts
-    * what the CONTAINERS yielded, not what the model fallback would
-    * fabricate). The q_media_mix discipline applied to the
-    * text-extraction stage.
-    */
-  def mediaTextCensus(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    mediaExtract(s, d)
-      .withColumn("is_text", col("container") =!= "none")
-      .groupBy(col("container"))
-      .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("is_text").cast("long")).cast("long").as("n_text_bearing"),
-        sum(when(col("is_text"), length(col("extracted")).cast("long"))
-          .otherwise(0L)).cast("long").as("extracted_chars"),
-        sum(col("n_bytes")).cast("long").as("bytes"))
-      .orderBy(col("container"))
-
   val mediaTextCensusSql: String =
-    s"""SELECT container, count(*)::BIGINT AS n,
-       |       sum((container <> 'none')::BIGINT)::BIGINT AS n_text_bearing,
-       |       sum(CASE WHEN container <> 'none' THEN length(extracted)
-       |                ELSE 0 END)::BIGINT AS extracted_chars,
-       |       sum(n_bytes)::BIGINT AS bytes
-       |FROM (
-       |${mediaExtractSql.linesIterator.map("  " + _).mkString("\n")}
+    s"""WITH RECURSIVE ${Tables.mediaTextSql},
+       |$walkCtes,
+       |rungs AS (
+       |  SELECT 'jpeg_com' AS rung, t.txt, h.n
+       |  FROM com_txt t JOIN hx h ON h.media_id = t.media_id
+       |  UNION ALL
+       |  SELECT 'jpeg_exif', t.txt, h.n
+       |  FROM exif_txt t JOIN hx h ON h.media_id = t.media_id
+       |  UNION ALL
+       |  SELECT 'png_text', t.txt, h.n
+       |  FROM png_txt t JOIN hx h ON h.media_id = t.media_id
+       |), hits AS (
+       |  SELECT DISTINCT media_id FROM (
+       |    SELECT media_id FROM com_txt
+       |    UNION ALL SELECT media_id FROM exif_txt
+       |    UNION ALL SELECT media_id FROM png_txt)
        |)
-       |GROUP BY container
-       |ORDER BY container""".stripMargin
+       |SELECT rung, count(*)::BIGINT AS n, sum(chars)::BIGINT AS chars,
+       |       sum(bytes)::BIGINT AS bytes
+       |FROM (
+       |  SELECT rung, length(txt)::BIGINT AS chars, n AS bytes FROM rungs
+       |  UNION ALL
+       |  SELECT 'none', 0::BIGINT, h.n FROM hx h
+       |  WHERE h.media_id NOT IN (SELECT media_id FROM hits)
+       |)
+       |GROUP BY rung
+       |ORDER BY rung""".stripMargin
 
   /** Media ingest from the documents table: payload = UTF-8 bytes,
     * kind by the same sniff rule as `q_media_meta`.
