@@ -48,6 +48,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sf1-gate extras (driver-ignored): shared temp tables as an
+    // ORDERED list + the served oracle twins that consume them
+    Files.writeString(Paths.get(s"$outDir/oracle_shared.json"),
+      SparkEntry.oracleShared
+        .map { case (k, v) => s"[${q(k)}, ${q(v)}]" }
+        .mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_served.json"),
+      SparkEntry.oracleSqlServed
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -441,6 +441,79 @@ object Dedup {
        |SELECT id AS doc_id, min(r) AS keep_id, min(r) = id AS is_kept
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** sf1-gate shared materialization (r10 verdict item 1): the
+    * recursive minhash-walk oracles (`q_dedup_keep`,
+    * `q_dedup_keep_best`, `q_dup_stats`, `q_curator_e2e`) each cost
+    * ~11 min at sf1 because DuckDB re-derives the whole
+    * shingle→minhash→pair→closure chain per query. This STANDALONE
+    * statement computes the walk closure ONCE as `(id, lbl)`; the
+    * `*SqlServed` twins consume it from a temp table named
+    * `walk_labels` (scripts/sf1_gate.py materializes it). The
+    * driver's gate keeps running the self-contained canonical SQL —
+    * served variants exist only for the local real-data gate, and
+    * are string-built from the SAME shared fragments so they cannot
+    * drift from the canonical chain.
+    */
+  val walkLabelsTableSql: String =
+    s"""WITH RECURSIVE $minhashCandSql,
+       |sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM verified
+       |), walk(id, r) AS (
+       |  SELECT doc_id, doc_id FROM docs_aug
+       |  UNION
+       |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+       |)
+       |SELECT id, min(r) AS lbl FROM walk GROUP BY id""".stripMargin
+
+  val keepSqlServed: String =
+    """SELECT id AS doc_id, lbl AS keep_id, lbl = id AS is_kept
+      |FROM walk_labels ORDER BY doc_id""".stripMargin
+
+  val dupStatsSqlServed: String =
+    s"""WITH ${Tables.docsAugSql},
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM docs_aug
+       |), per AS (
+       |  SELECT l.id AS doc_id, l.lbl AS keep_id, (l.lbl = l.id) AS is_kept,
+       |         len(t.t)::BIGINT AS n_toks
+       |  FROM walk_labels l JOIN toks t ON t.doc_id = l.id
+       |), clusters AS (
+       |  SELECT keep_id, count(*)::BIGINT AS sz, sum(n_toks)::BIGINT AS c_toks,
+       |         sum(CASE WHEN NOT is_kept THEN n_toks ELSE 0 END)::BIGINT AS c_dup
+       |  FROM per GROUP BY 1
+       |)
+       |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+       |       sum(sz)::BIGINT AS n_docs, sum(c_toks)::BIGINT AS n_tokens,
+       |       sum(c_dup)::BIGINT AS dup_tokens
+       |FROM clusters GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val keepBestSqlServed: String =
+    s"""WITH ${Tables.docsAugSql},
+       |labels AS (
+       |  SELECT id, lbl FROM walk_labels
+       |), ${TextAnalysis.qualityScoreCtesSql("docs_aug")},
+       |q_all AS (
+       |  SELECT d.doc_id, coalesce(q.quality, -1.0) AS quality
+       |  FROM docs_aug d LEFT JOIN q_scores q ON q.doc_id = d.doc_id
+       |),
+       |best AS (
+       |  SELECT lbl, doc_id AS best_id FROM (
+       |    SELECT l.lbl, q.doc_id,
+       |           row_number() OVER (PARTITION BY l.lbl
+       |                              ORDER BY q.quality DESC, q.doc_id) AS rn
+       |    FROM labels l JOIN q_all q ON q.doc_id = l.id)
+       |  WHERE rn = 1
+       |)
+       |SELECT q.doc_id, q.quality, b.best_id AS keep_id,
+       |       b.best_id = q.doc_id AS is_kept
+       |FROM q_all q
+       |JOIN labels l ON l.id = q.doc_id
+       |JOIN best b ON b.lbl = l.lbl
+       |ORDER BY q.doc_id""".stripMargin
+
   /** q_dup_stats — the duplication-inflation report: the cluster-size
     * histogram of the near-dup survivor labeling, with token mass and
     * REMOVABLE token mass per size bucket — "how much of the corpus is

@@ -55,16 +55,30 @@ object GraphStats {
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"))
+    // degenerate-variance guard (r11 sf1 finding): at 10× the mod-150
+    // fixture graph goes COMPLETE, every degree equals |V|−1, both
+    // variances hit exactly 0 and ANSI double division throws. The
+    // guard tests m·sxx−sx² / m·syy−sy² EXACTLY on decimal(38,0)
+    // (m·sxx ~ |E|·deg² overflows int64 on billion-edge graphs) and
+    // reports NULL — the q_abtest degenerate rule; a regular graph
+    // genuinely has no assortativity. Non-degenerate values keep the
+    // identical double expression (tri-SF hashes unchanged).
+    val vx = col("m").cast("decimal(38,0)") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")
+    val vy = col("m").cast("decimal(38,0)") * col("syy") -
+      col("sy").cast("decimal(38,0)") * col("sy")
     moments.crossJoin(broadcast(recip)).crossJoin(broadcast(totals))
       .select(
         col("n_edges"),
         col("n_recip"),
-        TextSim.r6(col("n_recip").cast("double") / col("n_edges"))
+        when(col("n_edges") > 0,
+          TextSim.r6(col("n_recip").cast("double") / col("n_edges")))
           .as("reciprocity"),
-        TextSim.r6(
-          (col("m").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
-            sqrt((col("m").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
-              (col("m").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))))
+        when(vx > 0 && vy > 0,
+          TextSim.r6(
+            (col("m").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+              sqrt((col("m").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+                (col("m").cast("double") * col("syy") - col("sy").cast("double") * col("sy")))))
           .as("assortativity"))
   }
 
@@ -93,11 +107,14 @@ object GraphStats {
        |  JOIN deg dy ON dy.node = s.dst
        |)
        |SELECT tot.n_edges, recip.n_recip,
-       |       ${TextSim.r6Sql("recip.n_recip::DOUBLE / tot.n_edges::DOUBLE")} AS reciprocity,
-       |       ${TextSim.r6Sql(
+       |       CASE WHEN tot.n_edges > 0 THEN ${TextSim.r6Sql(
+      "recip.n_recip::DOUBLE / tot.n_edges::DOUBLE")} END AS reciprocity,
+       |       CASE WHEN mom.m::HUGEINT * mom.sxx - mom.sx::HUGEINT * mom.sx > 0
+       |             AND mom.m::HUGEINT * mom.syy - mom.sy::HUGEINT * mom.sy > 0
+       |            THEN ${TextSim.r6Sql(
       "(mom.m::DOUBLE * mom.sxy::DOUBLE - mom.sx::DOUBLE * mom.sy::DOUBLE) / " +
         "sqrt((mom.m::DOUBLE * mom.sxx::DOUBLE - mom.sx::DOUBLE * mom.sx::DOUBLE) * " +
-        "(mom.m::DOUBLE * mom.syy::DOUBLE - mom.sy::DOUBLE * mom.sy::DOUBLE))")} AS assortativity
+        "(mom.m::DOUBLE * mom.syy::DOUBLE - mom.sy::DOUBLE * mom.sy::DOUBLE))")} END AS assortativity
        |FROM mom, recip, tot""".stripMargin
 
   /** q_modularity — Newman–Girvan modularity of the `q_labelprop`

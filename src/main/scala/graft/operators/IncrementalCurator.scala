@@ -156,4 +156,21 @@ object IncrementalCurator {
        |       $NumBatches::BIGINT AS n_batches, c.n_docs, c.n_dropped
        |FROM lab l CROSS JOIN cnt c
        |ORDER BY l.doc_id""".stripMargin
+
+  /** sf1-gate twin served from the shared `walk_labels` temp table
+    * ([[Dedup.walkLabelsTableSql]]) — same readout, closure paid once.
+    */
+  val curatorE2eSqlServed: String =
+    s"""WITH lab AS (
+       |  SELECT id AS doc_id, lbl AS keep_id, lbl = id AS is_kept
+       |  FROM walk_labels
+       |), cnt AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |         sum(CASE WHEN is_kept THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+       |  FROM lab
+       |)
+       |SELECT l.doc_id, l.keep_id, l.is_kept,
+       |       $NumBatches::BIGINT AS n_batches, c.n_docs, c.n_dropped
+       |FROM lab l CROSS JOIN cnt c
+       |ORDER BY l.doc_id""".stripMargin
 }

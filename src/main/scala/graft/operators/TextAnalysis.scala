@@ -154,7 +154,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("quality"),
         col("dom_rank").cast("long").as("dom_rank"),
         when(col("n_dom") > 1,
-          expr("(1000000 * (dom_rank - 1)) div (n_dom - 1)"))
+          // bigint BEFORE the scale-up: row_number() is Int, and
+          // 1e6·(rank−1) wraps 32 bits past ~2 147 docs per domain —
+          // found by the r11 sf1 gate (2 500-doc domains at 10×)
+          expr("(1000000 * cast(dom_rank - 1 as bigint)) div (n_dom - 1)"))
           .otherwise(0L).as("pct_micro"))
       .orderBy(col("doc_id"))
   }
