@@ -116,6 +116,68 @@ object StoreCensus {
       .orderBy(col("bkt"))
   }
 
+  /** Shard-export census: write `documents` through the real
+    * [[ShardWriter]] (range-partitioned on doc_id, ~[[ShardTarget]]
+    * files at every SF via a corpus-scaled record cap), read the
+    * PHYSICAL shard files back with `input_file_name()`, and fold to
+    * one row — content totals the oracle recomputes from `documents`
+    * alone (rows, distinct/min/max/sum ids, character mass) plus the
+    * two shard-discipline invariants pinned at 0: `oversize_files`
+    * (a file exceeding the record cap — the data-loader stall the cap
+    * exists to prevent) and `range_overlaps` (files ordered by their
+    * min id whose range intersects the previous file's — doc_id is
+    * unique and ranges sort, so sorted chunks must be disjoint; a
+    * writer that lost the range exchange or the within-partition sort
+    * lands here). A dropped/duplicated row lands in the content
+    * totals. Same one-scan read-back shape as [[indexCensus]].
+    */
+  val ShardTarget = 64
+
+  def shardCensus(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shard_census").toString + "/shards"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val cap = math.max(16L, docs.count() / ShardTarget)
+    ShardWriter.write(docs, dir, col("doc_id"), cap)
+    val back = s.read.parquet(dir)
+      .select(col("doc_id"), col("n_chars"), input_file_name().as("f"))
+    val perFile = back.groupBy(col("f"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+      .withColumn("prev_hi", lag(col("hi"), 1)
+        .over(graft.functions.GridWindow.ord(col("lo"), col("f"))))
+    val discipline = perFile.agg(
+      sum(when(col("n") > cap, 1L).otherwise(0L)).as("oversize_files"),
+      sum(when(col("lo") <= col("prev_hi"), 1L).otherwise(0L))
+        .as("range_overlaps"))
+    back.agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      countDistinct(col("doc_id")).cast("long").as("n_ids"),
+      min(col("doc_id")).cast("long").as("min_id"),
+      max(col("doc_id")).cast("long").as("max_id"),
+      sum(col("doc_id")).cast("long").as("id_sum"),
+      sum(col("n_chars")).cast("long").as("char_sum"))
+      .crossJoin(broadcast(discipline))
+      .select(col("n_rows"), col("n_ids"), col("min_id"), col("max_id"),
+        col("id_sum"), col("char_sum"),
+        col("oversize_files").cast("long").as("oversize_files"),
+        col("range_overlaps").cast("long").as("range_overlaps"))
+  }
+
+  /** Content totals from `documents`; discipline columns are exact-0
+    * invariants (the q_upsert_state constant-pin pattern). */
+  val shardCensusSql: String =
+    """SELECT count(*)::BIGINT AS n_rows,
+      |       count(DISTINCT doc_id)::BIGINT AS n_ids,
+      |       min(doc_id)::BIGINT AS min_id,
+      |       max(doc_id)::BIGINT AS max_id,
+      |       sum(doc_id)::BIGINT AS id_sum,
+      |       sum(n_chars)::BIGINT AS char_sum,
+      |       0::BIGINT AS oversize_files,
+      |       0::BIGINT AS range_overlaps
+      |FROM documents""".stripMargin
+
   /** Tokenization, tf fold, and the md5 top-28 bucket re-derived in
     * SQL (`('0x' || substr(md5(term), 1, 7))::BIGINT % nBuckets` —
     * the [[graft.functions.Md5Kit]] window-0 contract).
