@@ -453,13 +453,28 @@ object Dedup {
     * served variants exist only for the local real-data gate, and
     * are string-built from the SAME shared fragments so they cannot
     * drift from the canonical chain.
+    *
+    * Since r11 the layer is two tables deep: `minhash_verified` (the
+    * verified pair set — ~5 min of the walk's cost at sf1, and an
+    * oracle in its own right: `q_dedup_minhash` nearly exhausted the
+    * 300 s budget re-deriving it) materializes first, and the walk
+    * closure consumes it, so the minhash chain is paid once across
+    * the minhash + walk + detector-eval families.
     */
+  val minhashVerifiedTableSql: String =
+    s"""WITH $minhashCandSql
+       |SELECT a_id, b_id, jaccard FROM verified""".stripMargin
+
+  val minhashSqlServed: String =
+    """SELECT a_id, b_id, jaccard FROM minhash_verified
+      |ORDER BY a_id, b_id""".stripMargin
+
   val walkLabelsTableSql: String =
-    s"""WITH RECURSIVE $minhashCandSql,
+    s"""WITH RECURSIVE ${Tables.docsAugSql},
        |sym AS (
-       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  SELECT a_id AS src, b_id AS dst FROM minhash_verified
        |  UNION ALL
-       |  SELECT b_id, a_id FROM verified
+       |  SELECT b_id, a_id FROM minhash_verified
        |), walk(id, r) AS (
        |  SELECT doc_id, doc_id FROM docs_aug
        |  UNION

@@ -126,6 +126,25 @@ object PrefixJoin {
        |SELECT a_id, b_id, jaccard FROM truth
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** sf1-gate shared materialization (the [[Dedup.walkLabelsTableSql]]
+    * discipline): the complete τ=0.8 prefix-join pair set, computed
+    * ONCE as temp table `prefix_truth` — its canonical derivation is
+    * the single most expensive oracle at sf1 (the pcand self-join over
+    * a closed-vocab corpus' prefix postings) and TWO oracles consume
+    * it (`q_dedup_prefix` verbatim, `q_dedup_eval` as the truth side
+    * of the detector audit). String-built from the same fragments as
+    * the canonical SQL; the driver's gate still runs the
+    * self-contained form.
+    */
+  val prefixTruthTableSql: String =
+    s"""WITH ${Dedup.shingledSql},
+       |$prefixBodySql
+       |SELECT a_id, b_id, jaccard FROM truth""".stripMargin
+
+  val prefixSqlServed: String =
+    """SELECT a_id, b_id, jaccard FROM prefix_truth
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** q_dedup_eval — the detector audit: grade the probabilistic
     * minhash-LSH detector against the complete prefix-join pair set.
     * One row: truth/detected/hit/missed counts, recall and precision.
@@ -169,6 +188,24 @@ object PrefixJoin {
        |  SELECT (SELECT count(*) FROM truth) AS n_truth,
        |         (SELECT count(*) FROM verified) AS n_detected,
        |         (SELECT count(*) FROM verified v JOIN truth t
+       |            ON v.a_id = t.a_id AND v.b_id = t.b_id) AS n_hit
+       |)
+       |SELECT 'minhash_lsh' AS detector,
+       |       n_truth::BIGINT AS n_truth,
+       |       n_detected::BIGINT AS n_detected,
+       |       n_hit::BIGINT AS n_hit,
+       |       (n_truth - n_hit)::BIGINT AS n_missed,
+       |       ${TextSim.r6Sql("n_hit::DOUBLE / n_truth")} AS recall,
+       |       ${TextSim.r6Sql("n_hit::DOUBLE / n_detected")} AS precision
+       |FROM counts""".stripMargin
+
+  /** Served twin: both pair sets read from the shared temp tables —
+    * the same counts readout as [[detectorEvalSql]]. */
+  val detectorEvalSqlServed: String =
+    s"""WITH counts AS (
+       |  SELECT (SELECT count(*) FROM prefix_truth) AS n_truth,
+       |         (SELECT count(*) FROM minhash_verified) AS n_detected,
+       |         (SELECT count(*) FROM minhash_verified v JOIN prefix_truth t
        |            ON v.a_id = t.a_id AND v.b_id = t.b_id) AS n_hit
        |)
        |SELECT 'minhash_lsh' AS detector,
