@@ -151,7 +151,17 @@ object ScaleExponents {
       }),
       ("etl_chunks", 10.0, (s, d) => operators.Etl.chunk(s, d).count()),
       ("sessionize", 10.0,
-        (s, d) => operators.Analytics.sessionize(s, d).count()))
+        (s, d) => operators.Analytics.sessionize(s, d).count()),
+      // r11 widening: one family per remaining heavy class — text-stat
+      // (two-pass corpus stats + zero-shuffle serve), exact AllPairs
+      // (df-ordered prefix filter, the completeness-costs-what-it-costs
+      // plan), and the event-window family (sessionless per-user scans)
+      ("bm25", 10.0, (s, d) => operators.Relevance.bm25(s, d).count()),
+      ("prefix_pairs", 10.0,
+        (s, d) => operators.PrefixJoin.prefixPairs(
+          Tables.docsAug(s, d)).count()),
+      ("attribution", 10.0,
+        (s, d) => operators.Attribution.attributionQuery(s, d).count()))
 
   /** Time one real family at both dirs; exp from the family's own m. */
   def measureReal(s: SparkSession, dLo: String, dHi: String, m: Double,

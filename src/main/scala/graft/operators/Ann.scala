@@ -292,6 +292,108 @@ object Ann {
       .select(col("query_id"), (col("dcg") / col("idcg")).as("ndcg"))
   }
 
+  /** Positional discount 1e6/log₂(p+1) as micro-longs, p = 1..k — the
+    * ONLY transcendental in the NDCG arithmetic, frozen driver-side so
+    * both engines fold dcg/idcg as EXACT integer sums (a double
+    * `sum()` is fold-order-dependent; an integer sum is not). Shared
+    * by [[ndcgMicro]] and the q_ndcg oracle's VALUES tables.
+    */
+  def ndcgWMicro(k: Int): IndexedSeq[Long] = (1 to k).map(p =>
+    math.round(1e6 / (math.log(p + 1.0) / math.log(2.0))))
+
+  /** IDCG micro prefix sums: entry n = a perfect n-long truth list's
+    * dcg (rel k..k-n+1 down the top positions).
+    */
+  def ndcgIdcgMicro(k: Int): IndexedSeq[Long] =
+    ndcgWMicro(k).zipWithIndex.scanLeft(0L) { case (acc, (w, i)) =>
+      acc + (k - i).toLong * w
+    }.tail
+
+  /** [[ndcg]] in engine-identical arithmetic (the q_ndcg face): graded
+    * relevance and the discount table are integers, dcg/idcg fold as
+    * exact longs, and the one double op left is the final division
+    * under round-6 — bit-stable across any partitioning and any
+    * engine. Also surfaces `hits` (shortlist ∩ truth), the recall
+    * numerator, so one frame answers both "found them?" and "ordered
+    * them?".
+    */
+  def ndcgMicro(truth: DataFrame, approx: DataFrame,
+    k: Int = TopK): DataFrame = {
+    val wLut = array(ndcgWMicro(k).map(lit): _*)
+    val idcgLut = array(ndcgIdcgMicro(k).map(lit): _*)
+    val rel = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        (lit(k + 1L) - col("rank")).as("rel"))
+    val perQ = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("n_truth"))
+      .select(col("query_id"),
+        element_at(idcgLut, col("n_truth")).as("idcg_micro"))
+    approx.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "vec_id"), "left")
+      .withColumn("g", coalesce(col("rel"), lit(0L)) *
+        element_at(wLut, col("rank").cast("int")))
+      .groupBy(col("query_id"))
+      .agg(sum(col("g")).cast("long").as("dcg_micro"),
+        count(col("rel")).cast("long").as("hits"))
+      .join(perQ, "query_id")
+      .select(col("query_id"), col("hits"),
+        graft.functions.TextSim.r6(
+          col("dcg_micro").cast("double") / col("idcg_micro")).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  /** q_ndcg — the IVF shortlist's ordering quality against the exact
+    * cosine top-k, per query: the metric a recall ladder misses (all k
+    * found but head inverted serves a worse first page). Both
+    * shortlists are the frames q_ann_brute / q_ann_ivf already pin;
+    * this composes them through [[ndcgMicro]].
+    */
+  def ndcgQuery(s: SparkSession, d: String): DataFrame =
+    ndcgMicro(bruteForce(s, d), ivf(s, d))
+
+  // lazy: interpolates ivfCtesSql, declared further down the object
+  lazy val ndcgSql: String = {
+    val w = ndcgWMicro(TopK).zipWithIndex
+      .map { case (m, i) => s"(${i + 1}, ${m}::BIGINT)" }.mkString(", ")
+    val idcg = ndcgIdcgMicro(TopK).zipWithIndex
+      .map { case (m, i) => s"(${i + 1}, ${m}::BIGINT)" }.mkString(", ")
+    s"""WITH $ivfCtesSql,
+       |t_scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |         ${cosineSql("q.embedding", "q.nrm", "e.embedding", "e.nrm")} AS cos_sim
+       |  FROM e CROSS JOIN e q
+       |  WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id
+       |), truth AS (
+       |  SELECT query_id, vec_id, ($TopK + 1 - rank)::BIGINT AS rel FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, vec_id) AS rank
+       |    FROM t_scored)
+       |  WHERE rank <= $TopK
+       |), w(p, micro) AS (VALUES $w),
+       |idcg_lut(n, micro) AS (VALUES $idcg),
+       |per_q AS (
+       |  SELECT t.query_id, l.micro AS idcg_micro
+       |  FROM (SELECT query_id, count(*)::INT AS n_truth
+       |        FROM truth GROUP BY 1) t
+       |  JOIN idcg_lut l ON l.n = t.n_truth
+       |), dcg AS (
+       |  SELECT a.query_id,
+       |         sum(coalesce(t.rel, 0) * w.micro)::BIGINT AS dcg_micro,
+       |         count(t.rel)::BIGINT AS hits
+       |  FROM (SELECT query_id, vec_id, rank FROM ranked
+       |        WHERE rank <= $TopK) a
+       |  LEFT JOIN truth t ON t.query_id = a.query_id
+       |                   AND t.vec_id = a.vec_id
+       |  JOIN w ON w.p = a.rank
+       |  GROUP BY 1
+       |)
+       |SELECT d.query_id, d.hits,
+       |       ${graft.functions.TextSim.r6Sql("d.dcg_micro::DOUBLE / p.idcg_micro")} AS ndcg
+       |FROM dcg d JOIN per_q p ON p.query_id = d.query_id
+       |ORDER BY d.query_id""".stripMargin
+  }
+
   /** q_ann_ivf — [[ivfSearch]] with deterministic coarse centroids
     * (vec_id % 25 = 0) and the % 100 query set.
     */
@@ -302,8 +404,12 @@ object Ann {
     ivfSearch(s, e, e.filter(col("vec_id") % 100 === 0), cents)
   }
 
-  val ivfSql: String =
-    s"""WITH e AS (
+  /** The q_ann_ivf CTE chain (ends in `ranked`) — shared verbatim by
+    * [[ivfSql]] and the q_ndcg oracle, which scores this chain's
+    * ordering against the exact one.
+    */
+  val ivfCtesSql: String =
+    s"""e AS (
        |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
        |), cents AS (
        |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
@@ -335,7 +441,10 @@ object Ann {
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY cos_sim DESC, vec_id) AS rank
        |  FROM scored
-       |)
+       |)""".stripMargin
+
+  val ivfSql: String =
+    s"""WITH $ivfCtesSql
        |SELECT query_id, rank::BIGINT AS rank, vec_id, cos_sim
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{Cms, TextSim}
+import graft.functions.{Cms, Md5Buckets, TextSim}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -116,4 +116,66 @@ object DupScore {
        |SELECT doc_id, n_shingles, est_sum, dup_score
        |FROM ds_scores
        |ORDER BY doc_id""".stripMargin
+
+  /** q_cms_census — hash-pin the sketch ARTIFACT itself (q_dup_score
+    * pins fit+estimate through the scores; this pins the counter
+    * tables and the MERGE face): per sketch row r, the nonzero-bucket
+    * count, counter mass (= corpus shingle count, every row sees every
+    * occurrence), and max counter, all recomputed independently by the
+    * oracle from the md5-window definition; plus `merge_mismatch`
+    * pinned at exact 0 — per-source sketches (fit in ONE grouped pass,
+    * `source × r × b` is a bounded statistic) folded through
+    * [[Cms.Sketch.merge]] must equal the direct corpus fit elementwise,
+    * the incremental contract (per-batch sketches sum to the corpus
+    * artifact, old batches never rescanned) as a constant-pinned
+    * column. A merge that lost a counter, a grouped fit that dropped a
+    * source, or a drifted hash window all land in the hash.
+    */
+  def cmsCensus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val direct = fitCorpus(docs)
+    val bySource = docs
+      .select(col("source"), TextSim.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(TextSim.shingles3(col("t"))).as("g"))
+      .select(col("source"), posexplode(
+        Md5Buckets.multi(array(col("g")), Cms.Width, Cms.Depth))
+        .as(Seq("r", "b")))
+      .groupBy(col("source"), col("r"), col("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .collect()
+    val merged = bySource.groupBy(_.getString(0)).values.map { rs =>
+      val counters = Array.fill(Cms.Depth)(new Array[Long](Cms.Width.toInt))
+      rs.foreach(r => counters(r.getInt(1))(r.getLong(2).toInt) = r.getLong(3))
+      Cms.Sketch(Cms.Depth, Cms.Width, counters, counters(0).sum)
+    }.reduce(_ merge _)
+    val rows = (0 until Cms.Depth).map { r =>
+      val dr = direct.rows(r); val mr = merged.rows(r)
+      (r.toLong, dr.count(_ != 0L).toLong, dr.sum, dr.max,
+        dr.indices.count(i => dr(i) != mr(i)).toLong)
+    }
+    import s.implicits._
+    rows.toDF("r", "nonzero", "row_sum", "row_max", "merge_mismatch")
+      .orderBy(col("r"))
+  }
+
+  val cmsCensusSql: String = {
+    val width = Cms.Width
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT unnest(${TextSim.shingles3Sql("t")}) AS g
+       |  FROM toks WHERE len(t) >= 3
+       |), buckets AS (
+       |  SELECT r, ('0x' || substr(md5(g), 7 * r + 1, 7))::BIGINT % $width AS b,
+       |         count(*)::BIGINT AS c
+       |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS r)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT r::BIGINT AS r, count(*)::BIGINT AS nonzero,
+       |       sum(c)::BIGINT AS row_sum, max(c)::BIGINT AS row_max,
+       |       0::BIGINT AS merge_mismatch
+       |FROM buckets GROUP BY r ORDER BY r""".stripMargin
+  }
 }

@@ -40,6 +40,16 @@ class CmsSpec extends AnyFunSuite {
       assert(merged.rows(r).sameElements(oneShot.rows(r)), s"row $r differs")
   }
 
+  test("cms census: per-source grouped fit merges to the direct corpus fit") {
+    val rows = DupScore.cmsCensus(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == Cms.Depth)
+    assert(rows.forall(_.getLong(4) == 0L), "merge mismatch on some row")
+    // every sketch row sees every shingle occurrence once
+    assert(rows.map(_.getLong(2)).distinct.length == 1, "row mass differs")
+    assert(rows.forall(_.getLong(1) > 0L), "a row with zero buckets hit")
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(2)))
+  }
+
   test("column estimates equal the driver-side point estimates") {
     val sk = Cms.fit(grams.toDF("g"), "g")
     val sample = trueCounts.keys.toSeq.sorted

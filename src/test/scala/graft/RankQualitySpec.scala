@@ -38,6 +38,29 @@ class RankQualitySpec extends AnyFunSuite {
     truth.unpersist()
   }
 
+  test("ndcgMicro: self scores exactly 1, tracks the double face, hits = recall numerator") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Ann.norm(col("embedding")))
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    val truth = Ann.topKNeighbors(spark, e, queries).persist()
+    val self = Ann.ndcgMicro(truth, truth).collect()
+    assert(self.nonEmpty && self.forall(r => r.getDouble(2) == 1.0))
+    assert(self.forall(r => r.getLong(1) == math.min(Ann.TopK,
+      truth.filter(col("query_id") === r.getLong(0)).count())))
+    val approx = Ann.ivf(spark, sf)
+    val micro = Ann.ndcgMicro(truth, approx).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val dbl = Ann.ndcg(truth, approx).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(micro.keySet == dbl.keySet)
+    // micro-rounded discount weights shift any score < ~1e-5
+    micro.foreach { case (q, v) =>
+      assert(math.abs(v - dbl(q)) < 1e-4, s"query $q: $v vs ${dbl(q)}")
+    }
+    truth.unpersist()
+  }
+
   test("head inversion scores below tail truncation at equal recall") {
     import spark.implicits._
     // truth ranks 1..4; arm A returns them reversed (full recall),
