@@ -998,6 +998,19 @@ object ExplainAudit {
       pagesPlan.linesIterator.count(_.contains("FileScan")) == 1 &&
         "Window.*ds_id".r.findFirstIn(pagesPlan).isDefined)
 
+    val ndcgPlan = operators.Ann.ndcgQuery(spark, d)
+      .queryExecution.executedPlan.toString
+    flag("ndcg: both shortlists rank via partial ObjectHashAggregate; " +
+      "the metric join runs on |Q|*k rows, never a corpus window",
+      ndcgPlan.contains("ObjectHashAggregate") && !ndcgPlan.contains("Window"))
+
+    val cmsPlan = operators.DupScore.cmsBySourceCounters(
+      Tables.documents(spark, d)).queryExecution.executedPlan.toString
+    flag("cms_census: per-source counter fit is one partial-agg groupBy " +
+      "riding the scan (no join, one FileScan)",
+      cmsPlan.contains("partial_count") && !cmsPlan.contains("Join") &&
+        cmsPlan.linesIterator.count(_.contains("FileScan")) == 1)
+
     spark.stop()
     println(s"== ExplainAudit: ${checked - violated}/$checked OK, $violated VIOLATED")
     if (violated > 0) sys.exit(1)

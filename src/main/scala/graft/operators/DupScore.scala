@@ -131,19 +131,25 @@ object DupScore {
     * column. A merge that lost a counter, a grouped fit that dropped a
     * source, or a drifted hash window all land in the hash.
     */
+  /** Per-source counter rows `(source, r, b, c)` — ONE grouped pass,
+    * ≤ |sources|·depth·width rows (bounded statistic). Exposed for the
+    * ExplainAudit plan pin: a partial-agg groupBy riding the scan, no
+    * join anywhere.
+    */
+  def cmsBySourceCounters(docs: DataFrame): DataFrame = docs
+    .select(col("source"), TextSim.tokens(col("text")).as("t"))
+    .filter(size(col("t")) >= 3)
+    .select(col("source"), explode(TextSim.shingles3(col("t"))).as("g"))
+    .select(col("source"), posexplode(
+      Md5Buckets.multi(array(col("g")), Cms.Width, Cms.Depth))
+      .as(Seq("r", "b")))
+    .groupBy(col("source"), col("r"), col("b"))
+    .agg(count(lit(1)).cast("long").as("c"))
+
   def cmsCensus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val direct = fitCorpus(docs)
-    val bySource = docs
-      .select(col("source"), TextSim.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("source"), explode(TextSim.shingles3(col("t"))).as("g"))
-      .select(col("source"), posexplode(
-        Md5Buckets.multi(array(col("g")), Cms.Width, Cms.Depth))
-        .as(Seq("r", "b")))
-      .groupBy(col("source"), col("r"), col("b"))
-      .agg(count(lit(1)).cast("long").as("c"))
-      .collect()
+    val bySource = cmsBySourceCounters(docs).collect()
     val merged = bySource.groupBy(_.getString(0)).values.map { rs =>
       val counters = Array.fill(Cms.Depth)(new Array[Long](Cms.Width.toInt))
       rs.foreach(r => counters(r.getInt(1))(r.getLong(2).toInt) = r.getLong(3))
