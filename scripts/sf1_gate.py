@@ -100,6 +100,9 @@ def main():
     budget = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
     only = (set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None)
     con = duckdb.connect()
+    # cap per-process memory so parallel subset gates (the only_csv
+    # sharding this script exists for) can't sum past the box
+    con.execute(f"SET memory_limit='{os.environ.get('GATE_MEM', '24GB')}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")

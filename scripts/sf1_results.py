@@ -9,10 +9,14 @@
 
 Usage: python3 scripts/sf1_results.py <gate_report.json> <skew.json>
            <openvocab_gate_report.json> <exponents.json>
+           [exponents_sf1_sf2.json]
 Writes SF1_RESULTS.json in the repo root. Each input is the verbatim
 artifact its producer wrote — this script only arranges them and
 derives the per-family oracle cost notes (the slowest oracles and
-which family's DuckDB mirror they are).
+which family's DuckDB mirror they are). The optional 5th artifact is
+the second scale decade (sf1 -> sf2, mult 2): two independent rungs
+showing the measured exponent holds across decades, not just one
+ratio.
 """
 import json
 import sys
@@ -20,6 +24,7 @@ import sys
 
 def main():
     gate, skew, openvocab, exps = (json.load(open(p)) for p in sys.argv[1:5])
+    exps2 = json.load(open(sys.argv[5])) if len(sys.argv) > 5 else None
 
     queries = {}
     slow = []
@@ -76,7 +81,31 @@ def main():
             "totals": openvocab["totals"],
         },
         "real_scaling_exponents": exps,
+        "scaling_analysis": (
+            "Sub-linear or ~linear everywhere the design claims it: "
+            "ivf 0.21/0.21, etl_chunks 0.33/0.72, sessionize 0.14/0.13, "
+            "bm25 0.41/0.95, attribution 0.43/noise across the two "
+            "decades; minhash 0.87 (d1) and 0.96 on the open-vocabulary "
+            "second decade (output pairs exactly linear, 2551 -> 5122) — "
+            "its closed-vocab d2 reading of 1.23 is band-bucket crowding "
+            "on a 31-word vocabulary, separated out by the openvocab "
+            "counter-measurement. The one genuinely super-linear family "
+            "is prefix_pairs (exact AllPairs, ~1.3 on BOTH fixtures): "
+            "worst-case-quadratic completeness is the documented cost of "
+            "the exact tier — the production path at scale is minhash "
+            "candidates + exact verification on candidates only "
+            "(q_dedup_eval's architecture), with the df cap as the "
+            "pressure valve; prefix_pairs at sf2 is also the measurement "
+            "excluded from the d2 sweep after its candidate spill "
+            "transiently filled the disk."),
     }
+    if exps2 is not None:
+        out["real_scaling_exponents_sf1_to_sf2"] = exps2
+    # further labeled exponent blocks: label=path (e.g. the openvocab
+    # counter-measurements that separate fixture artifact from law)
+    for arg in sys.argv[6:]:
+        label, path = arg.split("=", 1)
+        out[f"real_scaling_exponents_{label}"] = json.load(open(path))
     json.dump(out, open("SF1_RESULTS.json", "w"), indent=1)
     print(f"SF1_RESULTS.json: {gate['totals']} | skew families "
           f"{list(skew['skew_gate']['families'])} | openvocab "

@@ -134,10 +134,19 @@ object ScaleExponents {
     * nodes at every SF), so replication remains their only lever.
     */
   val realFamilies: Seq[(String, Double, (SparkSession, String) => Long)] =
+    realFamiliesAt(10.0)
+
+  /** The same families with multipliers derived from an arbitrary SF
+    * ratio between the two directories (r11: the sf1 → sf2 second
+    * decade runs at ratio 2): docs/events scale linearly in SF,
+    * embeddings on the generator's 4×-per-decade curve.
+    */
+  def realFamiliesAt(sfRatio: Double)
+    : Seq[(String, Double, (SparkSession, String) => Long)] =
     Seq(
-      ("minhash_pairs", 10.0, (s, d) => operators.Dedup.minhashPairs(
+      ("minhash_pairs", sfRatio, (s, d) => operators.Dedup.minhashPairs(
         Tables.documents(s, d).select(col("doc_id"), col("text"))).count()),
-      ("ivf_search_fixedq", 4.0, (s, d) => {
+      ("ivf_search_fixedq", math.pow(4.0, math.log10(sfRatio)), (s, d) => {
         val base = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"))
           .withColumn("nrm", operators.Ann.norm(col("embedding")))
@@ -149,18 +158,18 @@ object ScaleExponents {
           col("vec_id") < 2000)
         operators.Ann.ivfSearch(s, base, queries, cents).count()
       }),
-      ("etl_chunks", 10.0, (s, d) => operators.Etl.chunk(s, d).count()),
-      ("sessionize", 10.0,
+      ("etl_chunks", sfRatio, (s, d) => operators.Etl.chunk(s, d).count()),
+      ("sessionize", sfRatio,
         (s, d) => operators.Analytics.sessionize(s, d).count()),
       // r11 widening: one family per remaining heavy class — text-stat
       // (two-pass corpus stats + zero-shuffle serve), exact AllPairs
       // (df-ordered prefix filter, the completeness-costs-what-it-costs
       // plan), and the event-window family (sessionless per-user scans)
-      ("bm25", 10.0, (s, d) => operators.Relevance.bm25(s, d).count()),
-      ("prefix_pairs", 10.0,
+      ("bm25", sfRatio, (s, d) => operators.Relevance.bm25(s, d).count()),
+      ("prefix_pairs", sfRatio,
         (s, d) => operators.PrefixJoin.prefixPairs(
           Tables.docsAug(s, d)).count()),
-      ("attribution", 10.0,
+      ("attribution", sfRatio,
         (s, d) => operators.Attribution.attributionQuery(s, d).count()))
 
   /** Time one real family at both dirs; exp from the family's own m. */
@@ -207,6 +216,10 @@ object ScaleExponents {
   def mainReal(args: Array[String]): Unit = {
     val dLo = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val dHi = args.lift(2).getOrElse("testdata_sf1")
+    val sfRatio = args.lift(3).map(_.toDouble).getOrElse(10.0)
+    // optional CSV family filter (r11: re-measure one family on a
+    // variant fixture — e.g. prefix_pairs on the open-vocabulary pair)
+    val only = args.lift(4).map(_.split(',').map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -216,9 +229,11 @@ object ScaleExponents {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val rows = realFamilies.map { case (name, m, fam) =>
+    val rows = realFamiliesAt(sfRatio)
+      .filter { case (name, _, _) => only.forall(_.contains(name)) }
+      .map { case (name, m, fam) =>
       val (tLo, tHi, e, nLo, nHi) = measureReal(spark, dLo, dHi, m, fam)
-      f""""$name":{"mult":$m%.0f,"t_lo_s":$tLo%.3f,"t_hi_s":$tHi%.3f,"exp":$e%.3f,"n_lo":$nLo,"n_hi":$nHi}"""
+      f""""$name":{"mult":$m%.2f,"t_lo_s":$tLo%.3f,"t_hi_s":$tHi%.3f,"exp":$e%.3f,"n_lo":$nLo,"n_hi":$nHi}"""
     }
     println(s"""{"mode":"real","dir_lo":"$dLo","dir_hi":"$dHi",${rows.mkString(",")}}""")
     spark.stop()
