@@ -30,7 +30,12 @@ object PQ {
     iters: Int = 3): Seq[DataFrame] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    (0 until m).map { j =>
+    // The m subspace quantizers are fully independent job chains over
+    // the same corpus. Submitting them from a small thread pool lets
+    // subspace j+1's stages back-fill executor slots freed by subspace
+    // j's straggler tail instead of idling the cluster m times — each
+    // fit's own jobs (and therefore its centroids) are unchanged.
+    Concurrently(0 until m) { j =>
       KMeansVec.fit(
         vectors.select(col("vec_id"),
           slice(col("embedding"), j * sub + 1, sub).as("embedding")),
@@ -53,6 +58,38 @@ object PQ {
       df.withColumn(s"__c$j",
         element_at(graft.functions.NearestCentroids.fromFrame(
           slice(col("embedding"), j * sub + 1, sub), cb, 1), 1)
+          .getField("cent_id"))
+    }
+    coded.select(col("vec_id") +: passthrough.map(col) :+
+      array((0 until m).map(j => col(s"__c$j")): _*).as("codes"): _*)
+  }
+
+  /** [[encode]] from already-collected `(cent_id, c_emb)` codebook
+    * rows (one per subspace, exactly the stored rows) — the form
+    * [[graft.sources.IndexStore.append]] uses so one codebooks
+    * read+collect serves all m argmaxes instead of m+2 re-reads of the
+    * same tiny parquet. Rows are sorted by cent_id and norms recomputed
+    * with the same ascending-index double fold as [[graft.operators.Ann.norm]]
+    * ([[graft.functions.VecDot]] order), so the built
+    * [[graft.functions.NearestCentroids]] expression is value-identical
+    * to the frame-collected one.
+    */
+  def encodeFromRows(vectors: DataFrame, perSub: Seq[Seq[(Long, Array[Float])]],
+    dim: Int, passthrough: Seq[String] = Nil): DataFrame = {
+    val m = perSub.size
+    val sub = dim / m
+    val coded = perSub.zipWithIndex.foldLeft(vectors) { case (df, (rows0, j)) =>
+      val rows = rows0.sortBy(_._1)
+      val ids = rows.map(_._1).toArray
+      val vecs = rows.map(_._2).toArray
+      val nrms = vecs.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+      df.withColumn(s"__c$j",
+        element_at(graft.functions.NearestCentroids(
+          slice(col("embedding"), j * sub + 1, sub), ids, vecs, nrms, 1), 1)
           .getField("cent_id"))
     }
     coded.select(col("vec_id") +: passthrough.map(col) :+
@@ -104,7 +141,7 @@ object PQ {
     * [[graft.functions.NearestCentroids]]).
     */
   def collectBooks(codebooks: Seq[DataFrame]): PqBooks =
-    collectBooksFromRows(codebooks.map { cb =>
+    collectBooksFromRows(Concurrently(codebooks) { cb =>
       cb.select(col("cent_id"), col("c_emb")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
     })

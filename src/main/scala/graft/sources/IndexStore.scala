@@ -88,7 +88,12 @@ object IndexStore {
     // so a skewed corpus can't grow hot-cell lists toward mass/kSub.
     // Leaf ids stay on the nlist grid (meta unchanged); cells just own
     // <= kSub live leaves, which every reader already tolerates.
-    val (cents, topOpt) =
+    // The coarse quantizer and the PQ codebooks train on the same
+    // corpus but are INDEPENDENT job chains — overlap them (guide
+    // §2.6, [[graft.operators.Concurrently]]) so the PQ subspace fits
+    // back-fill the executors the coarse Lloyd rounds leave idle
+    // between jobs. Each chain's own jobs and results are unchanged.
+    val (coarse, bookFrames) = graft.operators.Concurrently.both(
       if (routeTop > 0 && routeBudget > 0) {
         val (t, l) = KMeansVec.fitRoutedBalanced(v, routeTop,
           nlist / routeTop, routeBudget, iters)
@@ -96,36 +101,46 @@ object IndexStore {
       } else if (routeTop > 0) {
         val (t, l) = KMeansVec.fitRouted(v, routeTop, nlist / routeTop, iters)
         (l, Some(t))
-      } else (KMeansVec.fit(v, nlist, iters), None)
-    val bookFrames = PQ.fit(v, dim, m, kcode)
+      } else (KMeansVec.fit(v, nlist, iters), None),
+      PQ.fit(v, dim, m, kcode))
+    val (cents, topOpt) = coarse
     val books = PQ.collectBooks(bookFrames)
-    cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    topOpt.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$path/topcents"))
-    bookFrames.zipWithIndex
-      .map { case (b, j) =>
-        b.select(lit(j).as("sub"), col("cent_id"), col("c_emb"))
-      }
-      .reduce(_ unionByName _)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
-    spark.range(1)
-      .select(lit(dim).as("dim"), lit(nlist).as("nlist"),
-        lit(m).as("m"), lit(kcode).as("kcode"),
-        lit(routeTop).as("ktop"), typedLit(perm.toSeq).as("perm"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
-    val assigned = topOpt match {
-      case Some(t) =>
-        val bc = graft.functions.RoutedNearest.broadcastFrom(
-          cents, routeTop, nlist / routeTop)
-        KMeansVec.assignRouted(
-          KMeansVec.assign(e, t).withColumnRenamed("cent_id", "top_id"), bc)
-      case None => KMeansVec.assign(e, cents)
-    }
-    PQ.encode(
-      assigned.select(col("vec_id"), col("cent_id"), col("embedding")),
-      bookFrames, dim, passthrough = Seq("cent_id"))
-      .withColumn("rec_nrm", PQ.recNorm(col("codes"), books))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cent_id").parquet(s"$path/lists")
+    // The four metadata writes (centroids/topcents/codebooks/meta) and
+    // the encode-and-write of the list table are mutually independent
+    // output jobs over already-materialized inputs — run them as one
+    // concurrent wave (guide §2.6) instead of five sequential commits.
+    val writes: Seq[() => Unit] = Seq(
+      () => cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids"),
+      () => topOpt.foreach(
+        _.write.mode(SaveMode.Overwrite).parquet(s"$path/topcents")),
+      () => bookFrames.zipWithIndex
+        .map { case (b, j) =>
+          b.select(lit(j).as("sub"), col("cent_id"), col("c_emb"))
+        }
+        .reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks"),
+      () => spark.range(1)
+        .select(lit(dim).as("dim"), lit(nlist).as("nlist"),
+          lit(m).as("m"), lit(kcode).as("kcode"),
+          lit(routeTop).as("ktop"), typedLit(perm.toSeq).as("perm"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/meta"),
+      () => {
+        val assigned = topOpt match {
+          case Some(t) =>
+            val bc = graft.functions.RoutedNearest.broadcastFrom(
+              cents, routeTop, nlist / routeTop)
+            KMeansVec.assignRouted(
+              KMeansVec.assign(e, t).withColumnRenamed("cent_id", "top_id"), bc)
+          case None => KMeansVec.assign(e, cents)
+        }
+        PQ.encode(
+          assigned.select(col("vec_id"), col("cent_id"), col("embedding")),
+          bookFrames, dim, passthrough = Seq("cent_id"))
+          .withColumn("rec_nrm", PQ.recNorm(col("codes"), books))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("cent_id").parquet(s"$path/lists")
+      })
+    graft.operators.Concurrently(writes)(_.apply())
   }
 
   /** The stored coarse quantizer. */
@@ -256,7 +271,13 @@ object IndexStore {
     val metaRow = metaDf.head()
     val dim = metaRow.getAs[Int]("dim")
     val cents = centroids(spark, path)
-    val bks = books(spark, path)
+    // ONE codebooks read+collect serves the rec-norm LUTs and all m
+    // encode argmaxes. The previous form re-read and re-collected the
+    // same m·k rows three ways per micro-batch (books → collect,
+    // bookFrames → max(sub) job, then m per-subspace collects inside
+    // the NearestCentroids build): ~10 extra driver round-trips.
+    val perSub = collectCodebookRows(spark, path)
+    val bks = PQ.collectBooksFromRows(perSub)
     val e = transformIn(
       newVectors.select(col("vec_id"), col("embedding")),
       permFromMeta(metaRow, metaDf.columns), rotation(spark, path))
@@ -271,12 +292,27 @@ object IndexStore {
           .withColumnRenamed("cent_id", "top_id"),
         graft.functions.RoutedNearest.broadcastFrom(cents, ktop,
           metaRow.getAs[Int]("nlist") / ktop))
-    PQ.encode(
+    PQ.encodeFromRows(
       assigned.select(col("vec_id"), col("cent_id"), col("embedding")),
-      bookFrames(spark, path), dim, passthrough = Seq("cent_id"))
+      perSub, dim, passthrough = Seq("cent_id"))
       .withColumn("rec_nrm", PQ.recNorm(col("codes"), bks))
       .write.mode(SaveMode.Append)
       .partitionBy("cent_id").parquet(listsPath(spark, path))
+  }
+
+  /** One collect of the stored codebooks as per-subspace
+    * `(cent_id, c_emb)` rows — the shared source for both
+    * [[PQ.collectBooksFromRows]] and [[PQ.encodeFromRows]].
+    */
+  private def collectCodebookRows(spark: SparkSession,
+    path: String): Seq[Seq[(Long, Array[Float])]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("sub"), col("cent_id"), col("c_emb")).collect()
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    (0 until m).map { j =>
+      rows.filter(_.getInt(0) == j)
+        .map(r => r.getLong(1) -> r.getSeq[Float](2).toArray).toSeq
+    }
   }
 
   /** Delete vectors from the stored index — the right-to-be-forgotten
@@ -307,23 +343,30 @@ object IndexStore {
     val lp = listsPath(spark, path)
     val del = ids.select(col("vec_id")).distinct()
     val lists = spark.read.parquet(lp)
-    val affected = lists.select(col("vec_id"), col("cent_id"))
-      .join(del, Seq("vec_id"))
-      .select(col("cent_id")).distinct()
-      .collect().map(_.getInt(0))
+    // ONE column-pruned pass computes both planning facts: which lists
+    // hold any deleted id (affected → the rewrite set) and which of
+    // those keep at least one survivor (kept → whose directories must
+    // not be hand-deleted below). The previous form paid two jobs (an
+    // affected collect, then a keptCents collect off a persisted
+    // survivor frame) for what is one per-list (n_del, n_rows) fold.
+    val stats = lists.select(col("vec_id"), col("cent_id"))
+      .join(del.withColumn("__del", lit(1)), Seq("vec_id"), "left_outer")
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("__del")).as("n_del"))
+      .filter(col("n_del") > 0)
+      .collect()
+    val affected = stats.map(_.getInt(0))
     if (affected.isEmpty) return 0L
+    val keptCents = stats.filter(r => r.getLong(1) > r.getLong(2))
+      .map(_.getInt(0)).toSet
     val survivors = lists
       .filter(col("cent_id").isin(affected.map(Integer.valueOf): _*))
       .join(del, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("codes"), col("rec_nrm"), col("cent_id"))
-      .persist()
-    val keptCents = survivors.select(col("cent_id")).distinct()
-      .collect().map(_.getInt(0)).toSet
     survivors.repartition(col("cent_id"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cent_id").parquet(lp)
-    survivors.unpersist()
     // a fully-emptied list writes no partition, so dynamic overwrite
     // leaves its old files in place — drop those directories directly
     val fs = new org.apache.hadoop.fs.Path(lp)
@@ -655,15 +698,8 @@ object IndexStore {
   }
 
   /** The stored PQ codebooks as driver-resident [[PQ.PqBooks]]. */
-  def books(spark: SparkSession, path: String): PQ.PqBooks = {
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .select(col("sub"), col("cent_id"), col("c_emb")).collect()
-    val m = rows.iterator.map(_.getInt(0)).max + 1
-    PQ.collectBooksFromRows((0 until m).map { j =>
-      rows.filter(_.getInt(0) == j)
-        .map(r => r.getLong(1) -> r.getSeq[Float](2).toArray).toSeq
-    })
-  }
+  def books(spark: SparkSession, path: String): PQ.PqBooks =
+    PQ.collectBooksFromRows(collectCodebookRows(spark, path))
 
   /** A SERVED index, opened once: layout, coarse centroids, and PQ
     * codebooks are read and collected a single time (they are index
